@@ -1,0 +1,55 @@
+"""Benchmark harness (driver contract): run headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; print ONE JSON line with per-query seconds.
+
+Each query is executed once as a full action (count of the result —
+forces the whole plan without collecting wide rows to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+    from hadoop_20_warehouse_fix_spark.session import build_session
+
+    registry = load_all()
+    headline = {n: s for n, s in registry.items() if s.headline}
+
+    spark = build_session(app_name="h20wf-bench")
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # queries, not session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    per_query: dict[str, float] = {}
+    for name, spec in sorted(headline.items()):
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Table catalog over the driver's Parquet testdata layout.
+
+The reference has no catalog — "schema" is whatever Writable classes a
+JobConf declares (SURVEY.md §1.1). Here the catalog is explicit: one
+Parquet file (or directory) per table under a scale-factor directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at ANY scale factor (region
+# and nation are bounded by geography, not data volume). At 100 TB these
+# stay broadcast-joinable; customer/supplier/part grow with SF and are
+# left to AQE's size-based broadcast decision.
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Columnar Parquet scan: Catalyst prunes
+    columns and pushes predicates down to the reader for free."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register every table as a temp view so SQL-form queries work."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,62 @@
+"""SparkSession factory with warehouse-grade defaults.
+
+The reference engine's physical tricks (combiner partial-agg, spill-aware
+sort, shuffle compression, speculative execution, locality scheduling —
+SURVEY.md §4) are all Spark built-ins; this module simply turns the right
+knobs on so every plan produced by the engine inherits them.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on: runtime coalescing of shuffle partitions, auto skew-join
+  splitting, dynamic broadcast-join demotion. On a real cluster the same
+  config holds; only ``spark.sql.shuffle.partitions`` should be raised to
+  ~2-3x total cores (AQE coalesces the excess).
+- ``maxPartitionBytes`` 128m: one task per HDFS-block-ish chunk, same
+  split math as the reference's FileInputFormat
+  (max(minSize, min(goalSize, blockSize))).
+- Arrow enabled: every Pandas-UDF boundary is vectorized batch transfer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "hadoop_20_warehouse_fix_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for the engine.
+
+    Local-mode defaults come from ``SPARK_GRAFT_CPUS`` (driver contract);
+    on a real cluster pass ``master=None`` and let spark-submit set it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
