@@ -1,0 +1,109 @@
+"""Aggregation framework (SURVEY.md §2.4).
+
+The reference's declarative aggregate framework
+(``M/lib/aggregate/ValueAggregatorJob.java:81``) registers typed
+descriptors — LongValueSum, DoubleValueSum, LongValueMin/Max,
+StringValueMin/Max, UniqValueCount, ValueHistogram
+(``ValueAggregatorBaseDescriptor.java:94-113``) — and runs them through
+mapper → combiner (partial) → reducer (final). Spark's HashAggregate does
+partial/final automatically; this module provides the descriptor report
+shapes.
+
+Scale: every helper here is a pure ``groupBy().agg()`` — map-side
+partial aggregation bounds shuffle volume by (groups × partitions), and
+the approx variants (``approx_count_distinct`` HLL,
+``percentile_approx``) are the declared 100 TB-scale analogs of the
+reference's capped/exact implementations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Descriptor-name → aggregate expression builder, mirroring the 8
+# registered types in ValueAggregatorBaseDescriptor.java:94-113.
+DESCRIPTORS = {
+    "LongValueSum": lambda c: F.sum(F.col(c).cast("long")),
+    "DoubleValueSum": lambda c: F.sum(F.col(c).cast("double")),
+    "LongValueMax": lambda c: F.max(F.col(c).cast("long")),
+    "LongValueMin": lambda c: F.min(F.col(c).cast("long")),
+    "StringValueMax": lambda c: F.max(F.col(c).cast("string")),
+    "StringValueMin": lambda c: F.min(F.col(c).cast("string")),
+    "ValueCount": lambda c: F.count(F.col(c)),
+    "UniqValueCount": lambda c: F.count_distinct(F.col(c)),
+}
+
+
+def value_aggregate(
+    df: DataFrame,
+    descriptors: Sequence[tuple[str, str, str]],
+) -> DataFrame:
+    """Aggregate-framework job: each descriptor ``(type, id, column)``
+    yields one ``(id, value)`` output row, like the reference's
+    ``"LongValueSum:record_count" → value`` pairs (generateEntry,
+    ``ValueAggregatorBaseDescriptor.java:84-90``).
+
+    Values are cast to string (the reference emitted Text); each
+    descriptor is a scalar aggregation, all computed in ONE pass via a
+    single agg + unpivot-style stack (one job, matching the reference)."""
+    aggs = []
+    for i, (dtype, _agg_id, column) in enumerate(descriptors):
+        if dtype not in DESCRIPTORS:
+            raise ValueError(f"unknown descriptor type {dtype!r}; known: {sorted(DESCRIPTORS)}")
+        aggs.append(DESCRIPTORS[dtype](column).cast("string").alias(f"_a{i}"))
+    one = df.agg(*aggs)
+    stack_args: list[Column] = []
+    for i, (dtype, agg_id, _column) in enumerate(descriptors):
+        stack_args.append(F.lit(f"{dtype}:{agg_id}"))
+        stack_args.append(F.col(f"_a{i}"))
+    return one.select(F.stack(F.lit(len(descriptors)), *stack_args).alias("id", "value"))
+
+
+def histogram_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    approx: bool = False,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ValueHistogram report tuple (``ValueHistogram.java:78-134``):
+    per-group count, min, median, max, mean, stddev (population).
+
+    ``approx=True`` swaps exact median for ``percentile_approx`` — the
+    scale path (exact median needs a full sort of each group's values;
+    approx is a fixed-size sketch merged map-side)."""
+    v = F.col(value_col)
+    median = (
+        F.percentile_approx(v, 0.5) if approx else F.expr(f"percentile({value_col}, 0.5)")
+    )
+    return df.groupBy(*group_cols).agg(
+        F.count(v).alias("n_values"),
+        F.round(F.min(v), round_digits).alias("min_value"),
+        F.round(median, round_digits).alias("median_value"),
+        F.round(F.max(v), round_digits).alias("max_value"),
+        F.round(F.avg(v), round_digits).alias("mean_value"),
+        F.round(F.stddev_pop(v), round_digits).alias("stddev_value"),
+    )
+
+
+def uniq_count(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    cap: int | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """UniqValueCount (``UniqValueCount.java:30``): distinct-value count
+    per group. The reference CAPS the tracked set at ``maxNumItems``
+    (cap logic :81-86) — counts saturate at the cap; ``least(count, cap)``
+    reproduces that saturation exactly. ``approx=True`` is the HLL
+    100 TB-scale analog (sketches merge map-side; exact distinct shuffles
+    every distinct value)."""
+    v = F.col(value_col)
+    cnt = F.approx_count_distinct(v) if approx else F.count_distinct(v)
+    if cap is not None:
+        cnt = F.least(cnt, F.lit(cap))
+    return df.groupBy(*group_cols).agg(cnt.cast("long").alias("uniq_count"))

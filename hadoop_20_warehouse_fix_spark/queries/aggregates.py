@@ -1,1 +1,189 @@
-"""Placeholder — queries land in a subsequent milestone."""
+"""Aggregation queries (SURVEY.md §2.4) — the reference's aggregate
+framework descriptor types, histogram report, capped distinct, plus the
+grouping-set capabilities Spark adds for free."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.operators.aggregates import (
+    histogram_report,
+    uniq_count,
+    value_aggregate,
+)
+from hadoop_20_warehouse_fix_spark.queries import query
+
+
+@query(
+    "agg_value_framework",
+    oracle="""
+    SELECT 'LongValueSum:qty' AS id, CAST(sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS VARCHAR) AS value FROM lineitem
+    UNION ALL
+    SELECT 'ValueCount:rows', CAST(count(l_orderkey) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'LongValueMax:qty', CAST(max(CAST(FLOOR(l_quantity) AS BIGINT)) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'LongValueMin:qty', CAST(min(CAST(FLOOR(l_quantity) AS BIGINT)) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'StringValueMax:rflag', CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'StringValueMin:rflag', CAST(min(l_returnflag) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'UniqValueCount:parts', CAST(count(DISTINCT l_partkey) AS VARCHAR) FROM lineitem
+    """,
+)
+def agg_value_framework(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-framework job (``ValueAggregatorJob.java:81``): declared
+    descriptors → one pass → (id, value) report rows, ids formatted
+    ``"Type:name"`` exactly like ``generateEntry``
+    (``ValueAggregatorBaseDescriptor.java:84-90``). All descriptors
+    compute in a single agg (one job), values emitted as strings (the
+    reference emitted Text)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return value_aggregate(
+        li,
+        [
+            ("LongValueSum", "qty", "l_quantity"),
+            ("ValueCount", "rows", "l_orderkey"),
+            ("LongValueMax", "qty", "l_quantity"),
+            ("LongValueMin", "qty", "l_quantity"),
+            ("StringValueMax", "rflag", "l_returnflag"),
+            ("StringValueMin", "rflag", "l_returnflag"),
+            ("UniqValueCount", "parts", "l_partkey"),
+        ],
+    )
+
+
+@query(
+    "agg_histogram_report",
+    oracle="""
+    SELECT l_returnflag,
+           count(l_quantity)                  AS n_values,
+           round(min(l_quantity), 4)          AS min_value,
+           round(median(l_quantity), 4)       AS median_value,
+           round(max(l_quantity), 4)          AS max_value,
+           round(avg(l_quantity), 4)          AS mean_value,
+           round(stddev_pop(l_quantity), 4)   AS stddev_value
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_histogram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram report (``ValueHistogram.java:78-134``): per-group
+    count/min/median/max/mean/stddev. Exact median here (correctness
+    scale); ``histogram_report(approx=True)`` is the sketch-based
+    100 TB path."""
+    return histogram_report(
+        load_table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity", approx=False
+    )
+
+
+@query(
+    "agg_uniq_capped",
+    oracle="""
+    SELECT l_returnflag, least(count(DISTINCT l_partkey), 1000) AS uniq_count
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_uniq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped distinct count — UniqValueCount's ``maxNumItems`` cap
+    (``UniqValueCount.java:81-86``): the tracked set stops growing at the
+    cap, so the reported count saturates; ``least(count_distinct, cap)``
+    reproduces that exactly (SURVEY §4 divergence note #3)."""
+    return uniq_count(load_table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey", cap=1000)
+
+
+@query("agg_uniq_approx")
+def agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct — the declared 100 TB-scale analog of UniqValueCount
+    (SURVEY §4 note #3). Sketches merge map-side; shuffle volume is
+    O(groups × sketch size) instead of O(distinct values). Rows-only
+    check: HLL estimates are engine-specific (no cross-engine oracle)."""
+    return uniq_count(
+        load_table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey", approx=True
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — absent from the reference (SURVEY §2.4: 'no
+    grouping sets / rollup / cube'); engine capability via Spark. Partial
+    aggregation applies per grouping set, so shuffle stays bounded by
+    output cardinality."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) — the reference's multi-output demux
+    idiom flattened into columns; Spark ``pivot`` with explicit value
+    list (no extra pass to discover values — required at scale)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+@query(
+    "agg_monte_carlo_pi",
+    oracle="""
+    WITH halton AS (
+      SELECT i,
+             -- base-2 radical inverse of i (van der Corput), 20 bits
+             (SELECT sum( ((i >> b) & 1) / CAST(power(2, b + 1) AS DOUBLE) ) FROM range(20) t(b)) AS x,
+             -- base-3 radical inverse of i
+             (SELECT sum( (CAST(floor(i / power(3, b)) AS BIGINT) % 3) / power(3, b + 1) ) FROM range(13) t(b)) AS y
+      FROM range(100000) r(i)
+    )
+    SELECT count(*) FILTER (WHERE (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25) AS n_inside,
+           count(*) AS n_total
+    FROM halton
+    """,
+)
+def agg_monte_carlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PiEstimator (``E/PiEstimator.java:66``): deterministic Halton
+    sequence points, count inside/outside the unit circle. Generated
+    distributively with ``spark.range`` (the reference used one map per
+    sample shard); the radical-inverse expressions are pure SQL — no UDF,
+    fully codegen'd."""
+    n = 100_000
+    pts = spark.range(n).withColumnRenamed("id", "i")
+    x = sum(
+        (F.shiftright(F.col("i"), b).bitwiseAND(F.lit(1))) / F.lit(float(2 ** (b + 1)))
+        for b in range(20)
+    )
+    y = sum(
+        (F.floor(F.col("i") / F.lit(float(3**b))).cast("long") % 3) / F.lit(float(3 ** (b + 1)))
+        for b in range(13)
+    )
+    pts = pts.select(x.alias("x"), y.alias("y"))
+    inside = (F.col("x") - 0.5) ** 2 + (F.col("y") - 0.5) ** 2 <= 0.25
+    return pts.agg(
+        F.count(F.when(inside, 1)).alias("n_inside"), F.count(F.lit(1)).alias("n_total")
+    )

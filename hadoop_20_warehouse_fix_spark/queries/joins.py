@@ -1,1 +1,244 @@
-"""Placeholder — queries land in a subsequent milestone."""
+"""Join queries (SURVEY.md §2.3) — every join family the reference
+supports, keyed to its testdata-equivalent shape (FIXTURES.md F3:
+orders ⋈ customer ⋈ nation chain with partial key overlap)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.operators.joins import (
+    anti_join,
+    broadcast_join,
+    n_way_equi_join,
+    override_join,
+    semi_join,
+    tagged_cogroup,
+)
+from hadoop_20_warehouse_fix_spark.queries import query
+
+
+def _per_nation_sources(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Three co-keyed sources on nationkey — the CompositeInputFormat
+    setup (i-th split of each table joined on the shared key)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 3000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation_name")
+    )
+    return cust, supp, nat
+
+
+@query(
+    "join_inner_nway",
+    oracle="""
+    SELECT c.nationkey, c.n_customers, s.n_suppliers, n.nation_name
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+    JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier
+          WHERE s_acctbal > 3000 GROUP BY 1) s USING (nationkey)
+    JOIN (SELECT n_nationkey AS nationkey, n_name AS nation_name FROM nation) n USING (nationkey)
+    """,
+)
+def join_inner_nway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner equi-join on a shared key — CompositeInputFormat
+    ``inner(tbl,tbl,tbl)`` (``M/join/InnerJoinRecordReader.java:30``: emit
+    only keys present in EVERY source). One shared hash partitioning on
+    nationkey across the join fold; tiny sides become broadcasts under AQE."""
+    cust, supp, nat = _per_nation_sources(spark, sf_dir)
+    return n_way_equi_join([cust, supp, nat], on="nationkey", how="inner")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT nationkey, n_customers, n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer
+          WHERE c_acctbal > 9000 GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier
+          WHERE s_acctbal > 3000 GROUP BY 1) s USING (nationkey)
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join — ``M/join/OuterJoinRecordReader.java:80``: emit a
+    per-key tuple with present slots filled, absent slots NULL
+    (TupleWritable presence bits → nullable columns)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 3000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return n_way_equi_join([cust, supp], on="nationkey", how="full_outer")
+
+
+@query(
+    "join_override",
+    oracle="""
+    SELECT COALESCE(c.custkey, b.custkey, a.custkey) AS custkey,
+           COALESCE(c.segment, b.segment, a.segment) AS segment
+    FROM      (SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer) a
+    FULL OUTER JOIN (SELECT c_custkey AS custkey, 'HIGH_BALANCE' AS segment FROM customer
+                     WHERE c_acctbal > 5000) b ON a.custkey = b.custkey
+    FULL OUTER JOIN (SELECT c_custkey AS custkey, 'BUILDING_VIP' AS segment FROM customer
+                     WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000) c
+                ON COALESCE(a.custkey, b.custkey) = c.custkey
+    """,
+)
+def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Override join — ``M/join/OverrideRecordReader.java``: value from
+    the RIGHTMOST source that has the key wins (precedence/upsert).
+    Implemented as a presence-gated coalesce-fold over full-outer joins
+    sharing one key partitioning (operators.joins.override_join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    base = customer.select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+    high = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey"), F.lit("HIGH_BALANCE").alias("segment")
+    )
+    vip = customer.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 8000)).select(
+        F.col("c_custkey").alias("custkey"), F.lit("BUILDING_VIP").alias("segment")
+    )
+    return override_join([base, high, vip], on="custkey", value_cols=["segment"])
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — absent from the reference (hand-written
+    tagged reducers only, SURVEY §2.3); engine capability via Spark.
+    Semi joins ship only the key column of the right side — at 100 TB the
+    probe side never materializes payload columns."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(cust, urgent, on="c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — engine capability via Spark."""
+    cust = load_table(spark, sf_dir, "customer")
+    finished = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(cust, finished, on="c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross_per_key",
+    oracle="""
+    SELECT c_custkey, s_suppkey, c_nationkey AS nationkey
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    WHERE c_acctbal > 9500
+    """,
+)
+def join_cross_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cross product — ``M/join/JoinRecordReader.java:75-83``
+    (JoinDelegationIterator emits all combinations of per-source value
+    lists for each key). In Spark this is just the join output on a
+    non-unique key."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    supp = load_table(spark, sf_dir, "supplier")
+    return cust.join(supp, F.col("c_nationkey") == F.col("s_nationkey")).select(
+        "c_custkey", "s_suppkey", F.col("c_nationkey").alias("nationkey")
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice), 2) AS brand_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    headline=True,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast (map-side hash) join — the DistributedCache idiom
+    (``C/filecache/DistributedCache.java:115``): ship the small dim to
+    every task; the fact table never shuffles. ``F.broadcast`` forces
+    BroadcastHashJoinExec; at 100 TB this is THE join strategy for
+    bounded dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        broadcast_join(li, part, on=F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+        )
+    )
+
+
+@query(
+    "join_tagged_cogroup",
+    oracle="""
+    SELECT c_custkey AS custkey, count(*) AS n_orders, max(o_totalprice) AS max_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def join_tagged_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce-side tagged join with user combine() — the data_join
+    contrib (``DataJoinMapperBase.java:45``, ``DataJoinReducerBase.java:47``:
+    tag by source, shuffle on key, user code combines the per-tag groups).
+    Spark analog: ``cogroup().applyInPandas`` — the combine_fn sees both
+    sides' rows for one key, exactly like the reference's reducer.
+
+    The demo combine keeps customers with >= 12 orders (an arbitrary
+    user-defined filter no built-in join mode expresses directly)."""
+
+    def combine(key, cust_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cust_pdf) and len(orders_pdf) >= 12:
+            return pd.DataFrame(
+                {
+                    "custkey": pd.Series([key[0]], dtype="int64"),
+                    "n_orders": pd.Series([len(orders_pdf)], dtype="int64"),
+                    "max_price": pd.Series([orders_pdf["o_totalprice"].max()], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "custkey": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "max_price": pd.Series([], dtype="float64"),
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"), "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"), "o_totalprice")
+    return tagged_cogroup(cust, orders, on="k", combine_fn=combine, schema="custkey long, n_orders long, max_price double")

@@ -54,7 +54,7 @@ def _norm(v):
 
 def canonicalize(cols: list[str], rows: list[tuple]):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon_rows = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    canon_rows = sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
     return sorted(cols), canon_rows
 
 

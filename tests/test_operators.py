@@ -1,0 +1,74 @@
+"""Unit tests for operator translators and semantics, reference-style
+(the reference's per-operator JUnit corpus, SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.operators.fieldspec import field_select, parse_spec
+from hadoop_20_warehouse_fix_spark.operators.joins import override_join
+from hadoop_20_warehouse_fix_spark.operators.keyspec import KeyPart, parse_keyspec
+from hadoop_20_warehouse_fix_spark.operators.sort import grouped_ordered_list, top_k_per_group
+
+
+def test_parse_spec_ranges():
+    key, value = parse_spec("4,3,0-2:6,5-")
+    assert key == [(4, 4), (3, 3), (0, 2)]
+    assert value == [(6, 6), (5, None)]
+    key, value = parse_spec("1-")
+    assert key == [(1, None)] and value == []
+    key, value = parse_spec("-2:0")
+    assert key == [(0, 2)] and value == [(0, 0)]
+
+
+def test_parse_keyspec():
+    parts = parse_keyspec("-k2,2nr -k1.3,1")
+    assert parts[0] == KeyPart(field_start=2, field_end=2, char_start=1, numeric=True, reverse=True)
+    assert parts[1] == KeyPart(field_start=1, field_end=1, char_start=3, numeric=False, reverse=False)
+    assert parse_keyspec("-k2")[0].field_end is None
+
+
+def test_field_select_reorder(spark):
+    # TestFieldSelection analog: select/reorder/open-range on tab fields.
+    df = spark.createDataFrame([("a\tb\tc\td",)], ["line"])
+    row = field_select(df, "line", "2,0:1-").collect()[0]
+    assert row.key == "c\ta"
+    assert row.value == "b\tc\td"
+
+
+def test_field_select_short_line(spark):
+    # Line shorter than the spec: missing single fields become "",
+    # missing open ranges collapse.
+    df = spark.createDataFrame([("x\ty",)], ["line"])
+    row = field_select(df, "line", "0,3:2-").collect()[0]
+    assert row.key == "x\t"
+    assert row.value == ""
+
+
+def test_override_join_rightmost_wins(spark):
+    # TestDatamerge 'override' analog: rightmost source that has the key
+    # wins; NULL value in a present later source still overrides.
+    a = spark.createDataFrame([(1, "a1"), (2, "a2"), (3, "a3")], ["k", "v"])
+    b = spark.createDataFrame([(2, "b2"), (4, "b4")], ["k", "v"])
+    c = spark.createDataFrame([(3, None), (4, "c4")], ["k", "v"])
+    out = {r.k: r.v for r in override_join([a, b, c], "k", ["v"]).collect()}
+    assert out == {1: "a1", 2: "b2", 3: None, 4: "c4"}
+
+
+def test_top_k_per_group_ties_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g1", 10, 1), ("g1", 10, 2), ("g1", 5, 3), ("g2", 7, 4)], ["g", "v", "id"]
+    )
+    got = {
+        (r.g, r.id)
+        for r in top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], 2).collect()
+    }
+    assert got == {("g1", 1), ("g1", 2), ("g2", 4)}
+
+
+def test_grouped_ordered_list(spark):
+    df = spark.createDataFrame(
+        [("g", 3, "c"), ("g", 1, "a"), ("g", 2, "b"), ("h", 1, "z")], ["g", "o", "v"]
+    )
+    rows = {r.g: r.values for r in grouped_ordered_list(df, ["g"], "o", "v").collect()}
+    assert rows == {"g": ["a", "b", "c"], "h": ["z"]}
