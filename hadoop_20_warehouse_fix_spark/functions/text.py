@@ -1,0 +1,108 @@
+"""Text-analysis column functions (BASELINE.json extension pack):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All hot-path functions are built-in-expression compositions (JVM-side,
+codegen'd) — not UDFs — so they run at scan speed over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.operators.dedup import normalize_text, words_of
+
+# Marker stopwords per language (small public high-frequency lists).
+# Deterministic heuristic: score = number of token occurrences in the
+# marker set; prediction = argmax with fixed priority on ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
+    "es": ("el", "los", "que", "y", "en", "es", "una", "las"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr")  # tie-break order (fixed)
+
+
+def marker_count(text: Column, markers: tuple[str, ...]) -> Column:
+    """Occurrences (not distinct) of marker tokens in the text."""
+    return F.size(F.filter(words_of(text), lambda w: w.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language code, or 'unknown' when no marker hits.
+    n-gram-free stopword heuristic — deterministic and oracle-mirrorable;
+    swap in a real model via pandas_udf where accuracy matters."""
+    scores = {lang: marker_count(text, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
+    expr = F.lit("unknown")
+    # Build the CASE chain in reverse priority so earlier langs win ties.
+    for lang in reversed(LANG_PRIORITY):
+        cond = scores[lang] > 0
+        for other in LANG_PRIORITY:
+            if other != lang and LANG_PRIORITY.index(other) < LANG_PRIORITY.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_of(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token count: word pieces + standalone punctuation
+    (``\\w+|[^\\w\\s]`` occurrences) — the cheap proxy for LLM token
+    budgeting over a corpus."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-word, non-space characters."""
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    n = ws_token_count(text)
+    return F.when(n > 0, marker_count(text, markers) / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    words = words_of(text)
+    n = F.size(words)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length saturation × (1 − punct excess)
+    × word-shape sanity. Deterministic arithmetic over the components —
+    the standard cheap pre-filter before expensive model scoring."""
+    length_part = F.least(ws_token_count(text) / F.lit(50.0), F.lit(1.0))
+    punct_part = F.greatest(F.lit(1.0) - punct_ratio(text) * 4, F.lit(0.0))
+    wl = mean_word_len(text)
+    shape_part = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return length_part * punct_part * shape_part
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 hex of normalized text (cross-engine
+    stable — DuckDB md5 produces identical hex)."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_fingerprint(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over word-level hashes, mod a 30-bit
+    prime: acc = (acc*base + wordhash) % mod. Order-sensitive (unlike
+    md5-of-whole which is format-sensitive) — detects reorderings.
+    Fold stays within signed-64 bounds (no ANSI overflow)."""
+    word_h = lambda w: F.pmod(F.xxhash64(w), F.lit(mod))  # noqa: E731
+    return F.aggregate(
+        words_of(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * base + word_h(w), F.lit(mod)),
+    )

@@ -1,0 +1,219 @@
+"""Deduplication operators — the training-data-pipeline extension pack
+(BASELINE.json; SURVEY.md §7 phase 5).
+
+The reference's only dedup machinery is identity-map + first-value reduce
+(SURVEY §2.7) — exact dedup. The fuzzy family here (n-gram Jaccard,
+MinHash+LSH, SimHash, embedding cosine) is standard public literature:
+Broder's MinHash (STOC'97 "On the resemblance and containment of
+documents"), Charikar's SimHash (STOC'02), banding analysis per Mining of
+Massive Datasets ch.3.
+
+Scale design:
+- Exact dedup: hash-groupBy on a fingerprint — shuffle bounded by
+  distinct fingerprints.
+- n-gram Jaccard: inverted-index blocking (join on shared shingle) is
+  EXACT but the blocking join explodes on high-DF shingles; at 100 TB
+  cap document frequency (drop stop-shingles) or switch to MinHash.
+- MinHash+LSH: signature is fixed-size (num_hashes × 8 B) regardless of
+  doc length; banding turns all-pairs into equality joins on
+  (band, band_hash) — the only scalable path for web-scale corpora.
+- SimHash: 64-bit fingerprint; pigeonhole banding (4×16 bits) finds all
+  pairs within Hamming distance 3 using 4 equality joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — the canonical form fed to
+    fingerprints so formatting differences don't defeat exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def words_of(col: Column) -> Column:
+    """Whitespace tokens with empties removed (split artifacts)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != F.lit(""))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column — JVM-side
+    (sequence + transform), no Python UDF."""
+    words = words_of(col)
+    cnt = F.size(words) - (n - 1)
+    shingle_at = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])  # noqa: E731
+    return F.when(
+        cnt > 0, F.array_distinct(F.transform(F.sequence(F.lit(0), cnt - 1), shingle_at))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, keep: str = "min") -> DataFrame:
+    """Exact dedup by content fingerprint: md5 of normalized text,
+    keep the min (or max) id per fingerprint — the reference's
+    identity-map + first-value-reduce idiom, made deterministic."""
+    keep_fn = F.min if keep == "min" else F.max
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(keep_fn(F.col(id_col)).alias(id_col))
+    )
+
+
+def _doc_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT near-dup pairs by word-n-gram Jaccard, via inverted-index
+    blocking: only pairs sharing >= 1 shingle are scored (identical
+    result to all-pairs since Jaccard>0 requires a shared shingle).
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    Scale: see module docstring — cap shingle DF at web scale."""
+    sh = _doc_shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 60
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, min over shingles of
+    xxhash64(shingle, s). Fixed-size summary — the scalable sketch."""
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(F.transform(F.col("sh"), lambda x: F.xxhash64(x, s))),
+    )
+    return sig, sh  # type: ignore[return-value]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 60,
+    bands: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Approximate near-dup pairs: MinHash signatures → LSH banding →
+    candidate pairs → EXACT Jaccard verification (so precision is 1.0;
+    recall is the banding S-curve, ~0.999 for j >= 0.7 at 20 bands × 3
+    rows). Output identical schema to ngram_jaccard_pairs.
+
+    This is the 100 TB path: no all-pairs, no shingle-DF blowup —
+    candidates come from equality joins on (band, band_hash)."""
+    rows = num_hashes // bands
+    sig_expr, sh = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = sh.select("id", "sh", sig_expr.alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bh")
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    docs = sig.select("id", "sh")
+    verified = (
+        cand.join(docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash (Charikar) as 4 × 16-bit band values: per token,
+    xxhash64; per bit, sum(+1/-1); fingerprint bit = sign. Band
+    representation avoids signed-64 overflow and is directly the
+    pigeonhole blocking key for Hamming <= 3 search.
+
+    Entirely groupBy/sum over exploded tokens — no Python."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(words_of(F.col(text_col))).alias("w"))
+    h = F.xxhash64("w")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("id").agg(*bit_sums)
+    band_vals = []
+    for band in range(4):
+        v = F.lit(0)
+        for i in range(16):
+            bit = band * 16 + i
+            v = v + F.when(F.col(f"_b{bit}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        band_vals.append(v.cast("int").alias(f"band{band}"))
+    return sums.select("id", *band_vals)
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming (<= 3):
+    by pigeonhole, such pairs agree on >= 1 of the 4 16-bit bands, so 4
+    equality self-joins (union'd) find ALL of them — no all-pairs scan."""
+    sh = simhash_bands(df, id_col, text_col)
+    cands = None
+    for band in range(4):
+        c = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col(f"a.band{band}") == F.col(f"b.band{band}")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                *[F.col(f"a.band{i}").alias(f"a{i}") for i in range(4)],
+                *[F.col(f"b.band{i}").alias(f"b{i}") for i in range(4)],
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")).bitwiseAND(F.lit(0xFFFF)))
+        for i in range(4)
+    )
+    return (
+        cands.distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

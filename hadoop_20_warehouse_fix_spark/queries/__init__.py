@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         dedup,
         joins,
+        multimodal,
         relational,
         similarity,
         sorts,

@@ -1,1 +1,115 @@
-"""Placeholder — queries land in a subsequent milestone."""
+"""Deduplication queries (extension pack) over the documents and
+embeddings tables. Exact and n-gram-Jaccard variants are oracle-checked
+value-for-value; MinHash-LSH and SimHash are approximate-by-design
+(rows-only gate here, recall/precision asserted against the exact
+variants in tests/test_dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hadoop_20_warehouse_fix_spark.operators.similarity import embedding_cosine_pairs
+from hadoop_20_warehouse_fix_spark.queries import query
+
+# Shared CTE: word-3-gram shingle sets per document (mirrors
+# operators.dedup.word_shingles tokenization exactly).
+_SHINGLE_CTE = """
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(words) - 2, 0)),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+            FROM documents)
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT fingerprint, min(doc_id) AS doc_id
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+          FROM documents)
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text fingerprint, keep min doc_id
+    per group — identity-map + first-value reduce (SURVEY §2.7) with a
+    deterministic winner. Shuffle bounded by distinct fingerprints."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    headline=True,
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs: word-3-gram Jaccard >= 0.5 via
+    inverted-index blocking (only pairs sharing a shingle are scored —
+    lossless, since Jaccard > 0 ⇒ shared shingle). The oracle computes
+    naive all-pairs; identical results prove the blocking is lossless."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (60 perms) + LSH banding (20×3) + exact-Jaccard verify —
+    the 100 TB near-dup path (fixed-size signatures, equality-join
+    candidates, no all-pairs). Approximate by construction (banding
+    S-curve recall), hence rows-only here; recall >= 0.9 and precision
+    == 1.0 vs the exact query are asserted in tests/test_dedup.py."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=60, bands=20, threshold=0.5
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming <= 3) with pigeonhole band
+    blocking — exact w.r.t. SimHash semantics (4 equality joins cover
+    all Hamming<=3 pairs), but the fingerprint itself is engine-hash
+    dependent (xxhash64), so no cross-engine oracle; invariants tested
+    in tests/test_dedup.py."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.4, exact all-pairs at
+    correctness scale (the LSH bucket join in operators.similarity is
+    the same semantics at 100 TB). Dot products fold in double precision
+    — cross-engine bit-stable, so the oracle matches value-for-value."""
+    return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)

@@ -1,0 +1,41 @@
+"""Multimodal plumbing queries (extension pack): binary payload columns
+with typed metadata, Arrow-batched feature extraction. Codec calls are
+stubbed (no image/audio libs in this container — see
+functions.multimodal); the Spark-side schema/batch/partitioning plumbing
+is real and oracle-checked where the fake extractor is SQL-expressible."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.functions.multimodal import documents_as_media, extract_features
+from hadoop_20_warehouse_fix_spark.queries import query
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over binary payloads via
+    ``mapInPandas`` (Arrow batches — never per-row Python). The
+    deterministic fake extractor stands in for decode+embed; the oracle
+    checks the part DuckDB can see (payload byte length per media row,
+    ASCII text ⇒ chars == bytes), proving ids/partitioning/batching
+    deliver every row exactly once."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "n_bytes")
+
+
+@query("mm_feature_vectors")
+def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fake-feature output (byte checksum + 8-dim vector) —
+    rows-only gate (the vector math is the stand-in for a codec);
+    determinism and shape asserted in tests/test_multimodal.py."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)

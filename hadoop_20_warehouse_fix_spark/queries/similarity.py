@@ -1,1 +1,52 @@
-"""Placeholder — queries land in a subsequent milestone."""
+"""Similarity-search queries (extension pack): exact cosine top-k and
+the LSH-bucketed ANN variant over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk, lsh_topk
+from hadoop_20_warehouse_fix_spark.queries import query
+
+
+@query(
+    "sim_cosine_topk",
+    headline=True,
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+               / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 10):
+    broadcast queries × one corpus pass, JVM-side double-fold dot
+    product, per-query ranked window. The brute-force ANN baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("sim_ann_lsh")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets (4 planes → 16 buckets,
+    seeded, deterministic): equality-join on bucket, exact cosine inside.
+    ~1/16 of the corpus scored per query — the sub-linear 100 TB path.
+    Approximate by construction → rows-only; recall vs brute force
+    asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, dim=64)

@@ -120,3 +120,144 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_occurrences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis extension pack (BASELINE.json): lang-id, quality, token
+# stats, fingerprints — all built-in-expression compositions (no UDFs).
+# ---------------------------------------------------------------------------
+
+from hadoop_20_warehouse_fix_spark.functions.text import (  # noqa: E402
+    bpe_ish_token_count,
+    lang_id,
+    md5_fingerprint,
+    mean_word_len,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    ws_token_count,
+)
+
+_WORDS_CTE = """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+      FROM documents
+    )
+"""
+
+
+@query(
+    "text_lang_id",
+    oracle=_WORDS_CTE
+    + """
+    , s AS (
+      SELECT doc_id,
+        len(list_filter(words, w -> w IN ('the','and','of','to','a','in','is','it')))       AS s_en,
+        len(list_filter(words, w -> w IN ('der','die','und','das','nicht','ist','ein','zu'))) AS s_de,
+        len(list_filter(words, w -> w IN ('el','los','que','y','en','es','una','las')))     AS s_es,
+        len(list_filter(words, w -> w IN ('le','la','et','les','des','est','une','dans')))  AS s_fr
+      FROM t)
+    SELECT doc_id, CASE
+      WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+      WHEN s_fr > 0 THEN 'fr'
+      ELSE 'unknown' END AS pred_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID — deterministic stopword-marker heuristic (argmax of
+    marker-token occurrences, fixed priority tie-break; see
+    functions.text.LANG_MARKERS). Pure column expressions → runs at scan
+    speed; swap a model in via pandas_udf where accuracy matters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "text_quality_score",
+    oracle=_WORDS_CTE
+    + """
+    , c AS (
+      SELECT doc_id,
+        len(words) AS n_tokens,
+        CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text)
+             ELSE 0.0 END AS p_ratio,
+        CASE WHEN len(words) > 0
+             THEN list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
+             ELSE 0.0 END AS mwl
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(p_ratio, 6) AS punct_ratio,
+           round(mwl, 4) AS mean_word_len,
+           round(least(n_tokens / 50.0, 1.0)
+                 * greatest(1.0 - p_ratio * 4, 0.0)
+                 * (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
+    FROM c
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring — length saturation, punctuation excess, word-
+    shape sanity (functions.text.quality_score). The cheap distributed
+    pre-filter before model-based scoring in a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ws_token_count(t).cast("long").alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(mean_word_len(t), 4).alias("mean_word_len"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokens and a BPE-ish piece count
+    (word chunks + standalone punctuation), the cheap corpus token
+    budget. Pure regexp expressions, codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ws_token_count(t).cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 hex over normalized text — cross-engine
+    stable (identical hex in DuckDB), the join key for exact dedup and
+    incremental-ingest change detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", md5_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query("text_rolling_fingerprint")
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling (polynomial) hash over word hashes —
+    detects reorderings md5-of-whole misses. xxhash64-based → no
+    cross-engine oracle; determinism asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))

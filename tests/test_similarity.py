@@ -1,0 +1,36 @@
+"""Similarity-search tests: LSH ANN recall vs brute force; multimodal
+plumbing determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.functions.multimodal import documents_as_media, extract_features
+from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk, lsh_topk
+from tests.conftest import SF_CORRECT
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    # 2 planes → 4 buckets: ~1/4 corpus per query, decent recall for a
+    # recall-floor assertion (4 planes is the latency-lean setting).
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, queries, k=5, n_planes=2, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ANN recall suspiciously low: {recall}"
+    # Every query must still get k results (buckets are never empty here).
+    per_query = {}
+    for q, _ in approx:
+        per_query[q] = per_query.get(q, 0) + 1
+    assert all(v == 5 for v in per_query.values())
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    media = documents_as_media(load_table(spark, SF_CORRECT, "documents").limit(50))
+    a = {r.media_id: (r.n_bytes, r.byte_checksum, tuple(r.features)) for r in extract_features(media).collect()}
+    b = {r.media_id: (r.n_bytes, r.byte_checksum, tuple(r.features)) for r in extract_features(media).collect()}
+    assert a == b
+    assert all(len(v[2]) == 8 for v in a.values())
+    assert all(v[0] > 0 for v in a.values())
