@@ -31,8 +31,17 @@ ALWAYS_BROADCAST = {"region", "nation"}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Columnar Parquet scan: Catalyst prunes
-    columns and pushes predicates down to the reader for free."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    columns and pushes predicates down to the reader for free.
+
+    events.ts is stored as TIMESTAMP(NANOS); Spark reads it as long
+    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we normalize to
+    a microsecond timestamp here — one cast at the scan, JVM-side."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

@@ -1,1 +1,108 @@
-"""Placeholder — queries land in a subsequent milestone."""
+"""Windowed-time queries over ``events`` (SURVEY.md §2.10 extension).
+
+The same ``tumbling_agg``/``sliding_agg``/``session_agg`` operators run
+unchanged on a live ``readStream`` (tests/test_streaming.py drives that
+path with watermarks + availableNow); here they run in batch mode so the
+driver's DuckDB oracle can check the window semantics value-for-value.
+
+Window starts are projected as epoch seconds (bigint) so hashing is
+byte-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.queries import query
+from hadoop_20_warehouse_fix_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+@query(
+    "events_tumbling_hourly",
+    headline=True,
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+           event_type,
+           count(*)                 AS cnt,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type: count + sum(value).
+
+    100 TB: partial agg on (window, type) — low cardinality per hour, so
+    shuffle volume is windows×types, independent of event count. The
+    streaming run adds a 2 h watermark bounding state to ~2 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        window_size="1 hour",
+        group_cols=["event_type"],
+        aggs=[F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    return out.select(
+        F.col("win_start").cast("long").alias("win_start"), "event_type", "cnt", "sum_value"
+    )
+
+
+@query(
+    "events_sliding_counts",
+    oracle="""
+    SELECT win_start, count(*) AS cnt
+    FROM (
+        SELECT unnest([b, b - 1800]) AS win_start
+        FROM (SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b FROM events)
+    )
+    GROUP BY win_start
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-min hop: every event lands in exactly
+    size/slide = 2 windows (the oracle unnests both window starts).
+
+    100 TB: sliding windows multiply shuffle rows by size/slide — keep
+    that ratio small; the agg itself stays map-side-partial."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_agg(ev, window_size="1 hour", slide="30 minutes")
+    return out.select(F.col("win_start").cast("long").alias("win_start"), "cnt")
+
+
+@query(
+    "events_sessionized",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 600
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+           count(*)                              AS cnt
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap — the
+    oracle recomputes sessions via the classic lag/cumulative-sum
+    sessionization, proving Spark's session_window merge semantics.
+
+    100 TB: sessionization shuffles once on user_id; Spark merges
+    sessions inside the state store (streaming) or sort-merge (batch)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = session_agg(ev, gap="10 minutes", key_cols=["user_id"])
+    return out.select(
+        "user_id", F.floor(F.col("sess_start").cast("double")).cast("long").alias("sess_start"), "cnt"
+    )

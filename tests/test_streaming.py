@@ -1,0 +1,69 @@
+"""Structured Streaming tests: file-source landing dir, watermarked
+windows, custom stateful operator, streaming demux sink — the §2.10
+extension driven end-to-end (streaming result == batch result)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.streaming import (
+    run_available_now,
+    stateful_running_agg,
+    stream_demux,
+    stream_events,
+    tumbling_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def landing(spark, tmp_path):
+    """Two parquet files in a landing dir (simulates two arrivals)."""
+    from hadoop_20_warehouse_fix_spark.catalog import load_table
+
+    d = str(tmp_path / "landing")
+    ev = load_table(spark, SF, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(d)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_tumbling_stream_matches_batch(spark, landing, tmp_path):
+    sdf = stream_events(spark, landing, max_files_per_trigger=1)
+    out = tumbling_agg(sdf, window_size="1 hour", watermark="2 hours")
+    got = run_available_now(out, str(tmp_path / "ckpt"), "tumbling_t", "complete")
+    batch = tumbling_agg(spark.read.parquet(landing), window_size="1 hour")
+    assert {(r.win_start, r.cnt) for r in got.collect()} == {
+        (r.win_start, r.cnt) for r in batch.collect()
+    }
+    assert got.count() > 0
+
+
+def test_stateful_running_agg(spark, landing, tmp_path):
+    sdf = stream_events(spark, landing)
+    out = stateful_running_agg(sdf, key_col="user_id", value_col="value")
+    got = run_available_now(out, str(tmp_path / "ckpt2"), "stateful_t", "update")
+    # Last update per key == full batch totals.
+    final = {r.user_id: (r.cnt, round(r.total, 3)) for r in got.collect()}
+    ev = spark.read.parquet(landing)
+    expect = {
+        r.user_id: (r.cnt, round(r.total, 3))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == expect
+
+
+def test_stream_demux_partitions(spark, landing, tmp_path):
+    sdf = stream_events(spark, landing)
+    out_dir = str(tmp_path / "demux_out")
+    stream_demux(sdf, out_dir, "event_type", str(tmp_path / "ckpt3"))
+    types = {r.event_type for r in spark.read.parquet(landing).select("event_type").distinct().collect()}
+    dirs = {d.rsplit("=", 1)[-1] for d in glob.glob(out_dir + "/event_type=*")}
+    assert dirs == types
+    assert spark.read.parquet(out_dir).count() == spark.read.parquet(landing).count()
