@@ -142,3 +142,26 @@ def sort_secondary_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="l_partkey",
         out_name="parts_in_line_order",
     )
+
+
+@query("terasort_selfcheck")
+def terasort_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraGen → total-order sort → TeraValidate, end to end
+    (``E/terasort/TeraSort.java:50`` + ``TeraValidate.java:52`` +
+    ``SortValidator.java:93-97``): generate deterministic 100-byte-ish
+    records, range-partition + sort, then prove count/checksum/order
+    preservation WITHOUT re-sorting. Returns one row per check —
+    rows-only gate (the query validates itself; all ok must be true).
+
+    100 TB: generation is embarrassingly parallel; the sort is Spark's
+    sampled range partition (the TotalOrderPartitioner, SURVEY §2.6);
+    validation is two aggregate passes + a per-partition lag."""
+    from hadoop_20_warehouse_fix_spark.operators.sort import total_order_sort
+    from hadoop_20_warehouse_fix_spark.sources.generators import sort_validate, teragen
+
+    data = teragen(spark, 50_000, seed=42)
+    sorted_out = total_order_sort(data, ["key"], num_partitions=8)
+    checks = sort_validate(data, sorted_out, "key")
+    rows = [(k, bool(v)) for k, v in sorted(checks.items())]
+    out = spark.createDataFrame(rows, "check string, ok boolean")
+    return out.filter(F.col("ok"))  # drops rows on failure → driver sees <3 rows

@@ -1,0 +1,110 @@
+"""Tests for plans/ (JobControl DAG, observe counters, plan inspection)
+and sources/generators (TeraGen/RandomTextWriter/SortValidator analogs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.plans import Step, observed, plan_summary, run_dag
+from hadoop_20_warehouse_fix_spark.plans.jobcontrol import (
+    DEPENDENT_FAILED,
+    FAILED,
+    SUCCESS,
+)
+from hadoop_20_warehouse_fix_spark.sources.generators import (
+    random_text,
+    sort_validate,
+    teragen,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_run_dag_order_and_results():
+    log = []
+    states = run_dag(
+        [
+            Step("a", lambda r: log.append("a") or 1),
+            Step("b", lambda r: log.append("b") or r["a"] + 1, deps=["a"]),
+            Step("c", lambda r: log.append("c") or r["b"] * 10, deps=["b"]),
+            Step("x", lambda r: log.append("x") or 99),  # independent branch
+        ]
+    )
+    assert all(s == SUCCESS for s in states.values())
+    assert log.index("a") < log.index("b") < log.index("c")
+    assert run_dag.last_results["c"] == 20
+
+
+def test_run_dag_dependent_failed():
+    states = run_dag(
+        [
+            Step("a", lambda r: 1),
+            Step("boom", lambda r: 1 / 0, deps=["a"]),
+            Step("after", lambda r: 2, deps=["boom"]),
+            Step("other", lambda r: 3, deps=["a"]),
+        ]
+    )
+    assert states == {"a": SUCCESS, "boom": FAILED, "after": DEPENDENT_FAILED, "other": SUCCESS}
+    assert isinstance(run_dag.last_errors["boom"], ZeroDivisionError)
+
+
+def test_observed_counters(spark):
+    df = spark.range(100).withColumn("bad", (F.col("id") % 10 == 0).cast("int"))
+    df2, obs = observed(df, rows=F.count(F.lit(1)), bad=F.sum("bad"))
+    df2.count()
+    assert obs.get == {"rows": 100, "bad": 10}
+
+
+def test_plan_summary_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 20)
+        .select("l_orderkey", "l_quantity")
+    )
+    s = plan_summary(df)
+    assert any("l_quantity" in p for p in s.pushed_filters)  # predicate reached the scan
+    assert s.scans_only_columns("l_orderkey", "l_quantity")  # pruned read
+    assert s.num_exchanges == 0 and s.codegen_spans >= 1
+
+
+def test_plan_summary_broadcast_join(spark):
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    j = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    s = plan_summary(j)
+    assert s.num_broadcast_joins == 1 and s.num_sortmerge_joins == 0
+
+
+def test_teragen_deterministic_and_shaped(spark):
+    a = teragen(spark, 1000, seed=5)
+    b = teragen(spark, 1000, seed=5)
+    assert a.schema == b.schema
+    assert [r.key for r in a.orderBy("key").head(3)] == [r.key for r in b.orderBy("key").head(3)]
+    row = a.head()
+    assert len(row.key) == 20 and len(row.value) == 90
+    # keys effectively unique at this n (uniform 80-bit space)
+    assert a.select("key").distinct().count() == 1000
+
+
+def test_random_text_deterministic(spark):
+    t1 = random_text(spark, 50, words_per_row=5, seed=2).collect()
+    t2 = random_text(spark, 50, words_per_row=5, seed=2).collect()
+    assert t1 == t2
+    assert all(len(r.text.split(" ")) == 5 for r in t1)
+
+
+def test_sort_validate_catches_everything(spark):
+    data = teragen(spark, 2000, seed=3)
+    sorted_ok = data.orderBy("key")
+    assert sort_validate(data, sorted_ok, "key") == {
+        "counts_match": True,
+        "checksum_match": True,
+        "globally_sorted": True,
+    }
+    # dropped record → count + checksum fail
+    broken = sorted_ok.limit(1999)
+    v = sort_validate(data, broken, "key")
+    assert not v["counts_match"] and not v["checksum_match"]
+    # unsorted content (identity) → order check fails, checksum passes
+    v2 = sort_validate(data, data.orderBy(F.col("value")), "key")
+    assert v2["checksum_match"] and not v2["globally_sorted"]
