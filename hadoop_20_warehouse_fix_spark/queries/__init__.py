@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         sorts,
         streaming,
         text,
+        tpch_extra,
     )
 
     return REGISTRY
