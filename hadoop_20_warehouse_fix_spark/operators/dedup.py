@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,14 +39,52 @@ def words_of(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column — JVM-side
-    (sequence + transform), no Python UDF."""
+    """Distinct word n-gram shingles of a text column, as one array
+    expression.
+
+    NOTE: higher-order functions run interpreted (outside whole-stage
+    codegen), and the lambda re-evaluates the tokenizer per element —
+    fine for one-off use on small inputs, but the hot dedup paths below
+    go through :func:`shingle_rows` (posexplode + window lead), which
+    tokenizes each document exactly once and stays fully codegen'd.
+    """
     words = words_of(col)
     cnt = F.size(words) - (n - 1)
-    shingle_at = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])  # noqa: E731
     return F.when(
-        cnt > 0, F.array_distinct(F.transform(F.sequence(F.lit(0), cnt - 1), shingle_at))
+        cnt > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) rows — the codegen-friendly shingle path.
+
+    posexplode tokenizes each document once; n-grams are reassembled
+    with window ``lead`` over token position (one shuffle on id, which
+    the downstream groupBys reuse). Equivalent to exploding
+    :func:`word_shingles` but O(L) per doc instead of O(L^2)-ish
+    interpreted lambda evaluation.
+
+    100 TB: the window partitions on doc id (high cardinality, no skew
+    beyond max doc length); everything stays in whole-stage codegen.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(words_of(F.col(text_col))).alias("pos", "w")
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    grams = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    last = F.lead("w", n - 1).over(win)
+    return (
+        tok.select(F.col("id"), F.concat_ws(" ", *grams).alias("sh"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("id", "sh")
+        .distinct()
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str, keep: str = "min") -> DataFrame:
@@ -62,9 +100,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, keep: str = "min") ->
 
 
 def _doc_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-    )
+    return shingle_rows(df, id_col, text_col, n)
 
 
 def ngram_jaccard_pairs(
@@ -97,15 +133,16 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 60
 ) -> DataFrame:
     """MinHash signature per doc: for seed s, min over shingles of
-    xxhash64(shingle, s). Fixed-size summary — the scalable sketch."""
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(F.transform(F.col("sh"), lambda x: F.xxhash64(x, s))),
-    )
-    return sig, sh  # type: ignore[return-value]
+    xxhash64(shingle, s). Fixed-size summary — the scalable sketch.
+
+    Computed as ``num_hashes`` min-aggregates over the (id, shingle)
+    rows — partial aggregation (map-side combine) keeps the shuffle at
+    one signature row per doc, and the hash/min expressions stay in
+    whole-stage codegen. Returns (id, h0..h{num_hashes-1}).
+    """
+    sh = shingle_rows(df, id_col, text_col, n)
+    mins = [F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
+    return sh.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -125,19 +162,17 @@ def minhash_lsh_pairs(
     This is the 100 TB path: no all-pairs, no shingle-DF blowup —
     candidates come from equality joins on (band, band_hash)."""
     rows = num_hashes // bands
-    sig_expr, sh = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    sig = sh.select("id", "sh", sig_expr.alias("sig"))
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bh")
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", "bb.band", "bb.bh"
+    )
     cand = (
         banded.alias("a")
         .join(
@@ -149,7 +184,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    docs = sig.select("id", "sh")
+    docs = (
+        shingle_rows(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("sh"))
+    )
     verified = (
         cand.join(docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
