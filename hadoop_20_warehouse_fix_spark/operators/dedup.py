@@ -104,26 +104,73 @@ def _doc_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """EXACT near-dup pairs by word-n-gram Jaccard, via inverted-index
-    blocking: only pairs sharing >= 1 shingle are scored (identical
-    result to all-pairs since Jaccard>0 requires a shared shingle).
+    """EXACT near-dup pairs by word-n-gram Jaccard.
 
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
-    Scale: see module docstring — cap shingle DF at web scale."""
+
+    Two physical strategies, identical results:
+    - ``prefix_filter=False``: inverted-index blocking — join docs on any
+      shared shingle, count co-occurrences, score. Set sizes ride along
+      via a per-id window, so the shingle subtree is computed twice (join
+      sides), not four times. Cost is sum over shingles of DF^2 — fine
+      until high-document-frequency shingles appear.
+    - ``prefix_filter=True``: PPJoin-style prefix filtering (Bayardo et
+      al. WWW'07 "Scaling Up All Pairs"; Xiao et al. WWW'08 "Efficient
+      Similarity Joins"): order each doc's shingles by ascending global
+      DF; a pair with J >= t must share a shingle within the first
+      ``|sh| - ceil(t*|sh|) + 1`` of BOTH docs, so only those prefix rows
+      feed the blocking join. Candidates are then verified exactly via
+      full-set intersection. This caps the DF^2 blowup (stop-shingles
+      land at prefix ends) — the 100 TB strategy.
+    """
     sh = _doc_shingle_rows(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+
+    if not prefix_filter:
+        a = sh.select(F.col("id").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
+        b = sh.select(F.col("id").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+        return (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b"),
+            )
+            .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+
+    # Prefix path: rank each doc's shingles rarest-first (global DF, then
+    # shingle text for determinism); keep only the pigeonhole prefix as
+    # blocking keys.
+    ranked = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh"))).withColumn(
+        "r", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
     )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    block = ranked.filter(F.col("r") <= prefix_len).select("id", "sh")
+    cand = (
+        block.alias("a")
+        .join(block.alias("b"), "sh")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"))
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -38,15 +38,20 @@ class PlanSummary:
 
 
 def plan_summary(df: DataFrame) -> PlanSummary:
-    text = df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    # The simple plan string truncates long field lists (PushedFilters
+    # with >~5 entries lose their closing bracket); the formatted
+    # explain prints them in full. Keep the simple string only for the
+    # "*(n)" whole-stage-codegen span markers, which formatted omits.
+    simple = qe.executedPlan().toString()
+    formatted = df.sparkSession._jvm.PythonSQLUtils.explainString(qe, "formatted")
     return PlanSummary(
-        text=text,
-        num_exchanges=len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text)),
-        num_broadcast_joins=text.count("BroadcastHashJoin"),
-        num_sortmerge_joins=text.count("SortMergeJoin"),
-        # codegen spans print as "WholeStageCodegen (n)" in formatted mode
-        # and "*(n)" in the simple plan string
-        codegen_spans=len(set(re.findall(r"\*\((\d+)\)", text))),
-        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
-        read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", text),
+        text=formatted,
+        # "(n) Exchange" = shuffle; BroadcastExchange is counted via joins
+        num_exchanges=len(re.findall(r"\(\d+\) Exchange\b", formatted)),
+        num_broadcast_joins=len(re.findall(r"\(\d+\) BroadcastHashJoin", formatted)),
+        num_sortmerge_joins=len(re.findall(r"\(\d+\) SortMergeJoin", formatted)),
+        codegen_spans=len(set(re.findall(r"\*\((\d+)\)", simple))),
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", formatted),
+        read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", formatted),
     )

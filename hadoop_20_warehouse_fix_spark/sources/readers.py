@@ -49,6 +49,40 @@ def read_kv_text(
     )
 
 
+def read_xml_records(
+    spark: SparkSession, path: str, record_tag: str, out_name: str = "record"
+) -> DataFrame:
+    """XML-ish record scan — StreamXmlRecordReader (``X/streaming/.../
+    StreamXmlRecordReader.java``): one row per ``<tag>...</tag>`` span.
+
+    Implemented as whole-file text + non-greedy DOTALL regex extraction
+    (records may span lines), exploded to rows. NOTE: ``wholetext`` makes
+    each file one task — matching the reference's practical usage (it
+    could not split mid-record either); at scale, land many medium files
+    (the demux sink does) so parallelism comes from file count.
+    """
+    pat = f"(?s)<{record_tag}(?:\\s[^>]*)?>.*?</{record_tag}>"
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(F.explode(F.regexp_extract_all(F.col("value"), F.lit(pat), 0)).alias(out_name))
+    )
+
+
+def read_text_nlines(spark: SparkSession, path: str, lines_per_task: int) -> DataFrame:
+    """N-line scan — NLineInputFormat (``M/lib/NLineInputFormat.java:59``):
+    bound the number of records each task processes (per-task
+    parameterization for expensive downstream UDFs).
+
+    Spark analog: text read repartitioned to ceil(lines/N) partitions.
+    Costs one count + a round-robin shuffle — only worth it when the
+    per-record work dwarfs the shuffle (the reference's use case too).
+    """
+    df = spark.read.text(path)
+    total = df.count()
+    parts = max(1, -(-total // max(1, lines_per_task)))
+    return df.repartition(parts)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

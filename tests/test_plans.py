@@ -75,6 +75,21 @@ def test_plan_summary_broadcast_join(spark):
     assert s.num_broadcast_joins == 1 and s.num_sortmerge_joins == 0
 
 
+def test_headline_query_plan_discipline(spark):
+    # The scale contract for the flagship queries: predicates reach the
+    # parquet scan, small dims broadcast (no shuffle for them).
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+
+    reg = load_all()
+    s1 = plan_summary(reg["q1_pricing_summary"].fn(spark, SF))
+    assert any("l_shipdate" in p for p in s1.pushed_filters)
+    s5 = plan_summary(reg["q5_local_supplier_volume"].fn(spark, SF))
+    assert s5.num_broadcast_joins >= 2  # nation + region explicitly broadcast
+    s6 = plan_summary(reg["q6_forecast_revenue"].fn(spark, SF))
+    assert any("l_discount" in p for p in s6.pushed_filters)
+    assert s6.scans_only_columns("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+
+
 def test_teragen_deterministic_and_shaped(spark):
     a = teragen(spark, 1000, seed=5)
     b = teragen(spark, 1000, seed=5)

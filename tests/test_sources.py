@@ -12,6 +12,8 @@ from hadoop_20_warehouse_fix_spark.sources.readers import (
     read_csv,
     read_kv_text,
     read_text,
+    read_text_nlines,
+    read_xml_records,
     scan_time_filters,
 )
 
@@ -49,6 +51,24 @@ def test_scan_time_filters(spark):
     assert scan_time_filters(df, "k", percent_mod=10).count() == 10
     assert scan_time_filters(df, "k", regex="^1.$").count() == 10
     assert scan_time_filters(df, "k", regex="^1.$", percent_mod=10).count() == 1
+
+
+def test_read_xml_records_multiline(spark, tmp_path):
+    # StreamXmlRecordReader semantics: records delimited by begin/end
+    # tags, possibly spanning lines; inter-record junk ignored.
+    p = tmp_path / "r.xml"
+    p.write_text("<root>\n<rec id='1'>alpha\nbeta</rec>\njunk\n<rec>gamma</rec>\n</root>\n")
+    rows = [r.record for r in read_xml_records(spark, str(p), "rec").collect()]
+    assert sorted(rows) == ["<rec id='1'>alpha\nbeta</rec>", "<rec>gamma</rec>"]
+
+
+def test_read_text_nlines_partition_bound(spark, tmp_path):
+    # NLineInputFormat: no task sees more than N lines.
+    p = tmp_path / "n.txt"
+    p.write_text("".join(f"line{i}\n" for i in range(10)))
+    df = read_text_nlines(spark, str(p), lines_per_task=3)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 10
 
 
 def test_jdbc_select_query_construction():
