@@ -103,6 +103,31 @@ def _doc_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
     return shingle_rows(df, id_col, text_col, n)
 
 
+def _posting_pairs(rows: DataFrame) -> DataFrame:
+    """(id, sh) rows → candidate (id_a, id_b) co-occurrence pairs via
+    posting lists: group by shingle, sort the doc-id list, emit all i<j
+    combinations. ONE aggregation + ONE explode — no self-join, so the
+    shingle subtree upstream is evaluated once, not once per join side.
+
+    The combination transform is an interpreted lambda, but it runs over
+    |distinct shingles| tiny arrays (posting lists), not over the full
+    corpus — negligible next to the groupBy shuffle it replaces."""
+    posting = (
+        rows.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i+2, size(ids)-i-1), y ->"
+                " struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -110,61 +135,63 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs by word-n-gram Jaccard.
 
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
 
     Two physical strategies, identical results:
-    - ``prefix_filter=False``: inverted-index blocking — join docs on any
-      shared shingle, count co-occurrences, score. Set sizes ride along
-      via a per-id window, so the shingle subtree is computed twice (join
-      sides), not four times. Cost is sum over shingles of DF^2 — fine
-      until high-document-frequency shingles appear.
+    - ``prefix_filter=False``: inverted-index blocking — posting list per
+      shingle, explode i<j combinations, count co-occurrences per pair
+      (= intersection size), join doc set-sizes, score. Cost is sum over
+      shingles of DF^2 pair rows — fine until high-document-frequency
+      shingles appear. ``max_df`` drops posting lists longer than the cap
+      (stop-shingle guard for web-scale corpora; result becomes a
+      documented approximation when set).
     - ``prefix_filter=True``: PPJoin-style prefix filtering (Bayardo et
       al. WWW'07 "Scaling Up All Pairs"; Xiao et al. WWW'08 "Efficient
       Similarity Joins"): order each doc's shingles by ascending global
       DF; a pair with J >= t must share a shingle within the first
       ``|sh| - ceil(t*|sh|) + 1`` of BOTH docs, so only those prefix rows
-      feed the blocking join. Candidates are then verified exactly via
-      full-set intersection. This caps the DF^2 blowup (stop-shingles
-      land at prefix ends) — the 100 TB strategy.
-    """
+      generate candidates. Candidates are then verified exactly via
+      full-set intersection. Stop-shingles land at prefix ends, capping
+      the DF^2 blowup without any approximation — the 100 TB strategy.
+
+    Scale notes: no broadcast hints — the size/set side is one row per
+    doc, far too big to broadcast at corpus scale; AQE auto-broadcasts
+    it at bench scale where it is small. The only unavoidable shuffles
+    are the shingle groupBys (keyed on shingle text — high cardinality,
+    skew bounded by max DF) and the tiny per-pair aggregation."""
     sh = _doc_shingle_rows(df, id_col, text_col, n)
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if not prefix_filter:
-        a = sh.select(F.col("id").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
-        b = sh.select(F.col("id").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+        rows = sh
+        if max_df is not None:
+            rows = rows.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            ).filter(F.col("df") <= max_df)
+        inter = _posting_pairs(rows).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
         return (
-            a.join(b, "sh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(
-                F.count(F.lit(1)).alias("inter"),
-                F.max("n_a").alias("n_a"),
-                F.max("n_b").alias("n_b"),
-            )
+            inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
             .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         )
 
     # Prefix path: rank each doc's shingles rarest-first (global DF, then
-    # shingle text for determinism); keep only the pigeonhole prefix as
-    # blocking keys.
-    ranked = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh"))).withColumn(
-        "r", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
+    # shingle text for determinism); only the pigeonhole prefix generates
+    # candidates.
+    ranked = (
+        sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .withColumn("r", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")))
     )
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     block = ranked.filter(F.col("r") <= prefix_len).select("id", "sh")
-    cand = (
-        block.alias("a")
-        .join(block.alias("b"), "sh")
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    cand = _posting_pairs(block).distinct()
     sets = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"))
     return (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a")
