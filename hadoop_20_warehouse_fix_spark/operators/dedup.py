@@ -34,8 +34,12 @@ def normalize_text(col: Column) -> Column:
 
 
 def words_of(col: Column) -> Column:
-    """Whitespace tokens with empties removed (split artifacts)."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != F.lit(""))
+    """Whitespace tokens with empties removed (split artifacts).
+
+    ``array_remove`` instead of a higher-order ``filter`` lambda: the
+    lambda would run interpreted per element; array_remove is a native
+    codegen expression."""
+    return F.array_remove(F.split(F.lower(col), r"\s+"), "")
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
@@ -61,12 +65,14 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) rows — the codegen-friendly shingle path.
+def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shs: array<string>) — each doc's DISTINCT word n-gram set,
+    built in one codegen-friendly pass.
 
     posexplode tokenizes each document once; n-grams are reassembled
-    with window ``lead`` over token position (one shuffle on id, which
-    the downstream groupBys reuse). Equivalent to exploding
+    with window ``lead`` over token position (one shuffle on id), and
+    ``collect_set`` reuses that same id-partitioning, so the whole
+    doc→set pipeline costs exactly one exchange. Equivalent to
     :func:`word_shingles` but O(L) per doc instead of O(L^2)-ish
     interpreted lambda evaluation.
 
@@ -82,8 +88,17 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     return (
         tok.select(F.col("id"), F.concat_ws(" ", *grams).alias("sh"), last.alias("_last"))
         .filter(F.col("_last").isNotNull())
-        .select("id", "sh")
-        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) rows — explode of :func:`doc_shingle_sets`.
+    The explode preserves the id-partitioning, so a downstream
+    ``groupBy("id")`` (e.g. MinHash signatures) needs no new shuffle."""
+    return doc_shingle_sets(df, id_col, text_col, n).select(
+        "id", F.explode("shs").alias("sh")
     )
 
 
@@ -97,10 +112,6 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, keep: str = "min") ->
         .groupBy("fingerprint")
         .agg(keep_fn(F.col(id_col)).alias(id_col))
     )
-
-
-def _doc_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return shingle_rows(df, id_col, text_col, n)
 
 
 def _posting_pairs(rows: DataFrame) -> DataFrame:
@@ -144,11 +155,13 @@ def ngram_jaccard_pairs(
     Two physical strategies, identical results:
     - ``prefix_filter=False``: inverted-index blocking — posting list per
       shingle, explode i<j combinations, count co-occurrences per pair
-      (= intersection size), join doc set-sizes, score. Cost is sum over
-      shingles of DF^2 pair rows — fine until high-document-frequency
-      shingles appear. ``max_df`` drops posting lists longer than the cap
-      (stop-shingle guard for web-scale corpora; result becomes a
-      documented approximation when set).
+      (= intersection size), score. Doc set-sizes ride ALONG the posting
+      lists (struct(id, n_sh)), so the shingle subtree is evaluated
+      exactly once — no second aggregation, no size join. Cost is sum
+      over shingles of DF^2 pair rows — fine until high-document-
+      frequency shingles appear. ``max_df`` drops posting lists longer
+      than the cap (stop-shingle guard for web-scale corpora; result
+      becomes a documented approximation when set).
     - ``prefix_filter=True``: PPJoin-style prefix filtering (Bayardo et
       al. WWW'07 "Scaling Up All Pairs"; Xiao et al. WWW'08 "Efficient
       Similarity Joins"): order each doc's shingles by ascending global
@@ -163,19 +176,43 @@ def ngram_jaccard_pairs(
     it at bench scale where it is small. The only unavoidable shuffles
     are the shingle groupBys (keyed on shingle text — high cardinality,
     skew bounded by max DF) and the tiny per-pair aggregation."""
-    sh = _doc_shingle_rows(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    docs = doc_shingle_sets(df, id_col, text_col, n)
 
     if not prefix_filter:
-        rows = sh
+        rows = docs.select("id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh"))
         if max_df is not None:
             rows = rows.withColumn(
                 "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
             ).filter(F.col("df") <= max_df)
-        inter = _posting_pairs(rows).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+        posting = (
+            rows.groupBy("sh")
+            .agg(F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        # Size filter before the pair shuffle: J(a,b) >= t forces
+        # min(n_a,n_b) >= t*max(n_a,n_b) (since inter <= min and
+        # union >= max) — pairs violating it never reach the groupBy.
+        # Applied as a codegen'd row filter post-explode, not inside the
+        # (interpreted) higher-order transform.
+        pairs = (
+            posting.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) ->"
+                        " transform(slice(ids, i+2, size(ids)-i-1), y ->"
+                        " struct(x.id AS id_a, x.n_sh AS n_a,"
+                        " y.id AS id_b, y.n_sh AS n_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .filter(
+                F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
+            )
+        )
         return (
-            inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+            pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
             .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -184,18 +221,16 @@ def ngram_jaccard_pairs(
     # Prefix path: rank each doc's shingles rarest-first (global DF, then
     # shingle text for determinism); only the pigeonhole prefix generates
     # candidates.
-    ranked = (
-        sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-        .withColumn("r", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")))
-    )
+    rows = docs.select("id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh"))
+    ranked = rows.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).withColumn("r", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")))
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     block = ranked.filter(F.col("r") <= prefix_len).select("id", "sh")
     cand = _posting_pairs(block).distinct()
-    sets = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"))
     return (
-        cand.join(sets.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")), "id_b")
+        cand.join(docs.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard", F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
@@ -258,11 +293,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    docs = (
-        shingle_rows(df, id_col, text_col, n)
-        .groupBy("id")
-        .agg(F.collect_set("sh").alias("sh"))
-    )
+    docs = doc_shingle_sets(df, id_col, text_col, n).withColumnRenamed("shs", "sh")
     verified = (
         cand.join(docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
