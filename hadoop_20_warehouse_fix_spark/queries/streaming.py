@@ -72,6 +72,46 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           max(CAST(props->>'k' AS BIGINT)) AS max_k
+    FROM events
+    WHERE CAST(props->>'k' AS BIGINT) >= 10
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: parse the JSON ``props``
+    column into a typed struct and aggregate a nested field — the
+    SURVEY §1.2 RecordIO analog (nested records with codegen'd ser/de;
+    reference: src/core/org/apache/hadoop/record/Record.java, compiler
+    rcc.jj) re-expressed as from_json + StructType DDL.
+
+    100 TB: from_json is JVM-side (Jackson inside codegen, no Python);
+    the filter on the extracted field prunes before the tiny
+    per-event-type aggregation. Malformed rows null out (PERMISSIVE) —
+    the bad-record-skipping posture of SkipBadRecords.java:51."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k bigint").getField("k").alias("k")
+    )
+    return (
+        parsed.filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "events_sessionized",
     oracle="""
     WITH marked AS (
