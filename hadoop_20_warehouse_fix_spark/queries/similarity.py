@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_fix_spark.catalog import load_table
-from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk, lsh_topk
+from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from hadoop_20_warehouse_fix_spark.queries import query
 
 
@@ -50,3 +50,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, dim=64)
+
+
+@query("sim_ann_ivf")
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF-Flat cells (16-centroid deterministic codebook,
+    nprobe=4): corpus assigned to nearest-centroid inverted lists, each
+    query probes its 4 nearest cells — ~1/4 of the corpus scored per
+    query. Approximate by construction → rows-only; recall vs brute
+    force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4)

@@ -73,6 +73,7 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_json_props",
+    headline=True,
     oracle="""
     SELECT event_type,
            count(*) AS cnt,

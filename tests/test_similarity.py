@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_fix_spark.catalog import load_table
 from hadoop_20_warehouse_fix_spark.functions.multimodal import documents_as_media, extract_features
-from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk, lsh_topk
+from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from tests.conftest import SF_CORRECT
 
 
@@ -25,6 +25,24 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     for q, _ in approx:
         per_query[q] = per_query.get(q, 0) + 1
     assert all(v == 5 for v in per_query.values())
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall suspiciously low: {recall}"
+    # Determinism: the seeded codebook must give identical results on re-run.
+    rerun = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    }
+    assert approx == rerun
 
 
 def test_multimodal_fake_features_deterministic(spark):
