@@ -25,9 +25,21 @@ def main() -> None:
     headline = {n: s for n, s in registry.items() if s.headline}
 
     spark = build_session(app_name="h20wf-bench")
-    # Warm the JVM/codegen path once so per-query numbers measure the
-    # queries, not session startup.
+    # Warm the JVM/codegen machinery once so per-query numbers measure
+    # the queries, not session startup: parquet scan path, whole-stage
+    # codegen compiler, shuffle exchange, window/sort, broadcast join,
+    # and the interpreted higher-order-function evaluator.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.range(1000).select(
+        F.col("id"), F.explode(F.transform(F.sequence(F.lit(0), F.lit(3)), lambda i: i + F.col("id"))).alias("x")
+    )
+    warm = warm.withColumn("r", F.row_number().over(Window.partitionBy(F.col("x") % 7).orderBy("id")))
+    warm.groupBy((F.col("x") % 11).alias("k")).agg(F.count(F.lit(1)), F.min("id"), F.sum("x")).join(
+        F.broadcast(spark.range(11).withColumnRenamed("id", "k")), "k"
+    ).count()
 
     per_query: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
