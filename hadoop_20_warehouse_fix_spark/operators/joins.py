@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -92,6 +92,87 @@ def broadcast_join(big: DataFrame, small: DataFrame, on, how: str = "inner") -> 
     DistributedCache idiom (``C/filecache/DistributedCache.java:115``).
     ``F.broadcast`` forces BroadcastHashJoinExec regardless of stats."""
     return big.join(F.broadcast(small), on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the single right row
+    with the greatest ``right_ts`` <= ``left_ts`` within the same key
+    group — ties at equal timestamps match (<=).
+
+    The reference's closest analog is ``MapFile.getClosest()``
+    (``C/io/MapFile.java:539`` — binary search to the nearest key at or
+    before a probe); SURVEY §2.3 lists as-of joins as an engine-level
+    addition the reference could only hand-write as a reducer.
+
+    Physical strategy — union + window, NOT a join: tag right rows with
+    their value struct, union with left rows (right sorts before left at
+    equal ts so <= holds), then one window per key ordered by ts takes
+    ``last(value, ignorenulls)``. ONE shuffle on the key, no range
+    explosion, no per-key driver work — the scalable form for billions
+    of rows per side. A join-based formulation (non-equi ts predicate +
+    row_number) shuffles both sides AND materializes every candidate
+    pair; this form materializes only left+right rows once.
+
+    Output: all left columns + ``right_value_cols`` (null where no
+    earlier right row exists; ``how='inner'`` drops those rows).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rv = F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv")
+    r = right.select(*keys, F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"), rv)
+    l_cols = [c for c in left.columns]
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.struct(*[F.col(c) for c in l_cols]).alias("_lv"),
+    )
+    r = r.withColumn("_lv", F.lit(None).cast(l.schema["_lv"].dataType))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if how == "inner":
+        # Presence of the match STRUCT (not of any one field) decides —
+        # a matched right row whose value columns are all NULL still joins.
+        matched = matched.filter(F.col("_match").isNotNull())
+    return matched.select(
+        *[F.col("_lv")[c].alias(c) for c in l_cols],
+        *[F.col("_match")[c].alias(c) for c in right_value_cols],
+    )
+
+
+def range_band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band (range) join: each fact row matched to the band where
+    ``lo <= value < hi``. The reference has no theta joins (SURVEY §2.3);
+    Spark expresses them as non-equi join conditions.
+
+    Scale: the band table is a handful of rows — broadcast, so the fact
+    side never shuffles (BroadcastNestedLoopJoin over a tiny inner).
+    For two BIG sides a range join needs bucketize-and-explode on range
+    fragments; bands-vs-facts is the overwhelmingly common shape."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), on=cond, how="inner")
 
 
 def tagged_cogroup(

@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         joins,
         multimodal,
+        pipes,
         relational,
         similarity,
         sorts,

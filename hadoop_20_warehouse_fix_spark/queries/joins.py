@@ -242,3 +242,83 @@ def join_tagged_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"), "c_name")
     orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"), "o_totalprice")
     return tagged_cogroup(cust, orders, on="k", combine_fn=combine, schema="custkey long, n_orders long, max_price double")
+
+
+@query(
+    "join_asof_last_click",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts,
+           CAST(round(a.value, 2) AS DOUBLE) AS purchase_value,
+           b.ts AS click_ts,
+           CAST(round(b.value, 2) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+    ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase event paired with the same
+    user's most recent click at or before it — MapFile.getClosest
+    (``C/io/MapFile.java:539``) semantics lifted to a distributed join;
+    SURVEY §2.3 lists as-of as an engine addition the reference could
+    only hand-write as a secondary-sort reducer. Union+window physical
+    form: ONE shuffle on user_id, no candidate-pair explosion. Oracle =
+    DuckDB's native ASOF LEFT JOIN."""
+    from hadoop_20_warehouse_fix_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.round("value", 2).alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["click_ts", "click_value"],
+        how="left",
+    )
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT b.band, count(*) AS n_orders,
+           CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN (VALUES ('small', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                 ('large', 150000.0, 300000.0), ('jumbo', 300000.0, 1000000.0))
+         b(band, lo, hi)
+    ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: orders matched to price bands by
+    ``lo <= o_totalprice < hi`` — a theta join the reference cannot
+    express (SURVEY §2.3 'not present'). The band side is broadcast, so
+    the fact side never shuffles for the join; the only exchange is the
+    per-band aggregation."""
+    from hadoop_20_warehouse_fix_spark.operators.joins import range_band_join
+
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+         ("large", 150000.0, 300000.0), ("jumbo", 300000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        range_band_join(orders, bands, "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue"),
+        )
+    )

@@ -72,3 +72,44 @@ def test_grouped_ordered_list(spark):
     )
     rows = {r.g: r.values for r in grouped_ordered_list(df, ["g"], "o", "v").collect()}
     assert rows == {"g": ["a", "b", "c"], "h": ["z"]}
+
+
+def test_asof_join_backward_semantics(spark):
+    from hadoop_20_warehouse_fix_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "p1"), ("u1", 20, "p2"), ("u2", 5, "p3"), ("u3", 7, "p4")],
+        ["user", "t", "pid"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, "c1"), ("u1", 15, "c2"), ("u2", 6, "c3")], ["user", "t", "cid"]
+    )
+    out = {
+        r.pid: r.cid
+        for r in asof_join(
+            left, right, on="user", left_ts="t", right_ts="t", right_value_cols=["cid"]
+        ).collect()
+    }
+    # p1: tie at t=10 matches (<=); p2: latest of c1/c2 = c2;
+    # p3: right at t=6 is AFTER t=5 -> null; p4: no right rows -> null.
+    assert out == {"p1": "c1", "p2": "c2", "p3": None, "p4": None}
+    inner = {
+        r.pid
+        for r in asof_join(
+            left, right, on="user", left_ts="t", right_ts="t",
+            right_value_cols=["cid"], how="inner",
+        ).collect()
+    }
+    assert inner == {"p1", "p2"}
+
+
+def test_range_band_join_boundaries(spark):
+    from hadoop_20_warehouse_fix_spark.operators.joins import range_band_join
+
+    facts = spark.createDataFrame([(0.0,), (9.99,), (10.0,), (25.0,), (30.0,)], ["v"])
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 30.0)], "band string, lo double, hi double"
+    )
+    got = sorted((r.v, r.band) for r in range_band_join(facts, bands, "v").collect())
+    # lo inclusive, hi exclusive; 30.0 falls outside every band.
+    assert got == [(0.0, "a"), (9.99, "a"), (10.0, "b"), (25.0, "b")]
