@@ -107,3 +107,53 @@ def uniq_count(
     if cap is not None:
         cnt = F.least(cnt, F.lit(cap))
     return df.groupBy(*group_cols).agg(cnt.cast("long").alias("uniq_count"))
+
+
+# ---- Skew tools (100 TB path) -------------------------------------------
+#
+# The reference had no skew mitigation beyond speculative execution; at
+# warehouse scale a hot key turns one reducer into the job's critical
+# path. Two standard remedies, both pure DataFrame:
+
+_SALTED_MERGERS = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt for HOT KEYS:
+    phase 1 groups on (keys, salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers — phase 2 merges the bounded partials on
+    the true keys.
+
+    ``aggs``: output_name -> (column, fn) with fn in sum/count/min/max
+    (the decomposable descriptors; avg = sum+count then divide at the
+    caller). Results are EXACTLY equal to a direct groupBy — asserted by
+    the oracle of the query that drives this.
+
+    Spark's map-side partial aggregation already bounds skew for most
+    aggs; the explicit salt matters when per-partition group counts
+    explode past ``spark.sql.aggregate`` hash capacity or a single
+    reduce-side group dominates (e.g. 3-key rollups over billions of
+    rows). The salt is deterministic (pmod of xxhash64 over ALL columns)
+    so reruns partition identically."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    phase1_aggs = []
+    for name, (col, fn) in aggs.items():
+        if fn not in _SALTED_MERGERS:
+            raise ValueError(f"non-decomposable agg {fn!r}; known: {sorted(_SALTED_MERGERS)}")
+        partial = F.count(F.col(col)) if fn == "count" else getattr(F, fn)(F.col(col))
+        phase1_aggs.append(partial.alias(f"_p_{name}"))
+    phase1 = df.withColumn("_salt", salt).groupBy(*group_cols, "_salt").agg(*phase1_aggs)
+    phase2_aggs = [
+        _SALTED_MERGERS[fn](F.col(f"_p_{name}")).alias(name) for name, (_c, fn) in aggs.items()
+    ]
+    return phase1.groupBy(*group_cols).agg(*phase2_aggs)

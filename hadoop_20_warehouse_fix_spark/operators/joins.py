@@ -196,3 +196,29 @@ def tagged_cogroup(
         .cogroup(right.groupBy(on))
         .applyInPandas(combine_fn, schema=schema)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi join: LEFT rows get a deterministic salt in
+    [0, salt_buckets); the (small-ish) RIGHT side is replicated once per
+    salt value; the join keys on (key, salt), so a hot key's rows land on
+    ``salt_buckets`` different reducers instead of one.
+
+    Right-side cost is ``salt_buckets ×`` replication — use when the
+    right side is too big to broadcast outright but a hot left key melts
+    a single shuffle partition. (With AQE's skewedJoin enabled Spark
+    splits skewed partitions adaptively at runtime; the explicit salt is
+    the deterministic, planner-visible form, and works for aggregating
+    joins where AQE's split cannot apply.)"""
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return l.join(r, on=keys + ["_salt"]).drop("_salt")

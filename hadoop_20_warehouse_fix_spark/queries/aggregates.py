@@ -187,3 +187,48 @@ def agg_monte_carlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.agg(
         F.count(F.when(inside, 1)).alias("n_inside"), F.count(F.lit(1)).alias("n_total")
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue,
+           count(l_extendedprice) AS n_items,
+           CAST(round(min(l_extendedprice), 2) AS DOUBLE) AS min_price,
+           CAST(round(max(l_extendedprice), 2) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed low-cardinality rollup (3 distinct return flags over every
+    lineitem row) via explicit SALTED two-phase aggregation: phase 1
+    groups on (flag, salt-of-row) so each hot flag spreads across 32
+    reducers, phase 2 merges partials per flag. Oracle = plain GROUP BY,
+    proving salting is result-invariant. Exact integer-cents sum — the
+    salted regrouping changes double summation order, so cents keep the
+    comparison order-independent."""
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import salted_two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    out = salted_two_phase_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "cents_sum": ("cents", "sum"),
+            "n_items": ("l_extendedprice", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt_buckets=32,
+    )
+    return out.select(
+        "l_returnflag",
+        (F.col("cents_sum") / 100.0).alias("revenue"),
+        "n_items",
+        F.round("min_price", 2).cast("double").alias("min_price"),
+        F.round("max_price", 2).cast("double").alias("max_price"),
+    )

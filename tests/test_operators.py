@@ -113,3 +113,41 @@ def test_range_band_join_boundaries(spark):
     got = sorted((r.v, r.band) for r in range_band_join(facts, bands, "v").collect())
     # lo inclusive, hi exclusive; 30.0 falls outside every band.
     assert got == [(0.0, "a"), (9.99, "a"), (10.0, "b"), (25.0, "b")]
+
+
+def test_salted_two_phase_agg_equals_direct(spark):
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import salted_two_phase_agg
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 7 % 101).alias("v")
+    )
+    got = {
+        r.k: (r.total, r.n, r.lo, r.hi)
+        for r in salted_two_phase_agg(
+            df, ["k"],
+            {"total": ("v", "sum"), "n": ("v", "count"), "lo": ("v", "min"), "hi": ("v", "max")},
+            salt_buckets=16,
+        ).collect()
+    }
+    want = {
+        r.k: (r.total, r.n, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("v").alias("n"),
+             F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from hadoop_20_warehouse_fix_spark.operators.joins import salted_join
+
+    # 90% of left rows share one hot key.
+    left = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("rv"))
+    got = {(r.k, r.lv, r.rv) for r in salted_join(left, right, "k", salt_buckets=8).collect()}
+    want = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
+    assert got == want
