@@ -45,6 +45,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side-effect: registration)."""
     from hadoop_20_warehouse_fix_spark.queries import (  # noqa: F401
         aggregates,
+        corpus,
         dedup,
         joins,
         multimodal,

@@ -1,0 +1,121 @@
+"""Flagship training-data pipeline: corpus cleaning end-to-end.
+
+The composite the extension pack exists for (BASELINE.json): language
+filter -> quality gate -> exact dedup -> near-dup removal, as ONE lazy
+DataFrame plan. The reference would have run this as a JobControl DAG of
+4+ MapReduce jobs with HDFS materialization between each
+(``M/jobcontrol/JobControl.java:40``); here Catalyst fuses the scalar
+stages into the scan and only the dedup shuffles survive.
+
+Every stage is deterministic and the whole pipeline is oracle-checked
+value-for-value against a single DuckDB CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.functions.text import (
+    lang_id,
+    md5_fingerprint,
+    quality_score,
+    ws_token_count,
+)
+from hadoop_20_warehouse_fix_spark.operators.dedup import ngram_jaccard_pairs
+from hadoop_20_warehouse_fix_spark.queries import query
+
+_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, text, words,
+    len(list_filter(words, w -> w IN ('the','and','of','to','a','in','is','it')))       AS s_en,
+    len(list_filter(words, w -> w IN ('der','die','und','das','nicht','ist','ein','zu'))) AS s_de,
+    len(list_filter(words, w -> w IN ('el','los','que','y','en','es','una','las')))     AS s_es,
+    len(list_filter(words, w -> w IN ('le','la','et','les','des','est','une','dans')))  AS s_fr
+  FROM t
+), scored AS (
+  SELECT doc_id, text, words,
+    CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+         WHEN s_fr > 0 THEN 'fr' ELSE 'unknown' END AS pred,
+    least(len(words) / 50.0, 1.0)
+      * greatest(1.0 - (CASE WHEN length(text) > 0
+           THEN length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text)
+           ELSE 0.0 END) * 4, 0.0)
+      * (CASE WHEN (CASE WHEN len(words) > 0
+            THEN list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
+            ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) AS q,
+    len(words) AS n_tokens
+  FROM s
+), s1 AS (
+  SELECT * FROM scored WHERE pred = 'en' AND q >= 0.3
+), s2 AS (
+  SELECT * FROM s1 WHERE doc_id IN (
+    SELECT min(doc_id) FROM s1
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - 2, 0)),
+           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
+  FROM s2
+), dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shs, b.shs)) * 1.0
+        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.6
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(q, 6) AS quality
+FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@query("corpus_clean", headline=True, oracle=_ORACLE)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pipeline, one plan:
+
+    1. language gate — keep predicted-English docs (stopword-marker
+       heuristic, pure column exprs fused into the scan);
+    2. quality gate — composite score >= 0.3 (length saturation,
+       punctuation excess, word-shape sanity);
+    3. exact dedup — min doc_id per md5-of-normalized-text (semi-join
+       against the winner set);
+    4. near-dup removal — word-3-gram Jaccard >= 0.6 pairs via
+       inverted-index blocking; the higher doc_id of each pair drops
+       (deterministic keep-lowest policy).
+
+    Output: surviving (doc_id, n_tokens, quality).
+
+    100 TB: stages 1-2 are scan-fused row filters (no exchange); stage 3
+    shuffles fingerprints; stage 4 is the documented n-gram blocking
+    strategy (swap in minhash_lsh_pairs past the DF^2 regime). Nothing
+    collects to the driver. The cleaned corpus (s2) feeds THREE
+    consumers (pair generation and the final anti-join's both sides), so
+    it is persisted — MEMORY_AND_DISK, spill-safe — rather than
+    re-evaluating the interpreted quality expressions per branch (~2x
+    end-to-end). At 100 TB the equivalent move is materializing the
+    cleaned corpus to Parquet between stages, as the reference's
+    JobControl DAG did by necessity."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        lang_id(F.col("text")).alias("pred"),
+        quality_score(F.col("text")).alias("q"),
+        ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        md5_fingerprint(F.col("text")).alias("fp"),
+    )
+    s1 = enriched.filter((F.col("pred") == "en") & (F.col("q") >= 0.3))
+    winners = s1.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    s2 = s1.join(winners.select("doc_id"), "doc_id", "left_semi").persist()
+    pairs = ngram_jaccard_pairs(s2.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.6)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return s2.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", F.round("q", 6).alias("quality")
+    )
