@@ -40,6 +40,18 @@ def main() -> None:
     warm.groupBy((F.col("x") % 11).alias("k")).agg(F.count(F.lit(1)), F.min("id"), F.sum("x")).join(
         F.broadcast(spark.range(11).withColumnRenamed("id", "k")), "k"
     ).count()
+    # JIT warmup iteration: run each headline query once at the smallest
+    # available scale factor so the timed runs measure steady-state
+    # execution, not one-time Janino compilation of each query's
+    # generated classes (plan shape — hence generated code — is
+    # identical across SFs; only the data volume differs).
+    smallest = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(smallest) and os.path.realpath(smallest) != os.path.realpath(sf_dir):
+        for name, spec in sorted(headline.items()):
+            try:
+                spec.fn(spark, smallest).count()
+            except Exception:
+                pass  # warmup is best-effort; the timed run will surface real failures
 
     per_query: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
