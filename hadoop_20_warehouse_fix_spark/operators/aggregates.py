@@ -157,3 +157,58 @@ def salted_two_phase_agg(
         _SALTED_MERGERS[fn](F.col(f"_p_{name}")).alias(name) for name, (_c, fn) in aggs.items()
     ]
     return phase1.groupBy(*group_cols).agg(*phase2_aggs)
+
+
+def count_min_sketch(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch of a column's frequency distribution: ``depth``
+    seeded hash rows × ``width`` buckets, each cell the count of items
+    hashing there. Returns (d, bucket, cnt) — ``depth × width`` rows
+    REGARDLESS of item cardinality: the fixed-size summary that answers
+    frequency queries over 100 TB streams where exact per-item counts
+    (shuffle O(distinct items)) don't fit.
+
+    Estimate = min over d of cell(d, hash_d(item)) — never
+    underestimates (collisions only add); overestimate is bounded by
+    eN/width with probability 1-(1/2)^depth (Cormode & Muthukrishnan,
+    J.Algorithms'05)."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(F.xxhash64(F.col(col), F.lit(d)), F.lit(width)).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db")
+    ).select("db.d", "db.bucket")
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup(sketch: DataFrame, items: DataFrame, col: str, width: int = 1024, depth: int = 4) -> DataFrame:
+    """Estimated frequency for each item: join the item's ``depth``
+    probe positions against the sketch, take the min. The sketch is
+    depth×width rows — broadcast — so lookups never shuffle the items."""
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(F.xxhash64(F.col(col), F.lit(d)), F.lit(width)).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select(col, "db.d", "db.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est_count"))
+    )

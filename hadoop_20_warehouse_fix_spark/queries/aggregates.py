@@ -232,3 +232,26 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_price", 2).cast("double").alias("min_price"),
         F.round("max_price", 2).cast("double").alias("max_price"),
     )
+
+
+@query("agg_heavy_hitters_cms")
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min sketch: a 4x4096 counter summary of
+    the corpus word stream (fixed size regardless of vocabulary — the
+    100 TB frequency-query structure), probed for the exact top-20
+    words. CMS never under-counts; over-count bounded by eN/width.
+    xxhash64-based → no cross-engine oracle (rows-only); the
+    never-undercount and bounded-error properties are asserted against
+    exact counts in tests/test_operators.py."""
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import cms_lookup, count_min_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    sketch = count_min_sketch(words, "word", width=4096, depth=4)
+    top = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word")).limit(20).select("word")
+    )
+    return cms_lookup(sketch, top, "word", width=4096, depth=4)

@@ -251,3 +251,35 @@ def scan_filter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderstatus") == "F"))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) <
+          CASE event_type
+            WHEN 'click' THEN '80000000'
+            WHEN 'error' THEN 'g'
+            WHEN 'view'  THEN '19999999'
+            ELSE '0ccccccc' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (corpus rebalancing): keep 50%
+    of clicks, all errors, 10% of views, 5% of everything else — the
+    per-row coin is md5(event_id), so the selection is reproducible
+    across engines and reruns (the oracle literally replays it in
+    DuckDB). One pushed-down filter expression; no shuffle at any
+    scale."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev,
+        "event_type",
+        {"click": 0.5, "error": 1.0, "view": 0.1},
+        key_col="event_id",
+        default_rate=0.05,
+    ).select("event_id", "event_type")

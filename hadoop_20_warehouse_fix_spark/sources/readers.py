@@ -180,3 +180,37 @@ def scan_time_filters(df: DataFrame, key_col: str, regex: str | None = None, per
     if percent_mod is not None:
         out = out.filter(F.pmod(F.col(key_col), F.lit(percent_mod)) == 0)
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling — per-stratum keep rates with a
+    content-addressed coin: row kept iff the first 8 hex chars of
+    md5(key) fall below the stratum's threshold. Rebalancing corpora
+    (downsample over-represented event types / languages / sources) is
+    a standard training-data step; determinism means reruns and
+    incremental loads select the SAME rows (unlike rand()-based
+    sampleBy), and md5 makes the selection reproducible in any engine.
+
+    Lexicographic compare of fixed-width lowercase hex == numeric
+    compare, so the whole filter is one codegen'd expression, pushed to
+    the scan. Skew note: sampling is row-local — no shuffle at any
+    scale."""
+    def hex_threshold(rate: float) -> str:
+        # 'g' sorts after every hex digit -> keeps ALL rows (rate >= 1
+        # must not drop the coin value 'ffffffff').
+        return "g" if rate >= 1.0 else format(max(int(rate * 16**8), 0), "08x")
+
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        t = hex_threshold(rate)
+        expr = F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+    thr = expr.otherwise(F.lit(hex_threshold(default_rate)))
+    coin = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    return df.filter(coin < thr)

@@ -151,3 +151,43 @@ def test_salted_join_equals_plain_join(spark):
     got = {(r.k, r.lv, r.rv) for r in salted_join(left, right, "k", salt_buckets=8).collect()}
     want = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
     assert got == want
+
+
+def test_stratified_sample_deterministic_and_rates(spark):
+    from hadoop_20_warehouse_fix_spark.sources.readers import stratified_sample
+
+    df = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    rates = {"true": 0.5, "false": 0.1}
+    a = stratified_sample(df, "s", rates, "id")
+    b = stratified_sample(df, "s", rates, "id")
+    assert a.collect() == b.collect()
+    got = {r.s: r.n for r in a.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(got["true"] / 10000 - 0.5) < 0.03
+    assert abs(got["false"] / 10000 - 0.1) < 0.03
+    # rate 1.0 keeps every row
+    assert stratified_sample(df, "s", {"true": 1.0, "false": 1.0}, "id").count() == 20000
+
+
+def test_count_min_sketch_properties(spark):
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import cms_lookup, count_min_sketch
+
+    # Zipf-ish: value v appears ~20000/(v+1) times.
+    items = spark.range(20000).select(
+        (F.lit(20000) / (F.col("id") + 1)).cast("long").alias("bucket"),
+        F.col("id"),
+    ).select(F.col("id").cast("long").alias("k"), "bucket")
+    data = items.select(F.explode(F.sequence(F.lit(1), F.col("bucket"))).alias("_"), (F.col("k") % 50).alias("v"))
+    exact = {r.v: r.n for r in data.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sketch = count_min_sketch(data, "v", width=1024, depth=4)
+    assert sketch.count() <= 1024 * 4  # fixed-size summary
+    est = {
+        r.v: r.est_count
+        for r in cms_lookup(sketch, data.select("v").distinct(), "v", width=1024, depth=4).collect()
+    }
+    for v, n in exact.items():
+        assert est[v] >= n  # CMS never under-counts
+    total = sum(exact.values())
+    for v, n in sorted(exact.items(), key=lambda kv: -kv[1])[:10]:
+        assert est[v] - n <= 0.01 * total  # heavy hitters are tight
