@@ -322,3 +322,51 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free sort-merge join over co-bucketed tables — the
+    reference's map-side merge join (CompositeInputFormat: i-th split of
+    each pre-partitioned table joined without shuffle) reproduced with
+    Spark bucketing physics: both sides bucketed+sorted on the join key
+    into 8 buckets, so SortMergeJoin reads buckets pairwise with ZERO
+    exchange (asserted in tests/test_plans.py); the only shuffle in the
+    plan is the final segment rollup. The merge hint pins SMJ so the
+    demonstration doesn't degrade to broadcast at bench scale."""
+    import os
+
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "h20wf_bucketed")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(
+        orders, f"orders_bkt_{tag}", ["o_custkey"], num_buckets=8,
+        path=os.path.join(base, f"orders_bkt_{tag}"),
+    )
+    write_bucketed(
+        cust, f"cust_bkt_{tag}", ["c_custkey"], num_buckets=8,
+        path=os.path.join(base, f"cust_bkt_{tag}"),
+    )
+    o = spark.table(f"orders_bkt_{tag}")
+    c = spark.table(f"cust_bkt_{tag}")
+    j = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).alias(
+            "revenue"
+        ),
+    )

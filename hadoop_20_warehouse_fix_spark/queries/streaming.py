@@ -147,3 +147,54 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.floor(F.col("sess_start").cast("double")).cast("long").alias("sess_start"), "cnt"
     )
+
+
+@query(
+    "events_stream_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+           event_type,
+           count(*)                 AS cnt,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation run as an ACTUAL Structured
+    Streaming query (readStream file source -> watermark -> windowed agg
+    -> availableNow drain into a memory sink), not the batch-equivalent
+    expression. Same oracle as events_tumbling_hourly: a drained stream
+    must produce exactly the batch answer — the streaming/batch
+    unification guarantee the engine relies on for backfills."""
+    import tempfile
+    import uuid
+
+    from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
+
+    # The file-stream source takes a DIRECTORY; select just the events
+    # table out of the scale-factor dir with a glob filter.
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = tumbling_agg(
+        sdf,
+        window_size="1 hour",
+        watermark="2 hours",
+        group_cols=["event_type"],
+        aggs=[F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    res = run_available_now(
+        out,
+        tempfile.mkdtemp(prefix="stream_tumbling_ckpt_"),
+        query_name="stream_tumbling_" + uuid.uuid4().hex[:8],
+        output_mode="complete",
+    )
+    return res.select(
+        F.col("win_start").cast("long").alias("win_start"), "event_type", "cnt", "sum_value"
+    )

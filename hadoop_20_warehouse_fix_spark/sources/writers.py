@@ -130,15 +130,28 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
     return fs.getContentSummary(hpath).getLength()
 
 
-def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str], num_buckets: int = 32, sort_cols: list[str] | None = None) -> None:
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
     """CompositeInputFormat's physics: co-partitioned co-sorted layout so
     same-bucketed tables sort-merge-join with NO shuffle
     (``M/join/CompositeInputFormat.java:48``, SURVEY §4). Saved as a
-    catalog table (bucketing metadata lives in the metastore)."""
-    (
+    catalog table (bucketing metadata lives in the metastore); pass
+    ``path`` to make it EXTERNAL — overwrite then survives a stale
+    on-disk location from a previous session, which a managed table
+    refuses (LOCATION_ALREADY_EXISTS against a fresh catalog)."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer = (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

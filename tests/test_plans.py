@@ -123,3 +123,15 @@ def test_sort_validate_catches_everything(spark):
     # unsorted content (identity) → order check fails, checksum passes
     v2 = sort_validate(data, data.orderBy(F.col("value")), "key")
     assert v2["checksum_match"] and not v2["globally_sorted"]
+
+
+def test_bucketed_join_no_shuffle(spark):
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+    from tests.conftest import SF_CORRECT
+
+    reg = load_all()
+    s = plan_summary(reg["join_bucketed_colocated"].fn(spark, SF_CORRECT))
+    # Co-bucketed SMJ: the join itself shuffles NOTHING; the only
+    # exchange in the plan is the final aggregation.
+    assert s.num_sortmerge_joins == 1
+    assert s.num_exchanges <= 1
