@@ -54,3 +54,69 @@ def test_simhash_near_dup_small_hamming(spark):
     got = {(r.id_a, r.id_b) for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
     assert (1, 2) in got
     assert (1, 3) not in got
+
+
+def test_dedup_family_null_and_degenerate_text(spark):
+    """Null / empty / sub-n-gram documents must flow through every dedup
+    path without errors and without fabricated pairs."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        doc_shingle_sets,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "one"),
+            (5, "one two"),
+            (6, "alpha beta gamma delta"),
+            (7, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    sets_ = {r.id: r.shs for r in doc_shingle_sets(df, "doc_id", "text", 3).collect()}
+    assert sets_[1] == [] and sets_[2] == [] and sets_[3] == [] and sets_[4] == []
+    assert sets_[6] == sets_[7] and len(sets_[6]) == 2
+    pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()}
+    assert pairs == {(6, 7)}
+    pairs_pf = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, prefix_filter=True).collect()
+    }
+    assert pairs_pf == {(6, 7)}
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert lsh == {(6, 7)}
+    sim = {(r.id_a, r.id_b) for r in simhash_pairs(df, "doc_id", "text").collect()}
+    assert (6, 7) in sim
+    # exact dedup: null text groups under one fingerprint bucket safely
+    n = exact_dedup(df, "doc_id", "text").count()
+    assert n >= 5
+
+
+def test_text_functions_null_and_empty(spark):
+    from hadoop_20_warehouse_fix_spark.functions.text import (
+        lang_id,
+        quality_score,
+        rolling_fingerprint,
+        ws_token_count,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "the cat")], "id long, text string")
+    rows = {
+        r.id: (r.lang, r.q, r.n, r.fp)
+        for r in df.select(
+            "id",
+            lang_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("q"),
+            ws_token_count(F.col("text")).alias("n"),
+            rolling_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert rows[2][0] == "unknown" and rows[2][1] == 0.0 and rows[2][2] == 0
+    assert rows[3][0] == "en" and rows[3][2] == 2
