@@ -99,8 +99,14 @@ def rolling_fingerprint(text: Column, base: int = 31, mod: int = 1_000_000_007) 
     """Polynomial rolling hash over word-level hashes, mod a 30-bit
     prime: acc = (acc*base + wordhash) % mod. Order-sensitive (unlike
     md5-of-whole which is format-sensitive) — detects reorderings.
-    Fold stays within signed-64 bounds (no ANSI overflow)."""
-    word_h = lambda w: F.pmod(F.xxhash64(w), F.lit(mod))  # noqa: E731
+    Fold stays within signed-64 bounds (no ANSI overflow).
+
+    Word hash = first 32 md5 bits (mod the prime) — engine-agnostic, so
+    the fingerprint is reproducible in any system with md5 (the DuckDB
+    oracle replays it bit-for-bit; xxhash64 would be Spark-only)."""
+    word_h = lambda w: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"), F.lit(mod)
+    )
     return F.aggregate(
         words_of(text),
         F.lit(0).cast("long"),

@@ -254,10 +254,23 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", md5_fingerprint(F.col("text")).alias("fingerprint"))
 
 
-@query("text_rolling_fingerprint")
+@query(
+    "text_rolling_fingerprint",
+    oracle=_WORDS_CTE
+    + """
+    SELECT doc_id,
+           list_reduce(
+             [CAST(0 AS BIGINT)] ||
+             list_transform(words, w ->
+               CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 1000000007),
+             (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp
+    FROM t
+    """,
+)
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling (polynomial) hash over word hashes —
-    detects reorderings md5-of-whole misses. xxhash64-based → no
-    cross-engine oracle; determinism asserted in tests."""
+    detects reorderings md5-of-whole misses. md5-derived word hashes
+    make it engine-agnostic: the DuckDB oracle replays the identical
+    fold."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))
