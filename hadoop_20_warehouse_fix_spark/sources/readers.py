@@ -126,8 +126,8 @@ def read_jdbc(
 ) -> DataFrame:
     """JDBC scan — DBInputFormat's per-split SELECT ... LIMIT/OFFSET
     (``getSelectQuery:87``) done as range-partitioned parallel reads.
-    Requires a JDBC driver jar on the classpath (not in this container —
-    exercised via query-construction tests only)."""
+    Needs a JDBC driver on the classpath; round-tripped in tests against
+    Spark's embedded Derby (``org.apache.derby.jdbc.EmbeddedDriver``)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
         reader = (

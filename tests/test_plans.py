@@ -135,3 +135,16 @@ def test_bucketed_join_no_shuffle(spark):
     # exchange in the plan is the final aggregation.
     assert s.num_sortmerge_joins == 1
     assert s.num_exchanges <= 1
+
+
+def test_terasort_scale_smoke(spark):
+    """The reference's own benchmark shape (TeraGen -> total-order sort
+    -> TeraValidate/SortValidator) at 1M rows (~100 MB of 100-byte
+    records): global order, count, and order-independent checksum all
+    hold through the sampled range partitioner."""
+    from hadoop_20_warehouse_fix_spark.operators.sort import total_order_sort
+
+    data = teragen(spark, 1_000_000, seed=11, num_partitions=32)
+    out = total_order_sort(data, ["key"], num_partitions=32)
+    v = sort_validate(data, out, "key")
+    assert v == {"counts_match": True, "checksum_match": True, "globally_sorted": True}
