@@ -120,3 +120,52 @@ def test_text_functions_null_and_empty(spark):
     }
     assert rows[2][0] == "unknown" and rows[2][1] == 0.0 and rows[2][2] == 0
     assert rows[3][0] == "en" and rows[3][2] == 2
+
+
+def test_ngram_jaccard_strategies_match_python_truth(spark):
+    """Randomized cross-check: both physical strategies (posting-list
+    blocking, PPJoin prefix filtering) against an independent pure-Python
+    brute-force oracle, over corpora engineered to contain near-dups
+    (shared base docs with small mutations)."""
+    import random
+
+    from hadoop_20_warehouse_fix_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    did = 0
+    for base in range(8):
+        base_words = [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+        for _variant in range(rng.randint(1, 3)):
+            words = list(base_words)
+            for _mut in range(rng.randint(0, 2)):
+                pos = rng.randrange(len(words))
+                words[pos] = rng.choice(vocab)
+            docs.append((did, " ".join(words)))
+            did += 1
+
+    def shingles(text):
+        ws = [w for w in text.lower().split() if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    truth = set()
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                truth.add((ida, idb))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    posting = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, prefix_filter=True).collect()
+    }
+    assert posting == truth
+    assert prefix == truth
