@@ -191,3 +191,21 @@ def test_count_min_sketch_properties(spark):
     total = sum(exact.values())
     for v, n in sorted(exact.items(), key=lambda kv: -kv[1])[:10]:
         assert est[v] - n <= 0.01 * total  # heavy hitters are tight
+
+
+def test_hll_distinct_within_tolerance(spark):
+    from hadoop_20_warehouse_fix_spark.catalog import load_table
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import uniq_count
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    exact = {
+        r.l_returnflag: r.uniq_count
+        for r in uniq_count(li, ["l_returnflag"], "l_partkey").collect()
+    }
+    approx = {
+        r.l_returnflag: r.uniq_count
+        for r in uniq_count(li, ["l_returnflag"], "l_partkey", approx=True).collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.05  # default HLL rsd

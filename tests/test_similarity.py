@@ -36,7 +36,10 @@ def test_ivf_ann_recall_vs_brute_force(spark):
         for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"IVF recall suspiciously low: {recall}"
+    # Deterministic (seeded codebook, fixed data): 0.58 at sf0.01.
+    # Uniform-random synthetic embeddings are ANN-adversarial (neighbors
+    # barely closer than random), so this is a floor, not a ceiling.
+    assert recall >= 0.5, f"IVF recall regressed: {recall}"
     # Determinism: the seeded codebook must give identical results on re-run.
     rerun = {
         (r.query_id, r.neighbor_id)
