@@ -61,3 +61,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     force asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4)
+
+
+@query("sim_cosine_topk_np")
+def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow + numpy matmul) brute-force cosine top-k — the
+    pandas-UDF fast path for vector math. Same result as the JVM
+    sim_cosine_topk (asserted in tests at 1e-6); rows-only here because
+    SIMD summation order can flip a round-6 rounding boundary the exact
+    sequential-fold oracle pins down."""
+    from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk_np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk_np(emb, emb.filter(F.col("vec_id") < 10), k=5)

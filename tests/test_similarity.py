@@ -55,3 +55,21 @@ def test_multimodal_fake_features_deterministic(spark):
     assert a == b
     assert all(len(v[2]) == 8 for v in a.values())
     assert all(v[0] > 0 for v in a.values())
+
+
+def test_numpy_brute_force_matches_jvm(spark):
+    from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk_np
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    jvm = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    np_ = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in brute_force_topk_np(emb, queries, k=5).collect()
+    }
+    assert set(jvm) == set(np_)
+    for key, c in jvm.items():
+        assert abs(np_[key] - c) < 1e-6
