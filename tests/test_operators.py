@@ -209,3 +209,52 @@ def test_hll_distinct_within_tolerance(spark):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) / e < 0.05  # default HLL rsd
+
+
+# --- property-based: fieldspec translator vs a Python reference ---------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _token = st.text(alphabet="abc012", min_size=0, max_size=3)
+    _line = st.lists(_token, min_size=0, max_size=8).map(lambda ts: ",".join(ts))
+    _range = st.one_of(
+        st.integers(0, 7).map(str),                                   # N
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).map(          # N-M
+            lambda t: f"{min(t)}-{max(t)}"
+        ),
+        st.integers(0, 7).map(lambda n: f"{n}-"),                     # N-
+    )
+    _ranges = st.lists(_range, min_size=1, max_size=4).map(",".join)
+    _spec = st.tuples(_ranges, _ranges).map(lambda t: f"{t[0]}:{t[1]}")
+
+    def _py_select(arr, ranges, sep):
+        pieces = []
+        for start, end in ranges:
+            if end is None:
+                pieces.append(sep.join(arr[start:]))
+            elif end == start:
+                pieces.append(arr[start] if start < len(arr) else "")
+            else:
+                pieces.append(sep.join(arr[start : end + 1]))
+        return sep.join(pieces)
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(spec=_spec, lines=st.lists(_line, min_size=1, max_size=8))
+    def test_fieldspec_matches_python_reference(spark, spec, lines):
+        from hadoop_20_warehouse_fix_spark.operators.fieldspec import field_select, parse_spec
+
+        df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+        got = [(r.key, r.value) for r in field_select(df, "line", spec, sep=",").collect()]
+        kr, vr = parse_spec(spec)
+        want = [
+            (_py_select(ln.split(","), kr, ","), _py_select(ln.split(","), vr, ","))
+            for ln in lines
+        ]
+        assert got == want
