@@ -198,3 +198,49 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.col("win_start").cast("long").alias("win_start"), "event_type", "cnt", "sum_value"
     )
+
+
+@query(
+    "events_stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the oracle gate:
+    per-user running (count, sum) via ``applyInPandasWithState``,
+    drained with availableNow — one micro-batch, so the final state
+    equals a batch GROUP BY exactly. Values ride as integer cents so
+    the Python-side accumulation is order-independent and the DuckDB
+    comparison is exact."""
+    import tempfile
+    import uuid
+
+    from hadoop_20_warehouse_fix_spark.streaming.windows import (
+        run_available_now,
+        stateful_running_agg,
+    )
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cents = sdf.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").cast("double").alias("value")
+    )
+    out = stateful_running_agg(cents, key_col="user_id", value_col="value")
+    res = run_available_now(
+        out,
+        tempfile.mkdtemp(prefix="stream_stateful_ckpt_"),
+        query_name="stream_stateful_" + uuid.uuid4().hex[:8],
+        output_mode="update",
+    )
+    return res.select(
+        "user_id", "cnt", (F.col("total") / 100.0).alias("total_value")
+    )
