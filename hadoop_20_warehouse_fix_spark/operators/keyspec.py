@@ -73,7 +73,10 @@ def keyspec_columns(line_col: str | Column, spec: str, sep: str = "\t") -> list[
         if p.char_start > 1:
             key = F.substring(key, p.char_start, 1_000_000)
         if p.numeric:
-            key = key.cast("double")
+            # try_cast: records with a missing or malformed numeric key
+            # sort as NULL instead of failing the job (ANSI cast throws
+            # on '' — found by the keyspec property test).
+            key = key.try_cast("double")
         cols.append(key.desc() if p.reverse else key.asc())
     return cols
 

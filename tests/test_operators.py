@@ -258,3 +258,67 @@ if _HAS_HYPOTHESIS:
             for ln in lines
         ]
         assert got == want
+
+
+if _HAS_HYPOTHESIS:
+    _num_token = st.integers(-99, 99).map(str)
+    _kline = st.lists(_num_token, min_size=1, max_size=5).map(lambda ts: ",".join(ts))
+    _kpart = st.tuples(
+        st.integers(1, 5),                      # field
+        st.booleans(),                          # single-field vs to-end
+        st.sampled_from(["", "n", "r", "nr"]),  # flags
+    ).map(lambda t: f"-k{t[0]},{t[0]}{t[2]}" if t[1] else f"-k{t[0]}{t[2]}")
+    _kspec = st.lists(_kpart, min_size=1, max_size=3).map(" ".join)
+
+    def _py_sort_key(line, parts, sep):
+        arr = line.split(sep)
+        key = []
+        for p in parts:
+            if p.field_end == p.field_start:
+                raw = arr[p.field_start - 1] if p.field_start - 1 < len(arr) else None
+            elif p.field_end is None:
+                raw = sep.join(arr[p.field_start - 1 :])
+            else:
+                raw = sep.join(arr[p.field_start - 1 : p.field_end])
+            if raw is not None and p.char_start > 1:
+                raw = raw[p.char_start - 1 :]
+            if p.numeric:
+                try:
+                    v = float(raw) if raw not in (None, "") else None
+                except ValueError:
+                    v = None
+            else:
+                v = raw
+            # Spark sorts NULLs FIRST ascending / LAST descending.
+            if p.reverse:
+                key.append((0 if v is not None else 1, _Neg(v) if v is not None else None))
+            else:
+                key.append((0 if v is None else 1, v))
+        return tuple(key)
+
+    class _Neg:
+        """Ordering inverter for heterogeneous sortable values."""
+
+        def __init__(self, v):
+            self.v = v
+
+        def __lt__(self, other):
+            return other.v < self.v
+
+        def __eq__(self, other):
+            return other.v == self.v
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(spec=_kspec, lines=st.lists(_kline, min_size=1, max_size=10, unique=True))
+    def test_keyspec_sort_matches_python_reference(spark, spec, lines):
+        from hadoop_20_warehouse_fix_spark.operators.keyspec import keyfield_sort, parse_keyspec
+
+        df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+        got = [r.line for r in keyfield_sort(df, "line", spec, sep=",").collect()]
+        parts = parse_keyspec(spec)
+        want = sorted(lines, key=lambda ln: (_py_sort_key(ln, parts, ","), ln))
+        got_stable = sorted(lines, key=lambda ln: (_py_sort_key(ln, parts, ","),))
+        # Compare KEYS, not full orders: ties are free to permute.
+        assert [_py_sort_key(ln, parts, ",") for ln in got] == [
+            _py_sort_key(ln, parts, ",") for ln in got_stable
+        ]
