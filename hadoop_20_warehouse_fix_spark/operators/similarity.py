@@ -43,7 +43,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    return dot(a, b) / (norm_a * norm_b)
+    """NULL for zero-norm vectors (ANSI division would throw; NULL sorts
+    last under desc ranking, so degenerate vectors never place in
+    top-k)."""
+    denom = norm_a * norm_b
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def with_norm(df: DataFrame, vec_col: str, out: str = "nrm") -> DataFrame:

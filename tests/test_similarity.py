@@ -73,3 +73,14 @@ def test_numpy_brute_force_matches_jvm(spark):
     assert set(jvm) == set(np_)
     for key, c in jvm.items():
         assert abs(np_[key] - c) < 1e-6
+
+
+def test_zero_vector_does_not_crash_or_rank(spark):
+    """ANSI division by a zero norm must not fail the job; degenerate
+    vectors rank last (NULL cosine) and never appear in top-k."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, df, k=2).collect()
+    assert all(r.neighbor_id != 2 or r.cosine is None for r in out)
+    # queries with zero norm return no meaningful matches but don't crash
+    assert {r.query_id for r in out} >= {0, 1, 3}
