@@ -105,3 +105,71 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
+    """STUB: real resize needs an image codec (absent here). Production
+    swaps this for PIL/opencv; the batch operator below is the real
+    plumbing."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def resize_batch(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize over binary payloads. The deterministic
+    stand-in 'resamples' bytes to width*height//64 output bytes by
+    stride-sampling the payload — same signature, batch shape, and
+    output schema as a codec-backed implementation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(width * height // 64, 1)
+        for pdf in batches:
+            def sample(b):
+                if not b:
+                    return b"\x00" * target
+                stride = max(len(b) // target, 1)
+                return bytes(b[::stride][:target]).ljust(target, b"\x00")
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(sample),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: emit ``n_frames`` evenly-spaced
+    'frames' per blob (UDTF shape — one input row to n output rows).
+    The stand-in slices the byte stream into equal windows; a real
+    implementation decodes containers inside the same Arrow-batched
+    operator. Partitioning discipline: output explodes n_frames× — at
+    100 TB, repartition AFTER sampling if frames feed a shuffle-heavy
+    stage, never before."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = b or b""
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(b[i * step : (i + 1) * step]))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame": frames}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)

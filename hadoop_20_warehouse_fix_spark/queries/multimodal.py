@@ -7,6 +7,7 @@ is real and oracle-checked where the fake extractor is SQL-expressible."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_fix_spark.catalog import load_table
 from hadoop_20_warehouse_fix_spark.functions.multimodal import documents_as_media, extract_features
@@ -39,3 +40,32 @@ def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism and shape asserted in tests/test_multimodal.py."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+@query("mm_resize_batch")
+def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize plumbing (stubbed codec, deterministic byte
+    resampler): fixed-size output payloads with typed dimensions.
+    Binary output → rows-only; determinism asserted in tests."""
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import documents_as_media, resize_batch
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    out = resize_batch(media, 32, 32)
+    return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, unnest(range(4)) AS frame_idx
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (UDTF shape: 1 blob -> 4 frames). The frame ids
+    per media are exactly 0..3 — oracle checks the explosion shape; the
+    frame payload determinism is asserted in tests."""
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, 4).select("media_id", "frame_idx")

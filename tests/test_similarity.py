@@ -84,3 +84,21 @@ def test_zero_vector_does_not_crash_or_rank(spark):
     assert all(r.neighbor_id != 2 or r.cosine is None for r in out)
     # queries with zero norm return no meaningful matches but don't crash
     assert {r.query_id for r in out} >= {0, 1, 3}
+
+
+def test_multimodal_resize_and_frames_deterministic(spark):
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        documents_as_media,
+        resize_batch,
+        sample_frames,
+    )
+
+    media = documents_as_media(load_table(spark, SF_CORRECT, "documents").limit(30))
+    r1 = {r.media_id: bytes(r.payload) for r in resize_batch(media, 32, 32).collect()}
+    r2 = {r.media_id: bytes(r.payload) for r in resize_batch(media, 32, 32).collect()}
+    assert r1 == r2
+    assert all(len(p) == 32 * 32 // 64 for p in r1.values())
+    f1 = {(r.media_id, r.frame_idx): bytes(r.frame) for r in sample_frames(media, 4).collect()}
+    assert len(f1) == 30 * 4
+    f2 = {(r.media_id, r.frame_idx): bytes(r.frame) for r in sample_frames(media, 4).collect()}
+    assert f1 == f2
