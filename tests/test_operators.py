@@ -357,3 +357,30 @@ if _HAS_HYPOTHESIS:
             cands = [(rt, rv) for rk, rt in right if rk == k and rt <= t for rv in [f"r{rk}_{rt}"]]
             want[i] = max(cands)[1] if cands else None
         assert got == want
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        sources=st.lists(
+            st.lists(st.tuples(st.integers(0, 5), st.one_of(st.none(), st.integers(0, 9))),
+                     min_size=0, max_size=8),
+            min_size=1, max_size=4,
+        )
+    )
+    def test_override_join_matches_python_reference(spark, sources):
+        from hadoop_20_warehouse_fix_spark.operators.joins import override_join
+
+        # Unique keys within each source (one value per key per source).
+        sources = [list({k: v for k, v in src}.items()) for src in sources]
+        dfs = [
+            spark.createDataFrame(src or [(None, None)], "k long, v long").filter("k IS NOT NULL")
+            for src in sources
+        ]
+        got = {r.k: r.v for r in override_join(dfs, "k", ["v"]).collect()}
+        want = {}
+        for src in sources:  # later sources override earlier ones, even with NULL values
+            for k, v in src:
+                want[k] = v
+        assert got == want
