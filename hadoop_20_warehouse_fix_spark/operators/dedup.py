@@ -385,3 +385,67 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_jaccard_pairs_cross(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT cross-corpus near-dup pairs: (corpus_id, new_id, jaccard)
+    for every new document within ``threshold`` of an EXISTING document
+    — the incremental-ingest dedup shape. Unlike the self-join form, the
+    corpus is never paired against itself: posting lists carry the two
+    sides separately and only cross products are emitted, so a batch of
+    B new docs against a corpus of N costs shingle-blocked B×N_df work,
+    not (N+B)^2.
+
+    Output: (id_a = corpus doc, id_b = new doc, jaccard >= threshold).
+
+    100 TB: the corpus side's shingle rows are a candidate for a
+    materialized (bucketed-by-shingle) table updated per ingest batch;
+    the per-batch cost is then one shuffle of the NEW side only."""
+    c_rows = doc_shingle_sets(corpus_df, id_col, text_col, n).select(
+        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
+    )
+    n_rows = doc_shingle_sets(new_df, id_col, text_col, n).select(
+        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
+    )
+    posting = (
+        c_rows.withColumn("side", F.lit(0))
+        .unionByName(n_rows.withColumn("side", F.lit(1)))
+        .groupBy("sh")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == 0, F.struct("id", "n_sh")))
+            ).alias("cs"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == 1, F.struct("id", "n_sh")))
+            ).alias("ns"),
+        )
+        .filter((F.size("cs") > 0) & (F.size("ns") > 0))
+    )
+    pairs = (
+        posting.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(cs, x ->"
+                    " transform(ns, y ->"
+                    " struct(x.id AS id_a, x.n_sh AS n_a,"
+                    " y.id AS id_b, y.n_sh AS n_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b"))
+    )
+    return (
+        pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

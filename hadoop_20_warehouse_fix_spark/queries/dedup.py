@@ -7,6 +7,7 @@ variants in tests/test_dedup.py)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_fix_spark.catalog import load_table
 from hadoop_20_warehouse_fix_spark.operators.dedup import (
@@ -133,3 +134,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same semantics at 100 TB). Dot products fold in double precision
     — cross-engine bit-stable, so the oracle matches value-for-value."""
     return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "dedup_incremental_cross",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM docs a JOIN docs b ON a.doc_id < 400 AND b.doc_id >= 400
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (doc_id >= 400)
+    checked against the existing corpus (doc_id < 400) — cross pairs
+    only, never corpus×corpus. Oracle computes the naive cross product;
+    identical results prove the side-tagged posting-list blocking is
+    lossless."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import ngram_jaccard_pairs_cross
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    return ngram_jaccard_pairs_cross(new, corpus, "doc_id", "text", n=3, threshold=0.5)
