@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         multimodal,
         pipes,
+        plans,
         relational,
         similarity,
         sorts,
