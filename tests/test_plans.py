@@ -148,3 +148,19 @@ def test_terasort_scale_smoke(spark):
     out = total_order_sort(data, ["key"], num_partitions=32)
     v = sort_validate(data, out, "key")
     assert v == {"counts_match": True, "checksum_match": True, "globally_sorted": True}
+
+
+def test_explode_does_not_reevaluate_computed_array(spark):
+    """Regression guard for the InferFiltersFromGenerate exclusion
+    (session.py): exploding a computed array must evaluate the
+    expensive transform expression ONCE — with the rule active, inferred
+    size()/isnotnull() filters re-inline it below the projection and the
+    interpreted shingle transform runs 3x per row (measured 4x slower
+    end-to-end at sf0.1)."""
+    from hadoop_20_warehouse_fix_spark.catalog import load_table
+    from hadoop_20_warehouse_fix_spark.operators.dedup import shingle_rows
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = shingle_rows(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_distinct(transform(") <= 1, plan
