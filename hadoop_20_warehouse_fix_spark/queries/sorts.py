@@ -144,14 +144,22 @@ def sort_secondary_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("terasort_selfcheck")
+@query(
+    "terasort_selfcheck",
+    oracle="""
+    SELECT 'checksum_match' AS check, true AS ok
+    UNION ALL SELECT 'counts_match', true
+    UNION ALL SELECT 'globally_sorted', true
+    """,
+)
 def terasort_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TeraGen → total-order sort → TeraValidate, end to end
     (``E/terasort/TeraSort.java:50`` + ``TeraValidate.java:52`` +
     ``SortValidator.java:93-97``): generate deterministic 100-byte-ish
     records, range-partition + sort, then prove count/checksum/order
-    preservation WITHOUT re-sorting. Returns one row per check —
-    rows-only gate (the query validates itself; all ok must be true).
+    preservation WITHOUT re-sorting. Returns one row per passing check;
+    the oracle pins all three checks true, so any validation failure
+    hash-mismatches the gate.
 
     100 TB: generation is embarrassingly parallel; the sort is Spark's
     sampled range partition (the TotalOrderPartitioner, SURVEY §2.6);
