@@ -160,7 +160,12 @@ def ngram_jaccard_pairs(
       over shingles of DF^2 pair rows — fine until high-document-
       frequency shingles appear. ``max_df`` drops posting lists longer
       than the cap (stop-shingle guard for web-scale corpora; result
-      becomes a documented approximation when set).
+      becomes a documented approximation when set). The cap is a
+      RECALL CLIFF: it must exceed duplication-factor x base DF or
+      discriminative shingles get dropped wholesale (measured in
+      SCALING.md — a 10x-duplicated corpus found 0 pairs under a cap
+      tuned for 1x); derive it from the DF distribution and monitor
+      dropped-list counts.
     - ``prefix_filter=True``: PPJoin-style prefix filtering (Bayardo et
       al. WWW'07 "Scaling Up All Pairs"; Xiao et al. WWW'08 "Efficient
       Similarity Joins"): order each doc's shingles by ascending global
