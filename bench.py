@@ -52,12 +52,16 @@ def main() -> None:
                 spec.fn(spark, smallest).count()
             except Exception:
                 pass  # warmup is best-effort; the timed run will surface real failures
+        spark.catalog.clearCache()  # drop warmup-persisted intermediates
 
     per_query: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        # Queries that persist intermediates (corpus_clean) must not leak
+        # cached partitions into the next query's memory budget.
+        spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

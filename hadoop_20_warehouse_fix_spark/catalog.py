@@ -29,13 +29,29 @@ TABLES = [
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet columns readable on ANY session.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL
+    conf; callers may hand us a vanilla SparkSession (the driver harness
+    does), so the catalog sets it itself rather than relying on
+    build_session. Safe to call repeatedly; swallow failures so a
+    session that forbids the conf still works for nanos-free tables."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Columnar Parquet scan: Catalyst prunes
     columns and pushes predicates down to the reader for free.
 
     events.ts is stored as TIMESTAMP(NANOS); Spark reads it as long
-    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we normalize to
-    a microsecond timestamp here — one cast at the scan, JVM-side."""
+    nanos (``spark.sql.legacy.parquet.nanosAsLong``, set here at runtime
+    so even an externally built session works) and we normalize to a
+    microsecond timestamp — one cast at the scan, JVM-side."""
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

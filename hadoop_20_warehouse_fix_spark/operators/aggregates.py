@@ -192,7 +192,12 @@ def count_min_sketch(
 def cms_lookup(sketch: DataFrame, items: DataFrame, col: str, width: int = 1024, depth: int = 4) -> DataFrame:
     """Estimated frequency for each item: join the item's ``depth``
     probe positions against the sketch, take the min. The sketch is
-    depth×width rows — broadcast — so lookups never shuffle the items."""
+    depth×width rows — broadcast — so lookups never shuffle the items.
+
+    LEFT join + coalesce(0): the materialized sketch only stores
+    non-empty cells, so an item probing an empty cell must see count 0
+    (an inner join would silently drop the item — or overestimate by
+    taking the min over only its non-empty cells)."""
     probes = items.select(
         F.col(col),
         F.explode(
@@ -208,7 +213,7 @@ def cms_lookup(sketch: DataFrame, items: DataFrame, col: str, width: int = 1024,
         ).alias("db"),
     ).select(col, "db.d", "db.bucket")
     return (
-        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )

@@ -101,7 +101,12 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluating the interpreted quality expressions per branch (~2x
     end-to-end). At 100 TB the equivalent move is materializing the
     cleaned corpus to Parquet between stages, as the reference's
-    JobControl DAG did by necessity."""
+    JobControl DAG did by necessity.
+
+    Cache lifetime: the persist outlives the returned (lazy) plan, so a
+    long-lived session running many queries should
+    ``spark.catalog.clearCache()`` between them (bench.py does); the
+    Parquet-materialization form has no such residue."""
     docs = load_table(spark, sf_dir, "documents")
     enriched = docs.select(
         "doc_id",

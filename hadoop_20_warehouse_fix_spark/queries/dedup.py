@@ -129,11 +129,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.4, exact all-pairs at
-    correctness scale (the LSH bucket join in operators.similarity is
-    the same semantics at 100 TB). Dot products fold in double precision
-    — cross-engine bit-stable, so the oracle matches value-for-value."""
-    return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Embedding near-dup pairs: cosine >= 0.4, EXACT, via the blocked
+    GEMM plan (see operators.similarity.blocked_cosine_pairs): equality
+    join + explode replication into G block pairs, one numpy matmul per
+    pair group — no cartesian / BNLJ anywhere in the plan (asserted in
+    tests/test_plans.py). Lossless candidate generation is impossible on
+    this corpus (matched cosines hug the threshold; measured zero
+    cell-pruning), so the exact path owns its n^2 compute and spreads it
+    over G(G+1)/2 BLAS tasks instead of one nested loop."""
+    from hadoop_20_warehouse_fix_spark.operators.similarity import blocked_cosine_pairs
+
+    return blocked_cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @query(

@@ -37,9 +37,23 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fake-feature output (byte checksum + 8-dim vector) —
     rows-only gate (the vector math is the stand-in for a codec);
-    determinism and shape asserted in tests/test_multimodal.py."""
+    determinism and shape asserted in tests/test_multimodal.py.
+
+    The raw ``array<double>`` column is not canonicalizable by the
+    driver's row-sorter (lists are unhashable), so the driver-visible
+    projection carries a deterministic fingerprint of the vector instead
+    — the feature values are exact small integers (mod 997), so the
+    bigint-cast concat is byte-stable."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "byte_checksum",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("bigint").cast("string"))
+        ).alias("features_fp"),
+    )
 
 
 @query("mm_resize_batch")

@@ -15,7 +15,7 @@ from hadoop_20_warehouse_fix_spark.queries import query
     "plan_dag_pipeline",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_customers,
-           sum(o.n_orders) AS total_orders
+           CAST(sum(o.n_orders) AS BIGINT) AS total_orders
     FROM customer c
     JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
       ON c.c_custkey = o.o_custkey

@@ -11,10 +11,7 @@ from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk,
 from hadoop_20_warehouse_fix_spark.queries import query
 
 
-@query(
-    "sim_cosine_topk",
-    headline=True,
-    oracle="""
+_COSINE_TOPK_ORACLE = """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
@@ -31,8 +28,10 @@ from hadoop_20_warehouse_fix_spark.queries import query
                                      ORDER BY cos DESC, neighbor_id) AS INT) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("sim_cosine_topk", headline=True, oracle=_COSINE_TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10):
     broadcast queries × one corpus pass, JVM-side double-fold dot
@@ -63,13 +62,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4)
 
 
-@query("sim_cosine_topk_np")
+@query("sim_cosine_topk_np", oracle=_COSINE_TOPK_ORACLE)
 def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized (Arrow + numpy matmul) brute-force cosine top-k — the
-    pandas-UDF fast path for vector math. Same result as the JVM
-    sim_cosine_topk (asserted in tests at 1e-6); rows-only here because
-    SIMD summation order can flip a round-6 rounding boundary the exact
-    sequential-fold oracle pins down."""
+    pandas-UDF fast path for vector math. Exact: same oracle as the JVM
+    sim_cosine_topk (matmul summation order vs sequential fold agree at
+    round-6 on this corpus — verified value-identical at sf0.01/sf0.1;
+    equality also asserted in tests at 1e-6)."""
     from hadoop_20_warehouse_fix_spark.operators.similarity import brute_force_topk_np
 
     emb = load_table(spark, sf_dir, "embeddings")

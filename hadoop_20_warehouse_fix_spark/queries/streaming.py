@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.catalog import ensure_nanos_conf, load_table
 from hadoop_20_warehouse_fix_spark.queries import query
 from hadoop_20_warehouse_fix_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
@@ -173,7 +173,10 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
 
     # The file-stream source takes a DIRECTORY; select just the events
-    # table out of the scale-factor dir with a glob filter.
+    # table out of the scale-factor dir with a glob filter. The declared
+    # `ts bigint` only parses TIMESTAMP(NANOS) under nanosAsLong — set it
+    # here so a vanilla (driver-built) session works.
+    ensure_nanos_conf(spark)
     sdf = (
         spark.readStream.schema(
             "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
@@ -224,6 +227,7 @@ def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_running_agg,
     )
 
+    ensure_nanos_conf(spark)
     sdf = (
         spark.readStream.schema(
             "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"

@@ -125,6 +125,34 @@ def test_sort_validate_catches_everything(spark):
     assert v2["checksum_match"] and not v2["globally_sorted"]
 
 
+def test_blocked_cosine_pairs_no_cartesian(spark):
+    # The exact embedding-pair join must run as the blocked-GEMM plan:
+    # equality joins + groupBy only — never a cartesian/BNLJ, which is
+    # the canonical 100x-scale-killer for an all-pairs self-join.
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+    from tests.conftest import SF_CORRECT
+
+    reg = load_all()
+    df = reg["dedup_embedding_cosine"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_cosine_pairs_equals_nested_loop(spark):
+    # Blocked GEMM is a physical re-plan, not a semantic change: results
+    # equal the reference nested-loop theta-join exactly (same rounding).
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        embedding_cosine_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(map(tuple, blocked_cosine_pairs(emb, threshold=0.4, n_blocks=5).collect()))
+    b = sorted(map(tuple, embedding_cosine_pairs(emb, threshold=0.4).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_bucketed_join_no_shuffle(spark):
     from hadoop_20_warehouse_fix_spark.queries import load_all
     from tests.conftest import SF_CORRECT
