@@ -51,11 +51,91 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = "media_id long, n_bytes long, byte_checksum long, features array<double>"
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: real image decode (PIL/libjpeg) is unavailable in this
-    container. The mapInPandas plumbing around it is real; swap this
-    function for the codec call in production."""
-    raise NotImplementedError("image codec not available in this environment")
+def decode_image(payload: bytes):
+    """Decode an image payload to an (H, W, 3) uint8 numpy array.
+
+    REAL pure-numpy decoders for two uncompressed formats:
+    - PPM "P6" (binary, maxval<=255) — netpbm spec
+    - BMP "BM" (BITMAPINFOHEADER, 24-bit, BI_RGB uncompressed,
+      bottom-up rows, 4-byte row padding)
+
+    Compressed formats (JPEG/PNG/...) still need a codec library that
+    is not in this container — those raise NotImplementedError; swap in
+    PIL/opencv in production. The mapInPandas plumbing is identical."""
+    import numpy as np
+
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty payload")
+    magic = bytes(payload[:2])
+    if magic == b"P6":
+        return _decode_ppm(bytes(payload))
+    if magic == b"BM":
+        return _decode_bmp(bytes(payload))
+    raise NotImplementedError(
+        f"no codec for magic {magic!r} (only uncompressed PPM/BMP decode "
+        "in-container; compressed formats need an image library)"
+    )
+
+
+def _decode_ppm(data: bytes):
+    """P6 parser: 'P6' <ws> width <ws> height <ws> maxval <single-ws> raster.
+    '#' comments allowed in the header (netpbm spec)."""
+    import numpy as np
+
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(data: bytes):
+    """24-bit uncompressed BMP (BITMAPINFOHEADER): little-endian header,
+    BGR byte order, rows bottom-up and padded to 4 bytes."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off)
+    rows = raster.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6) — the
+    deterministic in-container output codec."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
 
 
 def _fake_feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -110,23 +190,38 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
-def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
-    """STUB: real resize needs an image codec (absent here). Production
-    swaps this for PIL/opencv; the batch operator below is the real
-    plumbing."""
-    raise NotImplementedError("image codec not available in this environment")
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for decodable payloads (PPM/BMP): decode, nearest-
+    neighbor resample with pure-numpy index math (deterministic — the
+    same pixel wins on every run/engine), re-encode as PPM. Compressed
+    inputs raise via decode_image until a codec library is swapped in."""
+    import numpy as np
+
+    arr = decode_image(payload)
+    h, w = arr.shape[0], arr.shape[1]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return encode_ppm(arr[yi][:, xi])
 
 
 def resize_batch(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Arrow-batched resize over binary payloads. The deterministic
-    stand-in 'resamples' bytes to width*height//64 output bytes by
-    stride-sampling the payload — same signature, batch shape, and
-    output schema as a codec-backed implementation."""
+    """Arrow-batched resize over binary payloads. Decodable payloads
+    (PPM/BMP magic) get a REAL nearest-neighbor pixel resize
+    (:func:`resize_image`); anything else falls back to the
+    deterministic byte-resampler stand-in (width*height//64 stride-
+    sampled bytes) so non-image corpora — e.g. the documents-as-media
+    test fixture — stay deterministic. Same signature, batch shape, and
+    output schema either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(width * height // 64, 1)
         for pdf in batches:
             def sample(b):
+                if b and bytes(b[:2]) in (b"P6", b"BM"):
+                    try:
+                        return resize_image(bytes(b), width, height)
+                    except (NotImplementedError, ValueError):
+                        pass
                 if not b:
                     return b"\x00" * target
                 stride = max(len(b) // target, 1)

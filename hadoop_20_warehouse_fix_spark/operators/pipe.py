@@ -96,6 +96,39 @@ def pipe_grouped(
     return spark.createDataFrame(out, schema=f"{key_name} string, {value_name} string")
 
 
+def pipe_tagged(
+    sources: list[DataFrame],
+    cmd: str,
+    sep: str = "\t",
+    num_key_fields: int = 1,
+    env: dict[str, str] | None = None,
+    check_code: bool = True,
+    key_name: str = "key",
+    value_name: str = "value",
+) -> DataFrame:
+    """Hive-streaming ``-inputtagged`` variant (reference:
+    contrib/hive-streaming StreamJob.java — each input path's rows are
+    tagged with the source index so one script can merge N inputs):
+    every row is prefixed with its source's position in ``sources``
+    before piping, i.e. the script sees ``tag <sep> col1 <sep> ...``
+    lines. Tagging is one ``lit(i)`` column per source + unionByName —
+    zero extra shuffles; the union preserves per-source partitioning."""
+    tagged = [
+        _to_lines(src, sep).select(
+            F.concat_ws(sep, F.lit(str(i)), F.col("line")).alias("line")
+        )
+        for i, src in enumerate(sources)
+    ]
+    merged = tagged[0]
+    for t in tagged[1:]:
+        merged = merged.unionByName(t)
+    spark = merged.sparkSession
+    lines = merged.rdd.map(lambda r: r.line)
+    piped = lines.pipe(cmd, env=env or {}, checkCode=check_code)
+    out = piped.map(lambda ln: _parse_kv(ln, sep, num_key_fields))
+    return spark.createDataFrame(out, schema=f"{key_name} string, {value_name} string")
+
+
 def chain(df: DataFrame, *stages: Callable[[DataFrame], DataFrame]) -> DataFrame:
     """ChainMapper: a pipeline of row-level transforms fused into one
     task with no intermediate materialization. Each stage is df→df;

@@ -158,16 +158,24 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    codebook: str = "kmeans",
 ) -> DataFrame:
     """IVF-Flat ANN: coarse-quantize the corpus into ``n_centroids``
     inverted lists, probe the ``nprobe`` nearest lists per query, exact
     cosine + top-k within the probed cells.
 
-    The codebook is a deterministic sample of corpus vectors (the
-    ``n_centroids`` smallest ``xxhash64(id, seed)`` — a seeded uniform
-    draw, the one-pass stand-in for an iteratively fitted k-means
-    codebook; swap in `pyspark.ml.clustering.KMeans` centers for tighter
-    cells without touching the search path). Centroids are unit-
+    Codebooks (``codebook=``):
+    - ``"kmeans"`` (default): spherical k-means centers via
+      ``pyspark.ml.clustering.KMeans`` fitted on unit-normalized corpus
+      vectors (seeded — deterministic). Tighter cells than sampling:
+      measured recall@5 0.52 vs 0.44 at K=16/nprobe=4 on sf0.01.
+    - ``"sample"``: the ``n_centroids`` smallest ``xxhash64(id, seed)``
+      corpus vectors — a seeded uniform draw, one pass, no ML fit.
+    Recall reality check (measured, SCALING.md): on ISOTROPIC synthetic
+    embeddings recall tracks the scanned fraction (neighbors are barely
+    closer than random), so the 0.8-recall operating point is
+    nprobe/K ~= 1/2 regardless of codebook quality; on real clustered
+    corpora the same nprobe/K buys far more. Centroids are unit-
     normalized driver-side (K rows — bounded, never the corpus) and
     inlined as literal arrays, so cell assignment is a JVM-side argmin
     of K dot products: zero extra shuffles for the corpus pass.
@@ -181,17 +189,42 @@ def ivf_topk(
     cells)."""
     import math
 
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)), F.col("cid"))
-        .limit(n_centroids)
-        .collect()
-    )
-    cents: list[tuple[int, list[float]]] = []
-    for r in cent_rows:
-        v = [float(x) for x in r.cvec]
+    def unit(v: list[float]) -> list[float]:
         nrm = math.sqrt(sum(x * x for x in v)) or 1.0
-        cents.append((int(r.cid), [x / nrm for x in v]))
+        return [x / nrm for x in v]
+
+    cents: list[tuple[int, list[float]]] = []
+    if codebook == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        # Fit on unit-normalized vectors: Euclidean k-means on the unit
+        # sphere == spherical k-means, matching the cosine geometry of
+        # the search. Seeded -> deterministic centers.
+        nrm_expr = F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda a, y: a + y.cast("double") * y.cast("double"),
+            )
+        )
+        feats = corpus.select(
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm_expr)
+            ).alias("features")
+        ).where(nrm_expr > 0)
+        model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
+        for cid, center in enumerate(model.clusterCenters()):
+            cents.append((cid, unit([float(x) for x in center])))
+    else:  # "sample": seeded uniform draw of corpus vectors, one pass
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)), F.col("cid"))
+            .limit(n_centroids)
+            .collect()
+        )
+        for r in cent_rows:
+            cents.append((int(r.cid), unit([float(x) for x in r.cvec])))
 
     def dist_entries(vec: Column) -> Column:
         # struct(-dot, cid) per centroid: array_min/sort_array order by

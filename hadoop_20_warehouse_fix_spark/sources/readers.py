@@ -114,6 +114,92 @@ def read_json(
     return reader.json(path)
 
 
+# SURVEY §1.2 Writable → Spark SQL type mapping (reference:
+# src/core/org/apache/hadoop/io/*.java). Keys are the Writable class
+# short names a reference warehouse's JobConf would declare.
+WRITABLE_TO_SPARK: dict[str, T.DataType] = {
+    "BooleanWritable": T.BooleanType(),
+    "ByteWritable": T.ByteType(),
+    "IntWritable": T.IntegerType(),
+    "VIntWritable": T.IntegerType(),
+    "LongWritable": T.LongType(),
+    "VLongWritable": T.LongType(),
+    "FloatWritable": T.FloatType(),
+    "DoubleWritable": T.DoubleType(),
+    "Text": T.StringType(),
+    "UTF8": T.StringType(),
+    "BytesWritable": T.BinaryType(),
+    "MD5Hash": T.BinaryType(),
+    "NullWritable": T.NullType(),
+}
+
+
+def _writable_type(spec: str | T.DataType) -> T.DataType:
+    if isinstance(spec, T.DataType):
+        return spec
+    if spec in WRITABLE_TO_SPARK:
+        return WRITABLE_TO_SPARK[spec]
+    return T._parse_datatype_string(spec)  # "string", "bigint", ...
+
+
+def read_sequence_file(
+    spark: SparkSession,
+    path: str,
+    key_type: str | T.DataType = "Text",
+    value_type: str | T.DataType = "Text",
+    key_name: str = "key",
+    value_name: str = "value",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """REAL SequenceFile ingest — the first thing a migration from the
+    reference warehouse hits (30 PB of binary KV files before any
+    Parquet exists). Reference: SequenceFile.java:186 (header/record
+    format, sync markers), SequenceFileInputFormat.java.
+
+    ``sc.sequenceFile`` reads the Writable pairs JVM-side (sync markers
+    make the files SPLITTABLE — split planning is the same
+    FileInputFormat math as text); Pyrolite converts each Writable to
+    its Python value, and we stamp the declared schema on top
+    (``key_type``/``value_type`` accept Writable class names per
+    SURVEY §1.2 — "Text", "LongWritable" — or Spark type strings).
+
+    Scale: this path pays one pickle boundary per record — correct for
+    ingest/migration, wrong as a steady-state scan. Migrate once with
+    :func:`sequence_to_parquet` and scan columnar thereafter (the
+    engine's SequenceFile→Parquet standardization, SURVEY §1.3)."""
+    kt, vt = _writable_type(key_type), _writable_type(value_type)
+    rdd = spark.sparkContext.sequenceFile(path, minSplits=min_partitions)
+
+    def norm(v, want_bytes: bool):
+        if want_bytes and isinstance(v, bytearray):
+            return bytes(v)
+        return v
+
+    kb, vb = isinstance(kt, T.BinaryType), isinstance(vt, T.BinaryType)
+    schema = T.StructType(
+        [T.StructField(key_name, kt, True), T.StructField(value_name, vt, True)]
+    )
+    return spark.createDataFrame(
+        rdd.map(lambda kv: (norm(kv[0], kb), norm(kv[1], vb))), schema
+    )
+
+
+def sequence_to_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    key_type: str | T.DataType = "Text",
+    value_type: str | T.DataType = "Text",
+    **read_kwargs,
+) -> DataFrame:
+    """One-shot SequenceFile→Parquet migration (read once through the
+    pickle boundary, write columnar+zstd, scan fast forever). Returns
+    the migrated DataFrame reading from ``dest``."""
+    df = read_sequence_file(spark, src, key_type, value_type, **read_kwargs)
+    df.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

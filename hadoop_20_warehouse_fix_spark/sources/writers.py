@@ -53,6 +53,18 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_col
     w.parquet(path)
 
 
+def write_sequence_file(df: DataFrame, path: str, key_col: str, value_col: str) -> None:
+    """REAL SequenceFile sink (SequenceFileOutputFormat analog) for
+    interop with reference-era consumers still reading binary KV files.
+    ``saveAsSequenceFile`` infers the Writables from the runtime values
+    (str→Text, int→Int/LongWritable, float→DoubleWritable,
+    bytes→BytesWritable) — keep each column's Python type uniform (cast
+    in the DataFrame first). Splittable output (sync markers), readable
+    back via :func:`~.readers.read_sequence_file`. Steady-state storage
+    should still be Parquet (write_table); this is the compat bridge."""
+    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
+
+
 def write_kv_text(df: DataFrame, path: str, key_col: str, value_col: str, sep: str = "\t", compression: str | None = None) -> None:
     """TextOutputFormat: ``key <sep> value`` lines (+ optional codec)."""
     out = df.select(F.concat_ws(sep, F.col(key_col).cast("string"), F.col(value_col).cast("string")).alias("value"))

@@ -9,7 +9,7 @@ import pytest
 from py4j.protocol import Py4JJavaError
 from pyspark.sql import functions as F
 
-from hadoop_20_warehouse_fix_spark.operators.pipe import chain, pipe, pipe_grouped
+from hadoop_20_warehouse_fix_spark.operators.pipe import chain, pipe, pipe_grouped, pipe_tagged
 
 # ValueCountReduce analog: per-key count over a key-sorted stdin stream.
 UNIQ_COUNT = (
@@ -52,6 +52,21 @@ def test_pipe_nonzero_exit_fails(spark):
     df = spark.createDataFrame([("x",)], ["k"])
     with pytest.raises((Py4JJavaError, Exception)):
         pipe(df, "sh -c 'exit 1'").collect()
+
+
+def test_pipe_tagged_two_sources(spark):
+    # Hive-streaming -inputtagged: the script sees each line prefixed
+    # with its source index and can merge/diff the inputs. The test
+    # script swaps tag 0 -> "left", 1 -> "right" and echoes key\tvalue.
+    left = spark.createDataFrame([("a", "1"), ("b", "2")], ["k", "v"])
+    right = spark.createDataFrame([("a", "9")], ["k", "v"])
+    script = (
+        "python3 -c \"import sys; "
+        "[print(('left' if t == '0' else 'right') + chr(9) + rest.rstrip(chr(10))) "
+        "for t, rest in (l.split(chr(9), 1) for l in sys.stdin)]\""
+    )
+    got = {(r.key, r.value) for r in pipe_tagged([left, right], script).collect()}
+    assert got == {("left", "a\t1"), ("left", "b\t2"), ("right", "a\t9")}
 
 
 def test_chain_fuses_stages(spark):

@@ -31,21 +31,31 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     emb = load_table(spark, SF_CORRECT, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
-    approx = {
-        (r.query_id, r.neighbor_id)
-        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
-    }
-    recall = len(exact & approx) / len(exact)
-    # Deterministic (seeded codebook, fixed data): 0.58 at sf0.01.
+
+    def run(nprobe, codebook):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, queries, k=5, n_centroids=16, nprobe=nprobe, codebook=codebook
+            ).collect()
+        }
+
+    def recall(got):
+        return len(exact & got) / len(exact)
+
     # Uniform-random synthetic embeddings are ANN-adversarial (neighbors
-    # barely closer than random), so this is a floor, not a ceiling.
-    assert recall >= 0.5, f"IVF recall regressed: {recall}"
+    # barely closer than random): recall tracks the scanned fraction, so
+    # the 0.8-recall operating point is nprobe/K = 1/2. All numbers are
+    # deterministic (seeded k-means codebook, fixed data): measured
+    # kmeans 0.60@nprobe4 / 0.80@nprobe8 vs sample 0.58/0.78 at sf0.01.
+    km4 = run(4, "kmeans")
+    assert recall(km4) >= 0.5, f"IVF kmeans nprobe=4 recall regressed: {recall(km4)}"
+    km8 = run(8, "kmeans")
+    assert recall(km8) >= 0.8, f"IVF kmeans nprobe=8 recall regressed: {recall(km8)}"
+    # k-means cells must not be WORSE than the sampled codebook.
+    assert recall(km4) >= recall(run(4, "sample"))
     # Determinism: the seeded codebook must give identical results on re-run.
-    rerun = {
-        (r.query_id, r.neighbor_id)
-        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
-    }
-    assert approx == rerun
+    assert km4 == run(4, "kmeans")
 
 
 def test_multimodal_fake_features_deterministic(spark):
@@ -102,3 +112,73 @@ def test_multimodal_resize_and_frames_deterministic(spark):
     assert len(f1) == 30 * 4
     f2 = {(r.media_id, r.frame_idx): bytes(r.frame) for r in sample_frames(media, 4).collect()}
     assert f1 == f2
+
+
+def _make_ppm(w, h):
+    import numpy as np
+
+    # deterministic gradient: pixel (y,x) = (y*16, x*16, (x+y)*8) mod 256
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.stack([(y * 16) % 256, (x * 16) % 256, ((x + y) * 8) % 256], axis=-1).astype(
+        "uint8"
+    )
+    return arr, b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def test_ppm_decode_encode_round_trip():
+    import numpy as np
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import decode_image, encode_ppm
+
+    arr, ppm = _make_ppm(6, 4)
+    decoded = decode_image(ppm)
+    assert decoded.shape == (4, 6, 3) and np.array_equal(decoded, arr)
+    assert decode_image(encode_ppm(decoded)).tolist() == arr.tolist()
+    # header comments per netpbm spec
+    commented = b"P6\n# a comment\n6 4\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_image(commented), arr)
+
+
+def test_bmp_decode_real_pixels():
+    import struct
+
+    import numpy as np
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import decode_image
+
+    # hand-build a 3x2 24-bit bottom-up BMP: rows padded to 4 bytes
+    pixels = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)  # RGB
+    row_bytes = (3 * 3 + 3) & ~3  # 12
+    raster = b""
+    for row in pixels[::-1]:  # bottom-up
+        r = b"".join(bytes([b, g, rr]) for rr, g, b in row)  # BGR
+        raster += r.ljust(row_bytes, b"\x00")
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    bmp = header + info + raster
+    assert np.array_equal(decode_image(bmp), pixels)
+
+
+def test_resize_real_pixels_and_batch(spark):
+    import numpy as np
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        decode_image,
+        resize_batch,
+        resize_image,
+    )
+
+    arr, ppm = _make_ppm(8, 8)
+    out = decode_image(resize_image(ppm, 4, 4))
+    # nearest-neighbor with floor index math: out[y,x] = arr[2y, 2x]
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out, arr[::2, ::2])
+
+    # the Spark operator takes the REAL path for PPM payloads
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"not an image payload, resampled"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: bytes(r.payload) for r in resize_batch(media, 4, 4).collect()}
+    assert decode_image(rows[1]).tolist() == arr[::2, ::2].tolist()
+    assert len(rows[2]) == max(4 * 4 // 64, 1)  # fallback byte-resampler

@@ -11,11 +11,68 @@ from hadoop_20_warehouse_fix_spark.sources.readers import (
     jdbc_select_query,
     read_csv,
     read_kv_text,
+    read_sequence_file,
     read_text,
     read_text_nlines,
     read_xml_records,
     scan_time_filters,
+    sequence_to_parquet,
 )
+
+
+def test_sequence_file_round_trip_text(spark, tmp_path):
+    # The reference's TestSequenceFile round-trip (SequenceFile.java:186
+    # header + sync markers), Text/Text: write real SequenceFiles, read
+    # them back typed. SURVEY §5.1 model.
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_sequence_file
+
+    src = spark.createDataFrame(
+        [(f"k{i:03d}", f"v{i}") for i in range(100)], "key string, value string"
+    )
+    path = str(tmp_path / "seq_text")
+    write_sequence_file(src, path, "key", "value")
+    back = read_sequence_file(spark, path, "Text", "Text")
+    assert back.schema.simpleString() == "struct<key:string,value:string>"
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_sequence_file_round_trip_numeric_and_binary(spark, tmp_path):
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_sequence_file
+
+    # LongWritable / DoubleWritable
+    num = spark.range(50).select(
+        (F.col("id") + 10_000_000_000).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    p1 = str(tmp_path / "seq_num")
+    write_sequence_file(num, p1, "k", "v")
+    back = read_sequence_file(spark, p1, "LongWritable", "DoubleWritable", "k", "v")
+    assert back.schema.simpleString() == "struct<k:bigint,v:double>"
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, num.collect()))
+
+    # Text / BytesWritable (binary payloads — the multimodal storage case)
+    byt = spark.createDataFrame(
+        [(f"b{i}", bytes([i, 255 - i, 0])) for i in range(20)], "key string, value binary"
+    )
+    p2 = str(tmp_path / "seq_bytes")
+    write_sequence_file(byt, p2, "key", "value")
+    back2 = read_sequence_file(spark, p2, "Text", "BytesWritable")
+    assert back2.schema.simpleString() == "struct<key:string,value:binary>"
+    assert sorted(map(tuple, back2.collect())) == sorted(map(tuple, byt.collect()))
+
+
+def test_sequence_to_parquet_migration(spark, tmp_path):
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_sequence_file
+
+    src = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(30)], "key string, value string"
+    )
+    seq = str(tmp_path / "seq_src")
+    write_sequence_file(src, seq, "key", "value")
+    pq = str(tmp_path / "pq_dest")
+    migrated = sequence_to_parquet(spark, seq, pq, "Text", "Text")
+    assert sorted(map(tuple, migrated.collect())) == sorted(map(tuple, src.collect()))
+    # steady-state scan is now columnar
+    assert spark.read.parquet(pq).count() == 30
 
 
 def test_read_text_lines(spark, tmp_path):
