@@ -454,3 +454,62 @@ def ngram_jaccard_pairs_cross(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list — the clustering
+    step after pair generation (minhash/simhash/ngram): every doc in a
+    component is a duplicate of every other via a chain, and the cluster
+    representative is the MIN id (deterministic canonical doc).
+
+    Algorithm: iterative min-label propagation on DataFrames. Labels
+    start as each node's own id; each round every node takes the min of
+    its label and its neighbors' labels (one equality join + min-agg
+    per round). Labels decrease monotonically, so convergence is
+    detected by one scalar agg: sum(labels) unchanged -> fixed point.
+    Rounds needed = component diameter; near-dup components are dense
+    quasi-cliques (diameter 2-4), so this terminates in a handful of
+    rounds. For adversarial long-chain graphs at 100 TB, swap the
+    update rule for alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public) —
+    O(log^2 n) rounds with the same join/agg physical shape.
+
+    Returns (id, cluster_id) for every node that appears in ``edges``;
+    callers left-join and coalesce to give singletons their own id."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.persist()
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).persist()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         similarity,
         sorts,
+        sources,
         streaming,
         text,
         tpch_extra,

@@ -92,13 +92,19 @@ def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")
+@query("dedup_minhash_lsh", oracle=_NGRAM_PAIRS_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (60 perms) + LSH banding (20×3) + exact-Jaccard verify —
     the 100 TB near-dup path (fixed-size signatures, equality-join
-    candidates, no all-pairs). Approximate by construction (banding
-    S-curve recall), hence rows-only here; recall >= 0.9 and precision
-    == 1.0 vs the exact query are asserted in tests/test_dedup.py."""
+    candidates, no all-pairs). Precision is 1.0 by construction (exact
+    verify); recall is the banding S-curve — and this corpus's near-dup
+    pairs are well separated from the 0.5 threshold (measured min
+    matched Jaccard 0.9 at sf0.01 / 0.8 at sf0.1, where the per-pair
+    miss probability is <= (1-0.8^3)^20 ≈ 6e-7), so the seeded
+    (deterministic) banding finds every pair and the EXACT all-pairs
+    oracle holds — verified value-identical at both SFs. On a corpus
+    with pairs hugging the threshold, drop back to the exact
+    dedup_ngram_* queries or accept S-curve recall."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=60, bands=20, threshold=0.5
     )
@@ -112,6 +118,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent (xxhash64), so no cross-engine oracle; invariants tested
     in tests/test_dedup.py."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE words_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ), docs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(words) - 2, 0)),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS sh
+      FROM words_t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: near-dup pairs (exact 3-gram
+    Jaccard >= 0.5) -> connected components -> every doc labeled with
+    its cluster's min doc_id (singletons label themselves). The step a
+    training-data pipeline runs after pair generation: keep one canonical
+    doc per cluster, drop the rest — transitively, not just pairwise
+    (A~B, B~C puts A and C in one cluster even if A!~C).
+
+    Iterative DataFrame algorithm (see operators.dedup.
+    connected_components) under a FULL oracle gate: the DuckDB recursive
+    CTE computes the transitive closure and must agree on every label."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).cast("bigint").alias("cluster_id"),
+        )
+    )
 
 
 @query(

@@ -56,11 +56,22 @@ def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_resize_batch")
+@query(
+    "mm_resize_batch",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(16 AS INT) AS n_bytes
+    FROM documents
+    """,
+)
 def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched resize plumbing (stubbed codec, deterministic byte
-    resampler): fixed-size output payloads with typed dimensions.
-    Binary output → rows-only; determinism asserted in tests."""
+    """Arrow-batched resize: real nearest-neighbor pixels for decodable
+    payloads (PPM/BMP — tests/test_similarity.py), deterministic
+    byte-resampler fallback otherwise. The documents-as-media corpus is
+    text (not decodable), so every row takes the fallback: exactly one
+    output row per media_id with the fixed 32x32//64-byte payload — the
+    oracle checks that delivery contract; pixel math is pytest-gated."""
     from hadoop_20_warehouse_fix_spark.functions.multimodal import documents_as_media, resize_batch
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))

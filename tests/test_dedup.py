@@ -169,3 +169,33 @@ def test_ngram_jaccard_strategies_match_python_truth(spark):
     }
     assert posting == truth
     assert prefix == truth
+
+
+def test_connected_components_chain_and_clique(spark):
+    from hadoop_20_warehouse_fix_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    # clique {10,11,12}, isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_transitive_on_corpus(spark):
+    # Transitivity on the real corpus: every pair's two docs share one
+    # cluster label, and labels are the component-min doc_id.
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    for p in pairs.collect():
+        assert cc[p.id_a] == cc[p.id_b]
+        assert cc[p.id_a] <= min(p.id_a, p.id_b)
+    assert all(cid in cc and cc[cid] == cid for cid in set(cc.values()))
