@@ -33,11 +33,36 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "n_bytes")
 
 
-@query("mm_feature_vectors")
+@query(
+    "mm_feature_vectors",
+    oracle="""
+    WITH lo AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), ch -> ord(ch)) AS b
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(len(b) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(b), 0) % 1000000007 AS BIGINT) AS byte_checksum,
+           concat_ws(',',
+             COALESCE(list_sum(list_transform(generate_series(1, len(b), 8), j -> b[j])), 0) % 997,
+             COALESCE(list_sum(list_transform(generate_series(2, len(b), 8), j -> b[j])), 0) % 997,
+             COALESCE(list_sum(list_transform(generate_series(3, len(b), 8), j -> b[j])), 0) % 997,
+             COALESCE(list_sum(list_transform(generate_series(4, len(b), 8), j -> b[j])), 0) % 997,
+             COALESCE(list_sum(list_transform(generate_series(5, len(b), 8), j -> b[j])), 0) % 997,
+             COALESCE(list_sum(list_transform(generate_series(6, len(b), 8), j -> b[j])), 0) % 997,
+             COALESCE(list_sum(list_transform(generate_series(7, len(b), 8), j -> b[j])), 0) % 997,
+             COALESCE(list_sum(list_transform(generate_series(8, len(b), 8), j -> b[j])), 0) % 997
+           ) AS features_fp
+    FROM lo
+    """,
+)
 def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fake-feature output (byte checksum + 8-dim vector) —
-    rows-only gate (the vector math is the stand-in for a codec);
-    determinism and shape asserted in tests/test_multimodal.py.
+    """Full fake-feature output (byte checksum + 8-dim stride-sum
+    vector) under a FULL oracle gate: the deterministic fake extractor
+    is arithmetic over the payload bytes (ASCII text ⇒ chars == bytes),
+    so DuckDB recomputes every feature — per-batch Arrow delivery,
+    ids, and the vector math all verified value-for-value.
 
     The raw ``array<double>`` column is not canonicalizable by the
     driver's row-sorter (lists are unhashable), so the driver-visible

@@ -40,13 +40,54 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("sim_ann_lsh")
+def _lsh_oracle(n_planes: int = 4, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    """DuckDB oracle for lsh_topk with the SEEDED hyperplanes inlined as
+    literals: the bucket function is deterministic given (seed, dim), so
+    the 'approximate' ANN result is exactly reproducible in SQL — the
+    oracle replays bucket assignment (sequential-fold dot signs) and the
+    within-bucket exact-cosine ranking."""
+    from hadoop_20_warehouse_fix_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def dot(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return f"list_sum(list_transform(generate_series(1, {dim}), i -> v[i] * ({lit})[i]))"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(p)} > 0 THEN {1 << i} ELSE 0 END)" for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                 {bucket} AS bucket
+          FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+               / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("sim_ann_lsh", oracle=_lsh_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH buckets (4 planes → 16 buckets,
     seeded, deterministic): equality-join on bucket, exact cosine inside.
     ~1/16 of the corpus scored per query — the sub-linear 100 TB path.
-    Approximate by construction → rows-only; recall vs brute force
-    asserted in tests/test_similarity.py."""
+    'Approximate' means recall<1 vs brute force (asserted in
+    tests/test_similarity.py), NOT nondeterminism: given the seed the
+    result is exact, so the oracle replays the planes as SQL literals
+    and must agree value-for-value."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, dim=64)
 
