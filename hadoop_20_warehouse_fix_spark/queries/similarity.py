@@ -114,3 +114,78 @@ def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk_np(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e)
+    SELECT vec_id,
+           round(amax / 127.0, 9) AS scale,
+           array_to_string(
+             list_transform(v, x -> CAST(CASE WHEN amax = 0 THEN 0
+                                              ELSE round(x / (amax / 127.0)) END AS BIGINT)),
+             ',') AS codes_fp
+    FROM m
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4x storage cut, the
+    ANN-serving prep step) under a FULL oracle gate: per-vector scale
+    and every quantized code replayed in SQL. Row-local arithmetic —
+    zero shuffles at any scale; codes ride as array<tinyint> (emitted
+    here as a canonicalizable fingerprint string — same reason as
+    mm_feature_vectors)."""
+    from hadoop_20_warehouse_fix_spark.functions.embeddings import quantize_int8
+
+    q = quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("long").cast("string"))
+        ).alias("codes_fp"),
+    )
+
+
+@query(
+    "emb_normalize",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+    SELECT vec_id,
+           round(nrm, 6) AS norm,
+           array_to_string(
+             list_transform(v, x -> CAST(round(x / nrm * 1000000) AS BIGINT)),
+             ',') AS unit_fp
+    FROM n WHERE nrm <> 0
+    """,
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization of the embedding column (the pre-ANN/pre-dedup
+    canonical form): sequential-fold norm (cross-engine bit-stable) and
+    each unit component verified to 1e-6 via an integer-scaled
+    fingerprint (integers stringify identically across engines; raw
+    double-to-string formatting does not)."""
+    from hadoop_20_warehouse_fix_spark.functions.embeddings import (
+        l2_norm_col,
+        normalize_embedding,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id",
+        F.round(l2_norm_col(F.col("embedding")), 6).alias("norm"),
+        normalize_embedding(F.col("embedding")).alias("u"),
+    ).where(F.col("u").isNotNull())
+    return unit.select(
+        "vec_id",
+        "norm",
+        F.concat_ws(
+            ",",
+            F.transform("u", lambda x: F.round(x * 1000000).cast("long").cast("string")),
+        ).alias("unit_fp"),
+    )

@@ -248,3 +248,41 @@ def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "user_id", "cnt", (F.col("total") / 100.0).alias("total_value")
     )
+
+
+@query(
+    "events_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-ingest: ``dropDuplicates`` over the file
+    stream's state store (the exactly-once ingest guard a warehouse puts
+    in front of at-least-once deliveries), drained with availableNow —
+    the retained KEYS must equal batch DISTINCT exactly. Keys only in
+    the driver-visible output because which duplicate row survives is
+    arrival-order dependent; the key set is deterministic.
+
+    100 TB: dedup state is one entry per distinct key — bound it with a
+    watermark (dropDuplicatesWithinWatermark) on event-time keys; here
+    the key domain (user x type) is small and the drain is one batch."""
+    import tempfile
+    import uuid
+
+    from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
+
+    ensure_nanos_conf(spark)
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = sdf.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    res = run_available_now(
+        deduped,
+        tempfile.mkdtemp(prefix="stream_dedup_ckpt_"),
+        query_name="stream_dedup_" + uuid.uuid4().hex[:8],
+        output_mode="append",
+    )
+    return res.select("user_id", "event_type")
