@@ -124,3 +124,47 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2.join(drop, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", F.round("q", 6).alias("quality")
     )
+
+
+@query(
+    "corpus_pack_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in doc_id order) to training
+    shards of ~2000 whitespace tokens each — shard_id = exclusive prefix
+    token count / budget, the deterministic streaming-packing rule an
+    LLM data pipeline uses to build fixed-budget shards.
+
+    The prefix sum is the SCALABLE two-pass form
+    (operators.sort.prefix_sum: range-partition -> per-partition window
+    -> bounded offset collect + broadcast back), NOT a bare global-order
+    window (which Spark executes on a single partition). The oracle
+    recomputes the same running sum declaratively — proving the
+    distributed scan equals the sequential one."""
+    from hadoop_20_warehouse_fix_spark.operators.sort import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ws_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    cum = prefix_sum(toks, "doc_id", "n_tokens", out_name="cum_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2000.0))
+        .cast("long")
+        .alias("shard_id"),
+    )

@@ -384,3 +384,18 @@ if _HAS_HYPOTHESIS:
             for k, v in src:
                 want[k] = v
         assert got == want
+
+
+def test_prefix_sum_matches_sequential(spark):
+    from hadoop_20_warehouse_fix_spark.operators.sort import prefix_sum
+
+    rows = [(i, (i * 7) % 13) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.k: r.cumsum for r in prefix_sum(df, "k", "v", num_partitions=7).collect()}
+    acc, want = 0, {}
+    for k, v in rows:
+        acc += v
+        want[k] = acc
+    assert got == want
+    # multi-partition really happened (no single-partition fallback)
+    assert df.repartitionByRange(7, "k").rdd.getNumPartitions() == 7

@@ -182,3 +182,36 @@ def test_resize_real_pixels_and_batch(spark):
     rows = {r.media_id: bytes(r.payload) for r in resize_batch(media, 4, 4).collect()}
     assert decode_image(rows[1]).tolist() == arr[::2, ::2].tolist()
     assert len(rows[2]) == max(4 * 4 // 64, 1)  # fallback byte-resampler
+
+
+def test_embedding_quantize_reconstruction(spark):
+    import numpy as np
+
+    from hadoop_20_warehouse_fix_spark.functions.embeddings import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = quantize_int8(emb).withColumn(
+        "recon", dequantize_int8(quantize_int8(emb))
+    )
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for r in q.select("vec_id", "scale", "codes", "recon").collect():
+        o = orig[r.vec_id]
+        rec = np.array(r.recon, dtype=np.float64)
+        assert len(r.codes) == len(o)
+        assert all(-127 <= c <= 127 for c in r.codes)
+        # symmetric quantization error bound: half a step per element
+        assert np.max(np.abs(o - rec)) <= r.scale / 2 + 1e-12
+
+
+def test_embedding_normalize_unit_and_null(spark):
+    from hadoop_20_warehouse_fix_spark.functions.embeddings import normalize_embedding
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<double>"
+    )
+    rows = {r.id: r.u for r in df.select("id", normalize_embedding(F.col("v")).alias("u")).collect()}
+    assert abs(sum(x * x for x in rows[1]) - 1.0) < 1e-12
+    assert rows[2] is None  # zero-norm -> NULL, not NaN
