@@ -327,17 +327,39 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def simhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash (Charikar) as 4 × 16-bit band values: per token,
-    xxhash64; per bit, sum(+1/-1); fingerprint bit = sign. Band
+def simhash_bands(
+    df: DataFrame, id_col: str, text_col: str, token_hash: str = "md5"
+) -> DataFrame:
+    """64-bit SimHash (Charikar) as 4 × 16-bit band values: per token, a
+    64-bit hash; per bit, sum(+1/-1); fingerprint bit = sign. Band
     representation avoids signed-64 overflow and is directly the
     pigeonhole blocking key for Hamming <= 3 search.
 
+    ``token_hash="md5"`` (default) builds the 64 bits from two 32-bit
+    md5 chunks — an ENGINE-AGNOSTIC hash, so the whole fingerprint (and
+    every pair decision downstream) is reproducible in any system with
+    md5; the DuckDB oracle for dedup_simhash replays it bit-for-bit.
+    ``"xxhash64"`` is the faster JVM-only variant (same structure,
+    Spark-defined fingerprints).
+
     Entirely groupBy/sum over exploded tokens — no Python."""
     tok = df.select(F.col(id_col).alias("id"), F.explode(words_of(F.col(text_col))).alias("w"))
-    h = F.xxhash64("w")
+    if token_hash == "md5":
+        lo = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        hi = F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long")
+
+        def bit(b: int):
+            src = lo if b < 32 else hi
+            return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+
+    else:
+        h = F.xxhash64("w")
+
+        def bit(b: int):
+            return F.shiftright(h, b).bitwiseAND(F.lit(1))
+
     bit_sums = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{b}")
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"_b{b}")
         for b in range(64)
     ]
     sums = tok.groupBy("id").agg(*bit_sums)
@@ -351,7 +373,9 @@ def simhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("id", *band_vals)
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, token_hash: str = "md5"
+) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming (<= 3):
     by pigeonhole, such pairs agree on >= 1 of the 4 16-bit bands.
 
@@ -361,7 +385,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     band (8x); the exploded form evaluates it twice (~40% faster at
     sf0.1). Join key (bi, bv) is exact-match blocking; full band
     vectors ride along for the Hamming verify."""
-    sh = simhash_bands(df, id_col, text_col)
+    sh = simhash_bands(df, id_col, text_col, token_hash=token_hash)
     bands = [f"band{i}" for i in range(4)]
     banded = sh.select(
         "id",

@@ -216,10 +216,20 @@ def ivf_topk(
         model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
         for cid, center in enumerate(model.clusterCenters()):
             cents.append((cid, unit([float(x) for x in center])))
-    else:  # "sample": seeded uniform draw of corpus vectors, one pass
+    else:
+        # "sample": seeded uniform draw of corpus vectors, one pass.
+        # "sample_md5": same idea but the draw orders by md5(id) — an
+        # engine-agnostic coin, so the ENTIRE search (codebook, cell
+        # assignment, probes, ranking) is replayable in any SQL engine
+        # with md5 — the reproducible-ANN contract the oracle checks.
+        order = (
+            F.md5(F.col("cid").cast("string"))
+            if codebook == "sample_md5"
+            else F.xxhash64(F.col("cid"), F.lit(seed))
+        )
         cent_rows = (
             corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-            .orderBy(F.xxhash64(F.col("cid"), F.lit(seed)), F.col("cid"))
+            .orderBy(order, F.col("cid"))
             .limit(n_centroids)
             .collect()
         )

@@ -110,13 +110,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB oracle replaying the md5-based SimHash bit-for-bit: hex
+    chunks parsed with exact double arithmetic (< 2^53), per-bit sign
+    sums over unnested tokens, band packing, pigeonhole blocking, and
+    the Hamming verify via xor+bit_count."""
+    hexv = lambda a, b: (  # noqa: E731 — hex substring [a..b) of md5(w) as a number
+        "list_sum(list_transform(generate_series(%d, %d), "
+        "i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1) "
+        "* power(16, %d - i)))" % (a, b - 1, b - 1)
+    )
+    lo, hi = hexv(1, 9), hexv(9, 17)
+    bit_sums = ",\n           ".join(
+        "sum(CASE WHEN floor({src} / power(2, {k})) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}".format(
+            src="lo" if b < 32 else "hi", k=b % 32, b=b
+        )
+        for b in range(64)
+    )
+    bands = ",\n           ".join(
+        " + ".join(
+            f"(CASE WHEN b{band * 16 + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+        )
+        + f" AS band{band}"
+        for band in range(4)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        w -> w <> '')) AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id, {lo} AS lo, {hi} AS hi FROM tok
+    ), sums AS (
+      SELECT doc_id,
+           {bit_sums}
+      FROM h GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id,
+           {bands}
+      FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+              + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS INT)
+             AS hamming
+    FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+    WHERE (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+      AND bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+        + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming <= 3) with pigeonhole band
-    blocking — exact w.r.t. SimHash semantics (4 equality joins cover
-    all Hamming<=3 pairs), but the fingerprint itself is engine-hash
-    dependent (xxhash64), so no cross-engine oracle; invariants tested
-    in tests/test_dedup.py."""
+    blocking — exact w.r.t. SimHash semantics (the 4-band equality join
+    covers all Hamming<=3 pairs by pigeonhole; the band-blocking oracle
+    is also the exact all-pairs answer for the same reason). The
+    fingerprint uses md5-derived token hashes (engine-agnostic), so the
+    DuckDB oracle replays the ENTIRE construction bit-for-bit — the
+    reproducible-fingerprint contract a multi-engine warehouse needs.
+    Invariants additionally tested in tests/test_dedup.py."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
 
 

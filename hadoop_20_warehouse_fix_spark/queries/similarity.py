@@ -189,3 +189,73 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("u", lambda x: F.round(x * 1000000).cast("long").cast("string")),
         ).alias("unit_fp"),
     )
+
+
+_IVF_MD5_ORACLE = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM n
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    centsu AS (
+      SELECT cid,
+             list_transform(cv, x -> x / sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cu
+      FROM cents
+    ),
+    dots AS (
+      SELECT n.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * c.cu[i])) AS d
+      FROM n CROSS JOIN centsu c
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(qn.v)),
+                                     i -> qn.v[i] * cn.v[i])) / (qn.nrm * cn.nrm) AS cos
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      JOIN n qn ON qn.vec_id = p.vec_id
+      JOIN n cn ON cn.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("sim_ann_ivf_md5", oracle=_IVF_MD5_ORACLE)
+def sim_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with a REPRODUCIBLE codebook: the 16 centroids are
+    the corpus vectors with smallest md5(vec_id) — an engine-agnostic
+    coin — so codebook selection, unit-normalization, argmax cell
+    assignment, 4-cell probing, and within-cell ranking are ALL replayed
+    by the DuckDB oracle value-for-value. The reproducible-ANN contract:
+    any engine with md5 derives the identical index and answers.
+    (sim_ann_ivf keeps the k-means codebook — better cells, rows-only.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        codebook="sample_md5",
+    )
