@@ -217,3 +217,92 @@ def cms_lookup(sketch: DataFrame, items: DataFrame, col: str, width: int = 1024,
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def md5_bucket(col: Column | str, d: int, width: int) -> Column:
+    """Engine-agnostic CMS probe position: first 32 md5 bits of
+    ``value|depth`` mod width — replayable in any engine with md5
+    (DuckDB oracle does), unlike xxhash64."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col(col) if isinstance(col, str) else col, F.lit(str(d)))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_sketch_md5(df: DataFrame, col: str, width: int = 1024, depth: int = 4) -> DataFrame:
+    """count_min_sketch with md5 probe positions — identical structure
+    and guarantees, engine-agnostic cell layout (the reproducible-sketch
+    contract: any engine can rebuild or query the same sketch)."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), md5_bucket(col, d, width).alias("bucket"))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db")
+    ).select("db.d", "db.bucket")
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup_md5(
+    sketch: DataFrame, items: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """cms_lookup against an md5-positioned sketch (left join +
+    coalesce(0), same empty-cell semantics)."""
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), md5_bucket(col, d, width).alias("bucket"))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select(col, "db.d", "db.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 256
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch: hash each value to a
+    uniform coin u = md5_32(value)/2^32 in [0,1); the k-th smallest
+    DISTINCT u per group estimates the cardinality as (k-1)/u_k
+    (Bar-Yossef et al., RANDOM'02 — public). Unlike HLL the estimator
+    is a pure deterministic function of the data given md5, so the
+    DuckDB oracle reproduces it EXACTLY — a reproducible approximate
+    sketch (std error ~ 1/sqrt(k) ≈ 6%% at k=256).
+
+    Physical form here: distinct coins -> per-group ordered row_number
+    -> the rn==k row. That is sort-based (shuffle of distinct coins);
+    the streaming form keeps a fixed k-size heap per group — same
+    answer, O(k) state, the 100 TB merge path (like the reference's
+    capped UniqValueCount, SURVEY §2.4, but with a principled
+    estimator). Groups with fewer than k distinct values emit no row
+    (their exact distinct count is below sketch resolution — count them
+    exactly)."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    ).alias("u")
+    coins = df.select(*group_cols, u).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (
+        coins.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select(
+            *group_cols,
+            F.floor(F.lit(k - 1) / F.col("u")).cast("long").alias("est_distinct"),
+        )
+    )

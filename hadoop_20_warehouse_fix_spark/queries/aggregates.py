@@ -255,3 +255,101 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word")).limit(20).select("word")
     )
     return cms_lookup(sketch, top, "word", width=4096, depth=4)
+
+
+_HEX8 = (
+    "list_sum(list_transform(generate_series(1, 8), "
+    "i -> (strpos('0123456789abcdef', substr({h}, i, 1)) - 1) * power(16, 8 - i)))"
+)
+
+
+def _cms_md5_oracle(width: int = 4096, depth: int = 4, topn: int = 20) -> str:
+    """Replay the md5-positioned CMS in SQL: rebuild the probed cells
+    from the raw stream, then min over depths per top word."""
+    def bucket(expr: str, d: int) -> str:
+        h = f"md5({expr} || '|' || '{d}')"
+        return f"CAST({_HEX8.format(h=h)} % {width} AS BIGINT)"
+
+    cell_union = "\n      UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket('word', d)} AS bucket FROM words" for d in range(depth)
+    )
+    probe_union = "\n      UNION ALL ".join(
+        f"SELECT word, {d} AS d, {bucket('word', d)} AS bucket FROM top" for d in range(depth)
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS word
+      FROM documents
+    ), top AS (
+      SELECT word FROM words GROUP BY word
+      ORDER BY count(*) DESC, word LIMIT {topn}
+    ), cells AS (
+      SELECT d, bucket, count(*) AS cnt FROM (
+      {cell_union}
+      ) GROUP BY d, bucket
+    ), probes AS (
+      {probe_union}
+    )
+    SELECT p.word, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+    FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+    GROUP BY p.word
+    """
+
+
+@query("agg_heavy_hitters_cms_md5", oracle=_cms_md5_oracle())
+def agg_heavy_hitters_cms_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the md5-positioned count-min sketch — identical
+    structure and error bounds to agg_heavy_hitters_cms, but the probe
+    positions are engine-agnostic, so the DuckDB oracle rebuilds the
+    sketch from the raw stream and reproduces every estimate EXACTLY
+    (the reproducible-sketch contract; the xxhash64 form stays as the
+    faster JVM-only variant)."""
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import (
+        cms_lookup_md5,
+        count_min_sketch_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    sketch = count_min_sketch_md5(words, "word", width=4096, depth=4)
+    top = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word")).limit(20).select("word")
+    )
+    return cms_lookup_md5(sketch, top, "word", width=4096, depth=4)
+
+
+@query(
+    "agg_uniq_kmv",
+    oracle="""
+    WITH coins AS (
+      SELECT DISTINCT l_returnflag,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5(CAST(l_partkey AS VARCHAR)), i, 1)) - 1)
+                    * power(16, 8 - i))) / 4294967296.0 AS u
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_returnflag, u,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn
+      FROM coins
+    )
+    SELECT l_returnflag, CAST(floor(255 / u) AS BIGINT) AS est_distinct
+    FROM ranked WHERE rn = 256
+    """,
+)
+def agg_uniq_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct partkeys per returnflag via the K-minimum-values sketch
+    (k=256, ~6%% std error) — the REPRODUCIBLE approximate distinct
+    count: unlike HLL (engine-specific, rows-only agg_uniq_approx), the
+    KMV estimator is a deterministic function of the data given md5, so
+    the oracle replays it exactly. Accuracy vs exact counts asserted in
+    tests/test_operators.py."""
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import kmv_distinct
+
+    return kmv_distinct(
+        load_table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey", k=256
+    )

@@ -399,3 +399,41 @@ def test_prefix_sum_matches_sequential(spark):
     assert got == want
     # multi-partition really happened (no single-partition fallback)
     assert df.repartitionByRange(7, "k").rdd.getNumPartitions() == 7
+
+
+def test_kmv_distinct_accuracy(spark):
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import kmv_distinct
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.count_distinct("l_partkey").alias("n")).collect()
+    }
+    est = {r.l_returnflag: r.est_distinct for r in kmv_distinct(li, ["l_returnflag"], "l_partkey", k=256).collect()}
+    for flag, n in exact.items():
+        if n >= 256:
+            assert abs(est[flag] - n) / n < 0.25, (flag, est[flag], n)
+    # determinism
+    est2 = {r.l_returnflag: r.est_distinct for r in kmv_distinct(li, ["l_returnflag"], "l_partkey", k=256).collect()}
+    assert est == est2
+
+
+def test_cms_md5_never_undercounts(spark):
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import (
+        cms_lookup_md5,
+        count_min_sketch_md5,
+    )
+
+    df = spark.createDataFrame(
+        [(w,) for w in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]], ["word"]
+    )
+    sketch = count_min_sketch_md5(df, "word", width=64, depth=4)
+    items = df.select("word").distinct()
+    est = {r.word: r.est_count for r in cms_lookup_md5(sketch, items, "word", width=64, depth=4).collect()}
+    truth = {"a": 50, "b": 20, "c": 5, "d": 1}
+    for w, n in truth.items():
+        assert est[w] >= n  # CMS never undercounts
+    # absent item -> 0 or small overestimate, never dropped
+    absent = spark.createDataFrame([("zz",)], ["word"])
+    got = cms_lookup_md5(sketch, absent, "word", width=64, depth=4).collect()
+    assert len(got) == 1 and got[0].est_count >= 0
