@@ -130,3 +130,47 @@ def prefix_sum(
         .withColumn(out_name, (F.col("_local_sum") + F.col("_offset")).cast("long"))
         .drop("_pid", "_local_sum", "_offset")
     )
+
+
+def zorder_value(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    integer column — points close in ALL dimensions get close z-values,
+    so range-partitioning + sorting by z clusters multi-dimensional
+    locality into the same files/row-groups. THE layout trick for
+    min/max pruning on two+ filter columns at once (a 1-d sort prunes
+    only its leading column).
+
+    Pure bit arithmetic (codegen'd, row-local, engine-agnostic — the
+    oracle replays it); inputs must be non-negative integers (rank- or
+    bucket-normalize first otherwise). bits*len(cols) must fit 63."""
+    ncols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if bits * len(ncols) > 63:
+        raise ValueError("interleaved width exceeds signed-64")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(ncols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * len(ncols) + i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Z-order-clustered Parquet layout: compute the Morton key, range
+    partition + sort by it, drop it, write. Parquet min/max stats on the
+    ORIGINAL columns then prune multi-dimensional box queries — each
+    file covers a compact z-range, hence a compact box in every
+    dimension."""
+    z = zorder_value(list(cols), bits).alias("_z")
+    out = df.withColumn("_z", z)
+    out = (
+        out.repartitionByRange(num_files, "_z")
+        if num_files is not None
+        else out.repartitionByRange("_z")
+    )
+    out.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(path)

@@ -173,3 +173,36 @@ def terasort_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(k, bool(v)) for k, v in sorted(checks.items())]
     out = spark.createDataFrame(rows, "check string, ok boolean")
     return out.filter(F.col("ok"))  # drops rows on failure → driver sees <3 rows
+
+
+@query(
+    "sort_zorder_values",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           CAST(sum(
+             ((l_orderkey >> b) & 1) * power(2, 2 * b)
+             + ((l_partkey >> b) & 1) * power(2, 2 * b + 1)
+           ) AS BIGINT) AS zvalue
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         generate_series(0, 15) t(b)
+    GROUP BY l_orderkey, l_partkey
+    """,
+)
+def sort_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) keys for the (orderkey, partkey) plane — the
+    multi-dimensional clustering layout (operators.sort.zorder_value /
+    write_zordered): files sorted by z cover compact boxes in BOTH
+    dimensions, so parquet min/max stats prune 2-d box predicates that
+    a 1-d sort cannot. Bit interleaving replayed exactly by the oracle.
+
+    NOTE: lineitem has duplicate (orderkey, partkey) keys; output is
+    per distinct pair (the layout key space), keeping the driver's
+    row-sort canonical."""
+    from hadoop_20_warehouse_fix_spark.operators.sort import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        zorder_value(["l_orderkey", "l_partkey"], bits=16).alias("zvalue"),
+    )

@@ -192,3 +192,35 @@ def test_explode_does_not_reevaluate_computed_array(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     plan = shingle_rows(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("array_distinct(transform(") <= 1, plan
+
+
+def test_zorder_value_matches_python_reference(spark):
+    from hadoop_20_warehouse_fix_spark.operators.sort import zorder_value
+
+    df = spark.createDataFrame([(x, y) for x in range(8) for y in range(8)], "x long, y long")
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", zorder_value(["x", "y"], bits=3).alias("z")).collect()}
+
+    def morton(x, y, bits=3):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x in range(8) for y in range(8)}
+
+
+def test_write_zordered_files_cover_disjoint_z_ranges(spark, tmp_path):
+    from hadoop_20_warehouse_fix_spark.operators.sort import write_zordered, zorder_value
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    path = str(tmp_path / "zordered")
+    write_zordered(li, path, ["l_orderkey", "l_partkey"], bits=16, num_files=6)
+    back = spark.read.parquet(path).withColumn(
+        "z", zorder_value(["l_orderkey", "l_partkey"], bits=16)
+    ).withColumn("f", F.input_file_name())
+    ranges = back.groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()
+    ivs = sorted((r.lo, r.hi) for r in ranges)
+    assert len(ivs) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ivs, ivs[1:]):
+        assert hi1 <= lo2  # range partitioning on z => disjoint file intervals
