@@ -353,3 +353,28 @@ def agg_uniq_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(
         load_table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey", k=256
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup specialize):
+    per-flag, per-status, and per-pair aggregates in ONE pass — each
+    grouping set gets its own partial aggregation, shuffle bounded by
+    total output cardinality."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )

@@ -286,3 +286,74 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return res.select("user_id", "event_type")
+
+
+@query(
+    "events_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s,
+           CAST(round(p.value, 2) AS DOUBLE) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    """,
+)
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with event-time bounds: purchases joined
+    to the same user's clicks from the preceding 10 minutes, both sides
+    real file streams with watermarks (state eviction — the mechanism
+    that makes an unbounded two-stream join runnable), drained with
+    availableNow. The drained result must equal the batch interval join
+    exactly — oracle replays it as plain SQL.
+
+    100 TB: watermark bounds each side's state to the interval window;
+    the join itself shuffles both streams on user_id once."""
+    import tempfile
+    import uuid
+
+    from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
+
+    ensure_nanos_conf(spark)
+
+    def stream_side(etype: str):
+        sdf = (
+            spark.readStream.schema(
+                "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            sdf.filter(F.col("event_type") == etype)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "30 minutes")
+        )
+
+    p = stream_side("purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    c = stream_side("click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    res = run_available_now(
+        joined,
+        tempfile.mkdtemp(prefix="stream_join_ckpt_"),
+        query_name="stream_join_" + uuid.uuid4().hex[:8],
+        output_mode="append",
+    )
+    return res.select(
+        F.col("p_user").alias("user_id"),
+        F.floor(F.col("p_ts").cast("double")).cast("long").alias("purchase_s"),
+        F.floor(F.col("c_ts").cast("double")).cast("long").alias("click_s"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )
