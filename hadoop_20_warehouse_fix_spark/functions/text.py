@@ -112,3 +112,36 @@ def rolling_fingerprint(text: Column, base: int = 31, mod: int = 1_000_000_007) 
         F.lit(0).cast("long"),
         lambda acc, w: F.pmod(acc * base + word_h(w), F.lit(mod)),
     )
+
+
+# PII scrubbing (training-data preparation): conservative, deterministic
+# regex redaction. Patterns stay in the common regex subset (character
+# classes + quantifiers — no lookarounds), so Java (Spark) and RE2-style
+# engines (DuckDB oracle) agree byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] = ("EMAIL", "IPV4", "PHONE")) -> Column:
+    """Replace each PII match with ``<KIND>`` — the cheap deterministic
+    scrub a corpus pass runs before anything else sees the text. Order
+    matters (EMAIL before PHONE so digits inside addresses don't
+    half-match); all JVM-side regexp_replace, scan-fused."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-kind match counts — the audit metric (how much PII
+    a corpus slice carries) without materializing the matches."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(kind.lower())
+            for kind, pat in PII_PATTERNS.items()
+        ]
+    )

@@ -274,3 +274,37 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))
+
+
+@query(
+    "text_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g'),
+                 '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+                 '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails / IPv4s / phone-shaped digit runs →
+    typed placeholders) + per-kind audit counts — the standard
+    training-corpus hygiene step, entirely JVM-side regexp (scan-fused,
+    zero shuffle). The redacted text is compared as md5 (long strings
+    hash-stable); patterns use the regex subset both engines parse
+    identically."""
+    from hadoop_20_warehouse_fix_spark.functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.md5(redact_pii(t)).alias("redacted_md5"),
+        pii_counts(t).getField("email").cast("long").alias("n_email"),
+        pii_counts(t).getField("ipv4").cast("long").alias("n_ipv4"),
+    )

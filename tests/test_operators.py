@@ -437,3 +437,51 @@ def test_cms_md5_never_undercounts(spark):
     absent = spark.createDataFrame([("zz",)], ["word"])
     got = cms_lookup_md5(sketch, absent, "word", width=64, depth=4).collect()
     assert len(got) == 1 and got[0].est_count >= 0
+
+
+def test_round2_operators_empty_and_degenerate_inputs(spark):
+    """Empty/degenerate inputs must produce empty (not crashing) plans:
+    the same hardening posture as test_dedup_family_null_and_degenerate."""
+    from hadoop_20_warehouse_fix_spark.functions.embeddings import quantize_int8
+    from hadoop_20_warehouse_fix_spark.operators.dedup import connected_components
+    from hadoop_20_warehouse_fix_spark.operators.similarity import blocked_cosine_pairs
+    from hadoop_20_warehouse_fix_spark.operators.sort import prefix_sum, zorder_value
+
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_edges).count() == 0
+
+    empty_kv = spark.createDataFrame([], "k long, v long")
+    assert prefix_sum(empty_kv, "k", "v").count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert blocked_cosine_pairs(empty_emb, n_blocks=4).count() == 0
+    assert quantize_int8(empty_emb).count() == 0
+
+    # zero vector quantizes to scale 0 + zero codes (no division blowup)
+    zv = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    r = quantize_int8(zv).collect()[0]
+    assert r.scale == 0.0 and list(r.codes) == [0, 0, 0]
+
+    # single-row prefix sum
+    one = spark.createDataFrame([(5, 7)], "k long, v long")
+    assert prefix_sum(one, "k", "v").collect()[0].cumsum == 7
+
+    # zorder of zeros is zero
+    z = spark.createDataFrame([(0, 0)], "x long, y long")
+    assert z.select(zorder_value(["x", "y"], bits=4).alias("z")).collect()[0].z == 0
+
+
+def test_redact_pii_unit(spark):
+    from hadoop_20_warehouse_fix_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "a@b.com and 10.0.0.1 and +44 20 7946 0958"), (2, ""), (3, None)],
+        "id long, text string",
+    )
+    rows = {r.id: (r.red, r.c) for r in df.select(
+        "id", redact_pii(F.col("text")).alias("red"), pii_counts(F.col("text")).alias("c")
+    ).collect()}
+    assert rows[1][0] == "<EMAIL> and <IPV4> and <PHONE>"
+    assert dict(rows[1][1].asDict()) == {"email": 1, "ipv4": 1, "phone": 1}
+    assert rows[2][0] == ""  # empty passes through
+    assert rows[3][0] is None  # NULL propagates, no crash
