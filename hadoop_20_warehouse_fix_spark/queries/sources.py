@@ -37,3 +37,37 @@ def seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_sequence_file(docs, path, "doc_id", "text")
     back = read_sequence_file(spark, path, "LongWritable", "Text", "doc_id", "text")
     return back.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    WITH coined AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                    * power(16, 8 - i))) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT CASE WHEN u < 0.98 THEN 'train'
+                WHEN u < 0.99 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM coined GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split by content-addressed
+    md5 coin (sources.readers.assign_split): the same document lands in
+    the same split on every rerun, engine, and incremental load — the
+    anti-leakage property. Oracle replays the coin and thresholds
+    exactly; output is the per-split census."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

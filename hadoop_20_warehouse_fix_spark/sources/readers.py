@@ -300,3 +300,32 @@ def stratified_sample(
     thr = expr.otherwise(F.lit(hex_threshold(default_rate)))
     coin = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
     return df.filter(coin < thr)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    out_name: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5-coin of the key
+    (same coin as stratified_sample) lands in [0,1); cumulative split
+    fractions partition that interval. Content-addressed ⇒ a document
+    keeps its split across reruns, incremental loads, and engines — the
+    property that prevents test-set leakage when a corpus is rebuilt.
+    Row-local (scan-fused, zero shuffle) at any scale."""
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    coin = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = coin < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_name, expr)
