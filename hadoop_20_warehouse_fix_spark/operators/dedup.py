@@ -537,3 +537,70 @@ def connected_components(
         prev_sum = new_sum
     sym.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_lines_within_doc(
+    df: DataFrame, id_col: str, text_col: str, out_name: str = "text"
+) -> DataFrame:
+    """Intra-document repetition removal: keep the FIRST occurrence of
+    each exact line within a document, preserve line order, rejoin —
+    the navigation/footer-spam cleanup pass (CCNet/Dolma-style) that
+    runs before any cross-document dedup.
+
+    Entirely row-local array expressions (split -> positional explode ->
+    min-position per distinct line -> ordered reassembly)? No — the
+    whole thing stays INSIDE one higher-order expression per row
+    (aggregate over the line array with an accumulator of seen lines),
+    so there is NO explode and NO shuffle: a pure scan-fused projection
+    at any scale."""
+    lines = F.split(F.col(text_col), "\n")
+    # accumulate (kept_array) over lines: append if not already present
+    dedup = F.aggregate(
+        lines,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.array_join(dedup, "\n").alias(out_name)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 3,
+    out_name: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate removal: a line that appears in >=
+    ``min_docs`` DISTINCT documents is boilerplate (headers, footers,
+    cookie banners) and is dropped from every document; line order
+    otherwise preserved.
+
+    Physical form: distinct (doc, line) rows -> line document-frequency
+    -> broadcast-able boilerplate set -> per-row array filter. The DF
+    aggregation shuffles one row per distinct (doc, line) — bounded by
+    corpus vocabulary of lines, not corpus size; the rewrite itself is
+    scan-fused. At 100 TB the boilerplate set can exceed broadcast
+    limits — swap the array_contains against a left-anti join on
+    exploded lines (same semantics, one extra shuffle)."""
+    lines_rows = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line")
+    )
+    boiler = (
+        lines_rows.groupBy("line")
+        .agg(F.count_distinct("_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("line")
+    )
+    boiler_arr = boiler.agg(F.sort_array(F.collect_list("line")).alias("bl"))
+    out = df.crossJoin(F.broadcast(boiler_arr)).select(
+        F.col(id_col),
+        F.array_join(
+            F.filter(F.split(F.col(text_col), "\n"), lambda x: ~F.array_contains(F.col("bl"), x)),
+            "\n",
+        ).alias(out_name),
+    )
+    return out

@@ -199,3 +199,50 @@ def test_dedup_clusters_transitive_on_corpus(spark):
         assert cc[p.id_a] == cc[p.id_b]
         assert cc[p.id_a] <= min(p.id_a, p.id_b)
     assert all(cid in cc and cc[cid] == cid for cid in set(cc.values()))
+
+
+def test_dedup_lines_within_doc(spark):
+    from hadoop_20_warehouse_fix_spark.operators.dedup import dedup_lines_within_doc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro\nbody A\nintro\nbody B\nintro"),
+            (2, "x\nx\nx"),
+            (3, "only line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in dedup_lines_within_doc(docs, "doc_id", "text").collect()}
+    # first occurrence kept, order preserved
+    assert got == {1: "intro\nbody A\nbody B", 2: "x", 3: "only line"}
+
+
+def test_remove_boilerplate_lines(spark):
+    from hadoop_20_warehouse_fix_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique one\nFOOTER"),
+            (2, "COOKIE BANNER\nunique two\nFOOTER"),
+            (3, "COOKIE BANNER\nunique three\nFOOTER"),
+            (4, "no boilerplate here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(docs, "doc_id", "text", min_docs=3).collect()
+    }
+    # lines in >=3 distinct docs dropped everywhere; order preserved
+    assert got == {
+        1: "unique one",
+        2: "unique two",
+        3: "unique three",
+        4: "no boilerplate here",
+    }
+    # min_docs above corpus max -> nothing removed
+    untouched = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(docs, "doc_id", "text", min_docs=10).collect()
+    }
+    assert untouched[1] == "COOKIE BANNER\nunique one\nFOOTER"
