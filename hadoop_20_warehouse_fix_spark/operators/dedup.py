@@ -513,7 +513,7 @@ def connected_components(
         "label", F.col("id")
     ).persist()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
@@ -535,6 +535,12 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+        # Iterative plans nest one join per round; past a few rounds the
+        # lineage itself becomes the cost (analysis time, task binary
+        # size). localCheckpoint truncates it to the materialized data —
+        # the standard iterative-algorithm hygiene on long chains.
+        if (it + 1) % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
