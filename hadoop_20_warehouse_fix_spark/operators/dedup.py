@@ -178,12 +178,22 @@ def ngram_jaccard_pairs(
     Scale notes: no broadcast hints — the size/set side is one row per
     doc, far too big to broadcast at corpus scale; AQE auto-broadcasts
     it at bench scale where it is small. The only unavoidable shuffles
-    are the shingle groupBys (keyed on shingle text — high cardinality,
-    skew bounded by max DF) and the tiny per-pair aggregation."""
+    are the shingle groupBys (keyed on xxhash64(shingle) — 8-byte keys,
+    high cardinality, skew bounded by max DF) and the tiny per-pair
+    aggregation."""
     docs = doc_shingle_sets(df, id_col, text_col, n)
 
     if not prefix_filter:
-        rows = docs.select("id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh"))
+        # Blocking keys are xxhash64(shingle), not the shingle strings:
+        # the posting groupBy shuffles 8-byte longs instead of ~25-byte
+        # strings (measured ~20% off the dominant stage at sf0.1).
+        # Distinct hashes == distinct strings modulo a 2^-64 collision —
+        # the intersection COUNTS (hence jaccard) are exact for any
+        # realistic corpus; the prefix/verify path below intersects the
+        # original string sets, so it is collision-free by construction.
+        rows = docs.select(
+            "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh_str")
+        ).select("id", "n_sh", F.xxhash64("sh_str").alias("sh"))
         if max_df is not None:
             rows = rows.withColumn(
                 "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
@@ -229,7 +239,12 @@ def ngram_jaccard_pairs(
     # size side: deduped candidates are far fewer than raw pair rows, so
     # filtering there beats carrying sizes through the (interpreted)
     # pair-explode lambda — measured ~35% faster end-to-end at sf0.1.
-    rows = docs.select("id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh"))
+    # Hashed blocking keys here too (same argument as above; the final
+    # verify intersects original string sets, so results stay exact even
+    # under a hash collision — a collision only adds a candidate).
+    rows = docs.select(
+        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh_str")
+    ).select("id", "n_sh", F.xxhash64("sh_str").alias("sh"))
     ranked = rows.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
     ).withColumn("r", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")))
@@ -438,11 +453,11 @@ def ngram_jaccard_pairs_cross(
     materialized (bucketed-by-shingle) table updated per ingest batch;
     the per-batch cost is then one shuffle of the NEW side only."""
     c_rows = doc_shingle_sets(corpus_df, id_col, text_col, n).select(
-        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
-    )
+        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh_str")
+    ).select("id", "n_sh", F.xxhash64("sh_str").alias("sh"))
     n_rows = doc_shingle_sets(new_df, id_col, text_col, n).select(
-        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
-    )
+        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh_str")
+    ).select("id", "n_sh", F.xxhash64("sh_str").alias("sh"))
     posting = (
         c_rows.withColumn("side", F.lit(0))
         .unionByName(n_rows.withColumn("side", F.lit(1)))
