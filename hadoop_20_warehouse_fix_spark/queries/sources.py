@@ -71,3 +71,151 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "kvtext_roundtrip",
+    oracle="SELECT CAST(doc_id AS VARCHAR) AS key, text AS value FROM documents",
+)
+def kvtext_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-text round-trip (TextOutputFormat -> KeyValueTextInputFormat):
+    write `key \\t value` lines, split them back at the first separator —
+    the reference's default text interchange, proven lossless on real
+    data under the oracle gate."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import read_kv_text
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_kv_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="kvtext_rt_") + "/kv"
+    write_kv_text(docs, path, "doc_id", "text")
+    return read_kv_text(spark, path)
+
+
+@query(
+    "xml_records_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def xml_records_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML record scan round-trip (StreamXmlRecordReader): wrap each
+    document as `<rec id="N">text</rec>`, write as text, re-frame the
+    records with the begin/end-tag reader, parse id and body back out.
+    Oracle checks every document survives framing exactly."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import read_xml_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="xml_rt_") + "/xml"
+    docs.select(
+        F.concat(
+            F.lit('<rec id="'), F.col("doc_id").cast("string"), F.lit('">'),
+            F.col("text"), F.lit("</rec>"),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    recs = read_xml_records(spark, path, "rec")
+    return recs.select(
+        F.regexp_extract("record", r'<rec id="(\d+)">', 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("record", r'<rec id="\d+">(.*)</rec>', 1).alias("text"),
+    )
+
+
+@query(
+    "demux_partitioned_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 8 AS BIGINT) AS part, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def demux_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demux sink round-trip (MultipleOutputFormat): route rows into one
+    directory per derived key, read the partitioned layout back, census
+    per partition — proving the demux delivered every row to the right
+    leaf."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="demux_rt_") + "/parts"
+    write_partitioned(docs, path, F.pmod(F.col("doc_id"), F.lit(8)), "part")
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("part").cast("bigint").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "jdbc_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink + scan round-trip (DBOutputFormat/DBInputFormat)
+    against the embedded Derby that ships with Spark: batched INSERTs
+    out, partitioned range SELECTs back. Oracle checks byte-perfect
+    delivery both ways."""
+    import uuid
+
+    from hadoop_20_warehouse_fix_spark.sources.readers import read_jdbc
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_jdbc
+
+    url = f"jdbc:derby:memory:h20wf_q_{uuid.uuid4().hex[:12]};create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_jdbc(docs, url, "docs", mode="overwrite", **drv)
+    back = read_jdbc(
+        spark, url, "docs",
+        partition_column="doc_id", lower_bound=0, upper_bound=100000, num_partitions=4,
+        **drv,
+    )
+    return back.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+
+
+@query(
+    "compact_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (CombineFileInputFormat/HAR
+    analog): scatter the table into many small files, compact to few
+    large ones, read back — content identical, file count reduced
+    (count asserted in tests/test_sinks.py; content under the oracle
+    gate here)."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import compact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="compact_rt_")
+    src, dst = base + "/small", base + "/compacted"
+    docs.repartition(16).write.mode("overwrite").parquet(src)
+    compact(spark, src, dst, target_file_mb=512)
+    return spark.read.parquet(dst)
+
+
+@query(
+    "multi_sink_census",
+    oracle="""
+    SELECT 'even' AS sink, count(*) AS n_rows FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'odd' AS sink, count(*) AS n_rows FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def multi_sink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleOutputs round-trip: ONE pass over the source feeds two
+    named sinks (even/odd doc_ids); the written sinks are read back and
+    censused — proving the single-read multi-write contract delivered
+    every row to exactly one sink."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import multi_sink, write_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="multisink_rt_")
+    multi_sink(
+        docs,
+        {
+            "even": (F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                     lambda d: write_table(d, base + "/even")),
+            "odd": (F.pmod(F.col("doc_id"), F.lit(2)) == 1,
+                    lambda d: write_table(d, base + "/odd")),
+        },
+    )
+    even = spark.read.parquet(base + "/even").agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("even").alias("sink"), "n_rows"
+    )
+    odd = spark.read.parquet(base + "/odd").agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("odd").alias("sink"), "n_rows"
+    )
+    return even.unionByName(odd)
