@@ -54,28 +54,36 @@ def main() -> None:
                 pass  # warmup is best-effort; the timed run will surface real failures
         spark.catalog.clearCache()  # drop warmup-persisted intermediates
 
+    # Per-query fault isolation: one red query must cost ITS number, not
+    # the whole bench (round 2 lost all perf signal to a single analysis
+    # error). Failures go to stderr + an "errors" map; the JSON line
+    # still prints for the survivors.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in sorted(headline.items()):
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        try:
+            spec.fn(spark, sf_dir).count()
+            per_query[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — keep benching survivors
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(json.dumps({"query": name, "err": errors[name]}), file=sys.stderr)
         # Queries that persist intermediates (corpus_clean) must not leak
         # cached partitions into the next query's memory budget.
         spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -29,37 +29,114 @@ TABLES = [
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
-def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make TIMESTAMP(NANOS) parquet columns readable on ANY session.
+def ensure_events_conf(spark: SparkSession) -> None:
+    """Runtime confs that make ``events.ts`` read the SAME way on ANY
+    session — the single place the engine pins its timestamp contract.
 
-    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL
-    conf; callers may hand us a vanilla SparkSession (the driver harness
-    does), so the catalog sets it itself rather than relying on
-    build_session. Safe to call repeatedly; swallow failures so a
-    session that forbids the conf still works for nanos-free tables."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    The driver has shipped events.parquet under two physical encodings
+    so far (TIMESTAMP(NANOS) in round 1, TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) in round 2); both must normalize to a plain
+    ``TimestampType`` instant:
+
+    - ``nanosAsLong``: NANOS columns surface as bigint (nanos) instead
+      of failing the scan; ``normalize_event_ts`` converts them.
+    - ``inferTimestampNTZ=false``: MICROS/isAdjustedToUTC=false columns
+      surface as ``TimestampType`` (raw micros = micros-since-epoch, no
+      tz adjustment) instead of ``TIMESTAMP_NTZ``, whose epoch casts
+      Spark forbids.
+    - ``session.timeZone=UTC``: naive-vs-instant equivalence with the
+      DuckDB oracle's ``epoch()`` must not depend on the JVM default tz
+      (the driver hands us a vanilla session that inherits it).
+
+    All three are runtime-settable SQL confs; safe to call repeatedly.
+    Failures are swallowed so a session that forbids a conf still works
+    for events-free tables."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass
+
+
+# Back-compat alias (round-1/2 call sites and tests import this name).
+ensure_nanos_conf = ensure_events_conf
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an events timestamp column to ``TimestampType``
+    whatever physical encoding it was read as. Works on batch AND
+    streaming DataFrames (pure column expressions, one cast at the
+    scan, JVM-side).
+
+    - bigint  → legacy TIMESTAMP(NANOS) under nanosAsLong: integer-
+      divide to micros (``/`` would divide as double and round on the
+      half-microsecond, off-by-1µs vs engines that truncate — DuckDB).
+    - timestamp_ntz → fallback when inferTimestampNTZ couldn't be
+      disabled: reinterpret the naive value as UTC (session tz is
+      pinned to UTC by ensure_events_conf, so the cast is lossless).
+    - timestamp → already the contract type; no-op."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def epoch_seconds(col):
+    """Dtype-safe epoch-seconds projection for any timestamp flavor.
+
+    The leading ``cast("timestamp")`` is a no-op on TimestampType and a
+    UTC reinterpretation on TIMESTAMP_NTZ (session tz pinned by
+    ensure_events_conf), so the final BIGINT cast — illegal directly on
+    NTZ — is always legal. Matches DuckDB ``CAST(floor(epoch(ts)) AS
+    BIGINT)`` for non-negative epochs."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Columnar Parquet scan: Catalyst prunes
     columns and pushes predicates down to the reader for free.
 
-    events.ts is stored as TIMESTAMP(NANOS); Spark reads it as long
-    nanos (``spark.sql.legacy.parquet.nanosAsLong``, set here at runtime
-    so even an externally built session works) and we normalize to a
-    microsecond timestamp — one cast at the scan, JVM-side."""
-    ensure_nanos_conf(spark)
+    events.ts goes through the engine's ONE timestamp choke point
+    (ensure_events_conf + normalize_event_ts) so every downstream query
+    sees ``TimestampType`` regardless of the file's physical encoding."""
+    ensure_events_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        # Integer division: `/` would divide as double and round on the
-        # half-microsecond, off-by-1µs vs engines that truncate (DuckDB).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str = "events") -> DataFrame:
+    """File-source STREAM over one catalog table with the same
+    normalized schema the batch path produces.
+
+    The declared readStream schema is taken from a batch read of the
+    same file (schema-only; no data scan), so it can never drift from
+    the physical encoding the way a hand-declared string schema did in
+    round 2 — the structural bug behind the events_stream_* wrong
+    answers. ``pathGlobFilter`` selects the one table out of the
+    scale-factor directory (the file source takes a directory)."""
+    ensure_events_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events":
+        sdf = normalize_event_ts(sdf)
+    return sdf
 
 
 def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

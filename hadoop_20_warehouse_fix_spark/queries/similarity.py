@@ -31,11 +31,17 @@ _COSINE_TOPK_ORACLE = """
     """
 
 
-@query("sim_cosine_topk", headline=True, oracle=_COSINE_TOPK_ORACLE)
+@query("sim_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10):
     broadcast queries × one corpus pass, JVM-side double-fold dot
-    product, per-query ranked window. The brute-force ANN baseline."""
+    product, per-query ranked window. The brute-force ANN baseline.
+
+    CONTRACT: O(|queries| × |corpus|) by definition — the exactness
+    reference the recall tests measure ANN variants against, NOT the
+    serving path. At 100 TB use sim_ann_ivf_md5 / sim_ann_lsh (the
+    benched headline is the IVF one for exactly this reason — round-2
+    VERDICT item 4)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -241,7 +247,7 @@ _IVF_MD5_ORACLE = """
     """
 
 
-@query("sim_ann_ivf_md5", oracle=_IVF_MD5_ORACLE)
+@query("sim_ann_ivf_md5", headline=True, oracle=_IVF_MD5_ORACLE)
 def sim_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN with a REPRODUCIBLE codebook: the 16 centroids are
     the corpus vectors with smallest md5(vec_id) — an engine-agnostic

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_20_warehouse_fix_spark.catalog import ensure_nanos_conf, load_table
+from hadoop_20_warehouse_fix_spark.catalog import epoch_seconds, load_table, stream_table
 from hadoop_20_warehouse_fix_spark.queries import query
 from hadoop_20_warehouse_fix_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
@@ -45,7 +45,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")],
     )
     return out.select(
-        F.col("win_start").cast("long").alias("win_start"), "event_type", "cnt", "sum_value"
+        epoch_seconds("win_start").alias("win_start"), "event_type", "cnt", "sum_value"
     )
 
 
@@ -68,7 +68,7 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     that ratio small; the agg itself stays map-side-partial."""
     ev = load_table(spark, sf_dir, "events")
     out = sliding_agg(ev, window_size="1 hour", slide="30 minutes")
-    return out.select(F.col("win_start").cast("long").alias("win_start"), "cnt")
+    return out.select(epoch_seconds("win_start").alias("win_start"), "cnt")
 
 
 @query(
@@ -145,7 +145,7 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = session_agg(ev, gap="10 minutes", key_cols=["user_id"])
     return out.select(
-        "user_id", F.floor(F.col("sess_start").cast("double")).cast("long").alias("sess_start"), "cnt"
+        "user_id", epoch_seconds("sess_start").alias("sess_start"), "cnt"
     )
 
 
@@ -172,19 +172,11 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
 
-    # The file-stream source takes a DIRECTORY; select just the events
-    # table out of the scale-factor dir with a glob filter. The declared
-    # `ts bigint` only parses TIMESTAMP(NANOS) under nanosAsLong — set it
-    # here so a vanilla (driver-built) session works.
-    ensure_nanos_conf(spark)
-    sdf = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # stream_table derives the declared schema from the file itself and
+    # normalizes ts to TimestampType — the round-2 wrong answers came
+    # from a hand-declared `ts bigint` schema that silently misread the
+    # regenerated micros encoding as raw integers.
+    sdf = stream_table(spark, sf_dir, "events")
     out = tumbling_agg(
         sdf,
         window_size="1 hour",
@@ -199,7 +191,7 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return res.select(
-        F.col("win_start").cast("long").alias("win_start"), "event_type", "cnt", "sum_value"
+        epoch_seconds("win_start").alias("win_start"), "event_type", "cnt", "sum_value"
     )
 
 
@@ -227,14 +219,7 @@ def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_running_agg,
     )
 
-    ensure_nanos_conf(spark)
-    sdf = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    sdf = stream_table(spark, sf_dir, "events")
     cents = sdf.select(
         "user_id", F.round(F.col("value") * 100).cast("long").cast("double").alias("value")
     )
@@ -270,14 +255,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
 
-    ensure_nanos_conf(spark)
-    sdf = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    sdf = stream_table(spark, sf_dir, "events")
     deduped = sdf.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     res = run_available_now(
         deduped,
@@ -316,21 +294,9 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
 
-    ensure_nanos_conf(spark)
-
     def stream_side(etype: str):
-        sdf = (
-            spark.readStream.schema(
-                "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        return (
-            sdf.filter(F.col("event_type") == etype)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .withWatermark("ts", "30 minutes")
-        )
+        sdf = stream_table(spark, sf_dir, "events")
+        return sdf.filter(F.col("event_type") == etype).withWatermark("ts", "30 minutes")
 
     p = stream_side("purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
@@ -353,7 +319,7 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return res.select(
         F.col("p_user").alias("user_id"),
-        F.floor(F.col("p_ts").cast("double")).cast("long").alias("purchase_s"),
-        F.floor(F.col("c_ts").cast("double")).cast("long").alias("click_s"),
+        epoch_seconds("p_ts").alias("purchase_s"),
+        epoch_seconds("c_ts").alias("click_s"),
         F.round("p_value", 2).alias("purchase_value"),
     )

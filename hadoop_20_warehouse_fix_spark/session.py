@@ -51,9 +51,13 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Testdata events.parquet carries TIMESTAMP(NANOS) — read as long
-        # (catalog.load_table converts to a microsecond timestamp).
+        # events.ts physical encoding has changed between driver rounds
+        # (NANOS, then MICROS/NTZ); these two make every encoding surface
+        # as something catalog.normalize_event_ts maps to TimestampType.
+        # catalog.ensure_events_conf re-asserts them at runtime for
+        # vanilla (driver-built) sessions.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # InferFiltersFromGenerate synthesizes size(e)>0 AND isnotnull(e)
         # from explode(e); predicate pushdown then re-inlines e below the
         # projection, so a computed array (e.g. the interpreted shingle
