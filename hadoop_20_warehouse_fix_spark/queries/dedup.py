@@ -283,3 +283,101 @@ def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") < 400)
     new = docs.filter(F.col("doc_id") >= 400)
     return ngram_jaccard_pairs_cross(new, corpus, "doc_id", "text", n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus cleaning under the oracle gate. The testdata documents
+# are single-line, so each query first builds a deterministic MULTI-LINE
+# corpus from them (groups of 5 docs joined by newlines, the lead doc's
+# text repeated, a constant footer on every page) — the same construction
+# replayed in the DuckDB oracle, so the line ops are checked value-for-value
+# on text that actually exercises them (round-2 VERDICT item 8).
+# ---------------------------------------------------------------------------
+
+_PAGES_CTE = """
+    WITH pages AS (
+      SELECT doc_id // 5 AS gid,
+             arg_min(text, doc_id) || chr(10) ||
+             string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+             '-- footer --' AS page
+      FROM documents GROUP BY 1
+    ),
+    lines AS (
+      SELECT gid, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+      FROM (SELECT gid, string_split(page, chr(10)) AS ls FROM pages)
+    )
+"""
+
+
+def _multiline_pages(docs: DataFrame) -> DataFrame:
+    """5-doc pages with an intra-page duplicate (lead line repeated) and
+    cross-page boilerplate (constant footer). One groupBy — the fixture
+    builder shuffles once; the ops under test add their own physics."""
+    g = docs.select(F.expr("doc_id div 5").alias("gid"), "doc_id", "text")
+    agg = g.groupBy("gid").agg(
+        F.min_by("text", "doc_id").alias("lead"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s.getField("text"),
+            ),
+            "\n",
+        ).alias("body"),
+    )
+    return agg.select(
+        "gid", F.concat_ws("\n", "lead", "body", F.lit("-- footer --")).alias("page")
+    )
+
+
+@query(
+    "dedup_lines_in_doc",
+    oracle=_PAGES_CTE
+    + """
+    SELECT gid, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM (SELECT gid, line, pos,
+                 row_number() OVER (PARTITION BY gid, line ORDER BY pos) AS rn
+          FROM lines)
+    WHERE rn = 1
+    GROUP BY gid
+    """,
+)
+def dedup_lines_in_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line dedup (first occurrence wins, order kept) —
+    the CCNet/Dolma-style repetition cleanup. The operator is one
+    higher-order aggregate per row (operators/dedup.py:
+    dedup_lines_within_doc): NO explode, NO shuffle beyond the fixture
+    build — a scan-fused projection at any corpus scale."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import dedup_lines_within_doc
+
+    pages = _multiline_pages(load_table(spark, sf_dir, "documents"))
+    return dedup_lines_within_doc(pages, "gid", "page", out_name="text")
+
+
+@query(
+    "corpus_remove_boilerplate",
+    oracle=_PAGES_CTE
+    + """
+    SELECT gid, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM lines
+    WHERE line NOT IN (
+        SELECT line FROM (
+            SELECT line, count(DISTINCT gid) AS d FROM lines GROUP BY line
+        ) WHERE d >= 3)
+    GROUP BY gid
+    """,
+)
+def corpus_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal: lines appearing in >= 3
+    distinct pages (the injected footer, plus any naturally duplicated
+    document bodies) are dropped from every page, order preserved.
+    Physical form (operators/dedup.py: remove_boilerplate_lines):
+    line-DF aggregation over distinct (page, line) rows — bounded by
+    line vocabulary, not corpus size — then a broadcast set + scan-fused
+    array filter; the documented 100 TB swap is an anti-join on exploded
+    lines. Pages left empty (all lines boilerplate) are dropped on both
+    sides."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import remove_boilerplate_lines
+
+    pages = _multiline_pages(load_table(spark, sf_dir, "documents"))
+    out = remove_boilerplate_lines(pages, "gid", "page", min_docs=3, out_name="text")
+    return out.filter(F.length("text") > 0)

@@ -219,3 +219,35 @@ def multi_sink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("odd").alias("sink"), "n_rows"
     )
     return even.unionByName(odd)
+
+
+@query(
+    "compressed_text_roundtrip",
+    oracle="SELECT CAST(doc_id AS VARCHAR) AS key, text AS value FROM documents",
+)
+def compressed_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text ingest round-trip: KV lines written with the gzip
+    codec, read back through the SAME codec-detecting text scan as plain
+    files (LineRecordReader.java:76-88's extension-based detection is
+    Hadoop behavior Spark inherits; the reference's Lzma/SimpleSeekable
+    additions — SimpleSeekableFormat.java:45, LzmaCodec.java:38 — exist
+    to make compressed TEXT seekable/splittable).
+
+    MIGRATION (closes SURVEY §1.3): this engine does not port the FB
+    seekable container. Gzip text is one-split-per-file here — the same
+    practical granularity the reference got, with parallelism from file
+    count (the demux/compact sinks control file sizing). The ROLE of
+    SimpleSeekableFormat (splittable compressed storage) is filled by
+    zstd Parquet — the engine-wide default sink (session.py) — which is
+    splittable at row-group boundaries and out-compresses LZMA-on-text;
+    bzip2 remains the only natively splittable text codec if raw text is
+    mandatory. Compressed text is an INGEST EDGE format: land it, read
+    it once, convert to Parquet (sources/readers.py:sequence_to_parquet
+    is the same playbook for SequenceFiles)."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import read_kv_text
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_kv_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="gztext_rt_") + "/kv"
+    write_kv_text(docs, path, "doc_id", "text", compression="gzip")
+    return read_kv_text(spark, path)
