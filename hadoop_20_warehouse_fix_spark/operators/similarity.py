@@ -98,8 +98,23 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket: bit p set iff dot(vec, plane_p) > 0."""
+def bucket_id(vec: Column, planes: list[list[float]], vec_sql: str | None = None) -> Column:
+    """Sign-pattern bucket: bit p set iff dot(vec, plane_p) > 0.
+
+    When ``vec_sql`` (the vector column's SQL name) is given, the whole
+    bucket expression is built as ONE SQL string — same py4j/parse
+    economics as ivf_topk's dist_entries_sql (n_planes*dim F.lit calls
+    otherwise), with the identical left-to-right double fold."""
+    if vec_sql is not None:
+        parts = []
+        for p, plane in enumerate(planes):
+            vals = ", ".join(f"{float(x)!r}D" for x in plane)
+            parts.append(
+                "(CASE WHEN aggregate(zip_with("
+                f"{vec_sql}, array({vals}), (x, y) -> CAST(x AS DOUBLE) * y), "
+                f"0.0D, (a, v) -> a + v) > 0 THEN {1 << p}L ELSE 0L END)"
+            )
+        return F.expr("(" + " + ".join(parts) + ")")
     acc = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(float(x)) for x in plane])
@@ -126,10 +141,10 @@ def lsh_topk(
     planes = hyperplanes(dim, n_planes, seed)
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv", "qn"
-    ).withColumn("bucket", bucket_id(F.col("qv"), planes))
+    ).withColumn("bucket", bucket_id(F.col("qv"), planes, vec_sql="qv"))
     c = with_norm(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv", "cn"
-    ).withColumn("bucket", bucket_id(F.col("cv"), planes))
+    ).withColumn("bucket", bucket_id(F.col("cv"), planes, vec_sql="cv"))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -323,3 +323,37 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("c_ts").alias("click_s"),
         F.round("p_value", 2).alias("purchase_value"),
     )
+
+
+@query(
+    "events_stream_dedup_watermarked",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def events_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` evicts dedup keys once the
+    watermark passes their event time — the production form of
+    events_stream_dedup for open-ended key domains, where an unbounded
+    state store would eventually OOM (state is keys-per-watermark-window
+    instead of all-keys-ever). Drained with availableNow in one batch:
+    every row is within the watermark of every other, so the retained
+    key set must equal batch DISTINCT exactly — same oracle as the
+    unbounded variant, different (100 TB-safe) state contract."""
+    import tempfile
+    import uuid
+
+    from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
+
+    sdf = stream_table(spark, sf_dir, "events")
+    deduped = (
+        sdf.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    res = run_available_now(
+        deduped,
+        tempfile.mkdtemp(prefix="stream_dedup_wm_ckpt_"),
+        query_name="stream_dedup_wm_" + uuid.uuid4().hex[:8],
+        output_mode="append",
+    )
+    return res.select("user_id", "event_type")
