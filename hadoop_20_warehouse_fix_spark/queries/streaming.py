@@ -357,3 +357,35 @@ def events_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
         output_mode="append",
     )
     return res.select("user_id", "event_type")
+
+
+@query(
+    "stream_demux_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value, 2) AS DOUBLE) AS value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+    """,
+)
+def stream_demux_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming demux sink round-trip: the events stream routed into
+    per-event-type directories via foreachBatch + partitionBy (the
+    MultipleOutputFormat analog as a STREAMING sink, idempotent per
+    batchId), then read back whole — delivery must be lossless,
+    value-for-value. Partition-pruned consumers read one event_type
+    directory without touching the rest; at 100 TB that layout is the
+    difference between a full scan and a 1/N scan per consumer."""
+    import tempfile
+
+    from hadoop_20_warehouse_fix_spark.streaming.windows import stream_demux
+
+    base = tempfile.mkdtemp(prefix="stream_demux_rt_")
+    sdf = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value"), "ts"
+    )
+    stream_demux(sdf, base + "/out", "event_type", base + "/ckpt")
+    back = spark.read.parquet(base + "/out")
+    return back.select(
+        "event_id", "user_id", "event_type", "value", epoch_seconds("ts").alias("ts_s")
+    )
