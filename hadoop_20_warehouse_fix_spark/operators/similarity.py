@@ -24,6 +24,7 @@ Two tiers:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -174,6 +175,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     codebook: str = "kmeans",
+    assign: str = "sql",
 ) -> DataFrame:
     """IVF-Flat ANN: coarse-quantize the corpus into ``n_centroids``
     inverted lists, probe the ``nprobe`` nearest lists per query, exact
@@ -280,26 +282,98 @@ def ivf_topk(
             )
         return "array(" + ", ".join(entries) + ")"
 
-    c = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv", "cn"
-    ).withColumn("cell", F.expr(f"array_min({dist_entries_sql('cv')}).cid"))
-    q = with_norm(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv", "qn"
-    ).withColumn(
-        "cell",
-        F.explode(
-            F.expr(
-                f"transform(slice(sort_array({dist_entries_sql('qv')}), 1, {int(nprobe)}),"
-                " e -> e.cid)"
-            )
-        ),
-    )
+    # Two assignment paths, same cells:
+    # - "sql" (default): codegen/interpreted JVM fold over inlined
+    #   centroid literals — exact left-to-right double arithmetic, fully
+    #   replayable by the DuckDB oracle. Per-row cost is K interpreted
+    #   folds; measured (SCALING.md round 3) this is the bottleneck past
+    #   ~50k vectors (37 s at 200k, K=16, dim=64).
+    # - "vectorized": broadcast the codebook to an Arrow-batched Pandas
+    #   UDF and assign via one numpy matmul per batch — 30x faster at
+    #   200k and the 100 TB corpus-pass design. argmax tie-break (first
+    #   max = smallest cid) matches the SQL form's (d DESC, cid ASC);
+    #   only sub-ulp dot differences (BLAS vs sequential summation) can
+    #   flip a borderline cell, so the ORACLE-gated query keeps "sql".
+    if assign == "vectorized":
+        from pyspark.sql.functions import pandas_udf
+
+        # Rows sorted by cid so numpy's first-max / stable-argsort tie
+        # policy reproduces the SQL form's (d DESC, cid ASC) ordering.
+        by_cid = sorted(cents)
+        cid_order = [cid for cid, _ in by_cid]
+        cmat = np.array([cv for _, cv in by_cid], dtype=np.float64)  # K x dim, unit rows
+
+        @pandas_udf("int")
+        def assign_cell(vs: pd.Series) -> pd.Series:
+            v = np.vstack(vs.to_numpy())  # batch x dim (float32 ok)
+            idx = np.argmax(v @ cmat.T, axis=1)
+            return pd.Series([cid_order[i] for i in idx], dtype="int32")
+
+        @pandas_udf("array<int>")
+        def probe_cells(vs: pd.Series) -> pd.Series:
+            v = np.vstack(vs.to_numpy())
+            order = np.argsort(-(v @ cmat.T), axis=1, kind="stable")[:, :nprobe]
+            return pd.Series([[cid_order[i] for i in row] for row in order])
+
+        c = with_norm(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "cv",
+            "cn",
+        ).withColumn("cell", assign_cell(F.col("cv")))
+        q = with_norm(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            "qv",
+            "qn",
+        ).withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    else:
+        c = with_norm(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv", "cn"
+        ).withColumn("cell", F.expr(f"array_min({dist_entries_sql('cv')}).cid"))
+        q = with_norm(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv", "qn"
+        ).withColumn(
+            "cell",
+            F.explode(
+                F.expr(
+                    f"transform(slice(sort_array({dist_entries_sql('qv')}), 1, {int(nprobe)}),"
+                    " e -> e.cid)"
+                )
+            ),
+        )
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
         .select("query_id", "neighbor_id", "cosine")
     )
+    if assign == "vectorized":
+        # Candidate scoring is the next interpreted-fold bottleneck
+        # after assignment (|corpus|*nprobe/K pairs) — batch it through
+        # Arrow as row-wise numpy dots. Sub-ulp BLAS-vs-fold differences
+        # apply as above; the oracle-gated query keeps the fold.
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def pair_cosine(qs: pd.Series, cs: pd.Series, qn: pd.Series, cn: pd.Series) -> pd.Series:
+            qm = np.vstack(qs.to_numpy()).astype(np.float64)
+            cm = np.vstack(cs.to_numpy()).astype(np.float64)
+            denom = qn.to_numpy() * cn.to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.einsum("ij,ij->i", qm, cm) / denom
+            # True NULL (not NaN) for zero-norm pairs: NaN sorts ABOVE
+            # every real double in Spark's DESC order and would rank
+            # degenerate vectors first; NULL sorts last, matching the
+            # JVM cosine()'s F.when guard.
+            return pd.Series(pd.array(out, dtype="Float64")).mask(denom == 0)
+
+        scored = (
+            c.join(F.broadcast(q), on="cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cosine", pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+            )
+            .select("query_id", "neighbor_id", "cosine")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

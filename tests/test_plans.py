@@ -224,3 +224,15 @@ def test_write_zordered_files_cover_disjoint_z_ranges(spark, tmp_path):
     assert len(ivs) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ivs, ivs[1:]):
         assert hi1 <= lo2  # range partitioning on z => disjoint file intervals
+
+
+def test_ann_headline_plan_survives_scale(spark):
+    # The benched ANN path (sim_ann_ivf_md5) must stay sub-quadratic:
+    # probe join is a broadcast equality join on cell id (corpus side
+    # streams), no cartesian product, no sort-merge join of vectors.
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+
+    df = load_all()["sim_ann_ivf_md5"].fn(spark, SF)
+    s = plan_summary(df)
+    assert "CartesianProduct" not in s.text and "BroadcastNestedLoopJoin" not in s.text
+    assert s.num_broadcast_joins >= 1 and s.num_sortmerge_joins == 0

@@ -215,3 +215,18 @@ def test_embedding_normalize_unit_and_null(spark):
     rows = {r.id: r.u for r in df.select("id", normalize_embedding(F.col("v")).alias("u")).collect()}
     assert abs(sum(x * x for x in rows[1]) - 1.0) < 1e-12
     assert rows[2] is None  # zero-norm -> NULL, not NaN
+
+
+def test_ivf_vectorized_assignment_matches_sql(spark):
+    # The scale path (broadcast codebook -> Arrow matmul assignment +
+    # batched scoring) must produce the same cells/ranking as the
+    # oracle-replayable SQL fold; tie policy is aligned by construction.
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_fix_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = ivf_topk(emb, q, k=5, codebook="sample_md5", assign="sql").orderBy("query_id", "rank")
+    b = ivf_topk(emb, q, k=5, codebook="sample_md5", assign="vectorized").orderBy("query_id", "rank")
+    assert a.collect() == b.collect()
