@@ -265,3 +265,24 @@ def sim_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         codebook="sample_md5",
     )
+
+
+@query("sim_ann_ivf_vec", oracle=_IVF_MD5_ORACLE)
+def sim_ann_ivf_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB IVF path under the SAME oracle as sim_ann_ivf_md5:
+    identical md5 codebook, but cell assignment and candidate scoring
+    run as Arrow-batched numpy matmuls (broadcast codebook Pandas UDFs)
+    instead of JVM folds — 6.8x faster at 200k vectors (SCALING.md).
+    Tie policy is aligned by construction and
+    tests/test_similarity.py asserts result equality with the fold
+    path, so the exact-replay oracle gates BOTH implementations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        codebook="sample_md5",
+        assign="vectorized",
+    )
