@@ -625,3 +625,67 @@ def remove_boilerplate_lines(
         ).alias(out_name),
     )
     return out
+
+
+def minhash_bucket_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 60,
+    bands: int = 20,
+) -> DataFrame:
+    """STAR edges of the LSH bucket-co-membership graph: every doc in a
+    band bucket is connected to the bucket's MIN id (the hub), giving
+    O(sum of bucket sizes) = O(docs x bands) edges — NEVER the
+    O(bucket_size^2) pair enumeration. Bucket co-membership generates
+    the same connectivity relation as candidate pairs, so connected
+    components over star edges equal components over the full candidate
+    pair graph (hub-spoke chains replace within-bucket cliques).
+
+    This is the web-scale dedup shape: on a corpus where every doc has
+    49 near-clones, pair enumeration is TH(cluster^2) BY CONTRACT
+    (measured in SCALING.md: the x50 tiled corpus GC-kills the pairwise
+    join) while the star graph stays linear in corpus size."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", "bb.band", "bb.bh"
+    )
+    hubs = banded.groupBy("band", "bh").agg(F.min("id").alias("id_a"))
+    return (
+        banded.join(hubs, ["band", "bh"])
+        .select("id_a", F.col("id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 60,
+    bands: int = 20,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Keep ONE canonical doc (min id) per near-dup component without
+    ever enumerating duplicate pairs: minhash -> band buckets -> star
+    edges -> connected components -> drop every doc whose component
+    label is not itself. End-to-end linear in corpus size + duplication
+    factor — the form a 100 TB pipeline actually runs when the goal is
+    the deduplicated corpus rather than a duplicate-pair report."""
+    edges = minhash_bucket_edges(df, id_col, text_col, n, num_hashes, bands)
+    cc = connected_components(edges, max_iter=max_iter)
+    dropped = cc.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -381,3 +381,51 @@ def corpus_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _multiline_pages(load_table(spark, sf_dir, "documents"))
     out = remove_boilerplate_lines(pages, "gid", "page", min_docs=3, out_name="text")
     return out.filter(F.length("text") > 0)
+
+
+@query(
+    "dedup_minhash_survivors",
+    oracle="""
+    WITH RECURSIVE words_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ), docs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(words) - 2, 0)),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS sh
+      FROM words_t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id
+    """,
+)
+def dedup_minhash_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-free dedup: the surviving (canonical, min-id-per-component)
+    docs computed from minhash band-bucket STAR edges + connected
+    components — linear in corpus size AND duplication factor, measured
+    in SCALING.md on a corpus whose pairwise form is untractable by
+    construction. The oracle recomputes survivors from the EXACT
+    Jaccard >= 0.5 pair graph's transitive closure: agreement holds
+    because (a) banding at 60 hashes / 20 bands misses j >= 0.5 pairs
+    with probability <= 6e-7 on this corpus's similarity gap (same
+    argument as dedup_minhash_lsh) and (b) false-positive bucket
+    collisions below the S-curve threshold need a full 3-row band
+    match (measured zero here)."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import dedup_minhash_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_minhash_survivors(docs, "doc_id", "text").select("doc_id")
