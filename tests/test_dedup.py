@@ -246,3 +246,22 @@ def test_remove_boilerplate_lines(spark):
         for r in remove_boilerplate_lines(docs, "doc_id", "text", min_docs=10).collect()
     }
     assert untouched[1] == "COOKIE BANNER\nunique one\nFOOTER"
+
+
+def test_minhash_survivors_equal_exact_component_survivors(spark):
+    # The pair-free star-graph survivors must equal survivors computed
+    # from the exact Jaccard>=0.5 pair graph's components (Spark-side
+    # twin of the driver's recursive-CTE oracle).
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        connected_components,
+        dedup_minhash_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    fast = {r.doc_id for r in dedup_minhash_survivors(docs, "doc_id", "text").select("doc_id").collect()}
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = connected_components(pairs)
+    dropped = {r.id for r in cc.filter(F.col("cluster_id") != F.col("id")).collect()}
+    exact = {r.doc_id for r in docs.select("doc_id").collect()} - dropped
+    assert fast == exact
