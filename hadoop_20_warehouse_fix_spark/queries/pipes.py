@@ -61,3 +61,54 @@ def pipe_uniq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle = GROUP BY."""
     docs = load_table(spark, sf_dir, "documents").select("lang")
     return pipe_grouped(docs, ["lang"], _UNIQ_COUNT, num_partitions=8)
+
+
+@query(
+    "pipe_chain_stages",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           translate(upper(lang), 'AEIOU', '_____') AS value
+    FROM documents
+    """,
+)
+def pipe_chain_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChainMapper as a driver-visible query: two script stages fused
+    back-to-back (uppercase, then vowel-mask) with no intermediate
+    materialization — the reference's ChainMapper.java contract. Each
+    stage is a full stdin/stdout subprocess round trip; the oracle
+    replays the composition as one SQL projection, proving both hops
+    preserved every row and field."""
+    from hadoop_20_warehouse_fix_spark.operators.pipe import chain, pipe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return chain(
+        docs,
+        lambda d: pipe(d, "tr a-z A-Z"),
+        lambda d: pipe(d, "tr AEIOU _"),
+    )
+
+
+@query(
+    "pipe_tagged_merge",
+    oracle="""
+    SELECT '0' AS key, CAST(doc_id AS VARCHAR) || chr(9) || lang AS value
+    FROM documents
+    UNION ALL
+    SELECT '1' AS key, CAST(doc_id AS VARCHAR) || chr(9) || source AS value
+    FROM documents
+    """,
+)
+def pipe_tagged_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged multi-source script (hive-streaming ``-inputtagged``): two
+    inputs prefixed with their source index flow through ONE passthrough
+    script; the script (and the oracle) see ``tag \\t original-line``.
+    Proves the tagging union preserves every row of every source with
+    its provenance — the merge-join-in-a-script pattern the reference's
+    contrib/hive-streaming ran."""
+    from hadoop_20_warehouse_fix_spark.operators.pipe import pipe_tagged
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipe_tagged(
+        [docs.select("doc_id", "lang"), docs.select("doc_id", "source")],
+        "cat",
+    )

@@ -389,3 +389,55 @@ def stream_demux_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "event_id", "user_id", "event_type", "value", epoch_seconds("ts").alias("ts_s")
     )
+
+
+@query(
+    "events_stream_sessionized",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 600
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+           count(*)                              AS cnt
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def events_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as an ACTUAL streaming query: the
+    session_window state-store merge path (sessions extend/merge as
+    events arrive), drained with availableNow in complete mode — the
+    drained stream must equal batch sessionization exactly, same oracle
+    as events_sessionized. Completes the §2.10 claim that every window
+    family (tumbling/sliding/session) runs on the real streaming
+    engine, not just as batch-equivalent expressions."""
+    import tempfile
+    import uuid
+
+    from hadoop_20_warehouse_fix_spark.streaming.windows import (
+        run_available_now,
+        session_agg,
+    )
+
+    sdf = stream_table(spark, sf_dir, "events")
+    out = session_agg(sdf, gap="10 minutes", key_cols=["user_id"])
+    res = run_available_now(
+        out,
+        tempfile.mkdtemp(prefix="stream_sess_ckpt_"),
+        query_name="stream_sess_" + uuid.uuid4().hex[:8],
+        output_mode="complete",
+    )
+    return res.select(
+        "user_id", epoch_seconds("sess_start").alias("sess_start"), "cnt"
+    )
