@@ -251,3 +251,50 @@ def compressed_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="gztext_rt_") + "/kv"
     write_kv_text(docs, path, "doc_id", "text", compression="gzip")
     return read_kv_text(spark, path)
+
+
+@query(
+    "mapfile_sorted_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def mapfile_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted+indexed sink round-trip (MapFileOutputFormat analog,
+    reference MapFile.java): write globally range-partitioned files
+    sorted on doc_id with parquet min/max row-group stats as the sparse
+    index and a bloom filter on the key (BloomMapFile's negative-lookup
+    guard), read the directory back whole — delivery must be lossless.
+    The index actually works: a point-lookup filter on doc_id prunes to
+    one file via the range layout + row-group stats (asserted in
+    tests/test_sinks.py); here the oracle proves content fidelity."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_sorted
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="mapfile_rt_") + "/sorted"
+    write_sorted(docs, path, ["doc_id"], num_files=4, bloom_cols=["doc_id"])
+    return spark.read.parquet(path)
+
+
+@query(
+    "nline_scan_roundtrip",
+    oracle="SELECT CAST(doc_id AS VARCHAR) AS key, text AS value FROM documents",
+)
+def nline_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-line scan round-trip (NLineInputFormat,
+    M/lib/NLineInputFormat.java:59): KV lines written once, read back
+    with a bounded number of lines per task — the per-task
+    parameterization the reference used to meter expensive map UDFs.
+    Content must survive the repartition byte-for-byte; the partition
+    arithmetic itself (ceil(lines/N) tasks) is asserted in
+    tests/test_sources.py."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import read_text_nlines
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_kv_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="nline_rt_") + "/kv"
+    write_kv_text(docs, path, "doc_id", "text")
+    lines = read_text_nlines(spark, path, lines_per_task=100)
+    kv = lines.select(
+        F.substring_index("value", "\t", 1).alias("key"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("value"),
+    )
+    return kv
