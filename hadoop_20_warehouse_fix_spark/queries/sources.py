@@ -298,3 +298,37 @@ def nline_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(value, instr(value, '\t') + 1)").alias("value"),
     )
     return kv
+
+
+@query(
+    "badrecords_skip_scan",
+    oracle="""
+    SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+    """,
+)
+def badrecords_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record skipping at the scan (SkipBadRecords.java:51 posture):
+    the query writes a KV-text file where every 50th record is CORRUPTED
+    (non-numeric key), reads it back through the PERMISSIVE typed-CSV
+    parser — malformed rows surface as NULL-key rows instead of failing
+    the job — and returns only the clean records. The oracle is the
+    clean subset; equality proves corruption neither kills the scan nor
+    leaks mangled rows into the result. The kept-vs-skipped counts are
+    the observable the reference exposed as counters
+    (tests/test_sources.py asserts the corrupt-row count)."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import read_csv
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_kv_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    mangled = docs.select(
+        F.when(F.col("doc_id") % 50 == 0, F.concat(F.lit("BAD_"), F.col("doc_id")))
+        .otherwise(F.col("doc_id").cast("string"))
+        .alias("k"),
+        "text",
+    )
+    path = tempfile.mkdtemp(prefix="badrec_rt_") + "/kv"
+    write_kv_text(mangled, path, "k", "text")
+    parsed = read_csv(
+        spark, path, schema="doc_id bigint, text string", sep="\t", permissive=True
+    )
+    return parsed.filter(F.col("doc_id").isNotNull()).select("doc_id", "text")
