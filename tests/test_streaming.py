@@ -67,3 +67,40 @@ def test_stream_demux_partitions(spark, landing, tmp_path):
     dirs = {d.rsplit("=", 1)[-1] for d in glob.glob(out_dir + "/event_type=*")}
     assert dirs == types
     assert spark.read.parquet(out_dir).count() == spark.read.parquet(landing).count()
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Kill-and-resume: drain batch 1, STOP, land more files, restart
+    from the SAME checkpoint — the resumed query must process ONLY the
+    new files (exactly-once over the file-source log) and the final
+    state must equal the all-data batch aggregate. This is the recovery
+    contract a 24/7 ingest pipeline leans on after any executor/driver
+    loss."""
+    from hadoop_20_warehouse_fix_spark.catalog import load_table
+
+    d = str(tmp_path / "landing_cr")
+    ckpt = str(tmp_path / "ckpt_cr")
+    ev = load_table(spark, SF, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(d)
+
+    def drain(qname):
+        sdf = stream_events(spark, d)
+        counts = sdf.groupBy("event_type").agg(
+            F.count("*").alias("cnt"), F.sum("value").alias("total")
+        )
+        return run_available_now(counts, ckpt, qname, "complete")
+
+    first = {r.event_type: r.cnt for r in drain("cr_run1").collect()}
+    # second arrival AFTER the first drain completed
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    second = {r.event_type: (r.cnt, round(r.total, 2)) for r in drain("cr_run2").collect()}
+
+    batch = {
+        r.event_type: (r.cnt, round(r.total, 2))
+        for r in spark.read.parquet(d)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert second == batch  # resumed state + only-new-files == full answer
+    assert any(second[k][0] > first.get(k, 0) for k in second)  # run 2 really advanced
