@@ -102,10 +102,13 @@ def asof_join(
     right_ts: str,
     right_value_cols: Sequence[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, the single right row
-    with the greatest ``right_ts`` <= ``left_ts`` within the same key
-    group — ties at equal timestamps match (<=).
+    """As-of join: for each left row, the single closest right row
+    within the same key group. ``direction="backward"`` (default) takes
+    the greatest ``right_ts`` <= ``left_ts``; ``direction="forward"``
+    takes the smallest ``right_ts`` >= ``left_ts``. Ties at equal
+    timestamps match in both directions (inclusive).
 
     The reference's closest analog is ``MapFile.getClosest()``
     (``C/io/MapFile.java:539`` — binary search to the nearest key at or
@@ -136,9 +139,14 @@ def asof_join(
         F.struct(*[F.col(c) for c in l_cols]).alias("_lv"),
     )
     r = r.withColumn("_lv", F.lit(None).cast(l.schema["_lv"].dataType))
+    # Forward = the same prefix scan run in DESCENDING ts order: the
+    # last right row seen walking down from +inf to the left row's ts is
+    # exactly the smallest right_ts >= left_ts. Right still sorts before
+    # left at equal ts (_side asc), keeping both directions inclusive.
+    order = [F.desc("_ts"), F.asc("_side")] if direction == "forward" else ["_ts", "_side"]
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -370,3 +370,49 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query(
+    "join_asof_next_click",
+    oracle="""
+    SELECT a.event_id, a.user_id,
+           CAST(floor(epoch(a.ts)) AS BIGINT) AS purchase_s,
+           (SELECT CAST(floor(epoch(min(b.ts))) AS BIGINT) FROM events b
+             WHERE b.event_type = 'click' AND b.user_id = a.user_id
+               AND b.ts >= a.ts) AS next_click_s,
+           CAST(round(a.value, 2) AS DOUBLE) AS purchase_value
+    FROM events a WHERE a.event_type = 'purchase'
+    """,
+)
+def join_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the same user's
+    FIRST click at-or-after it (follow-up attribution — the mirror of
+    join_asof_last_click). Same union+window physics, descending scan:
+    one shuffle on user_id, no candidate-pair materialization; the
+    oracle recomputes the minimum qualifying timestamp per purchase."""
+    from hadoop_20_warehouse_fix_spark.catalog import epoch_seconds
+    from hadoop_20_warehouse_fix_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["click_ts"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_seconds("ts").alias("purchase_s"),
+        epoch_seconds("click_ts").alias("next_click_s"),
+        "purchase_value",
+    )
