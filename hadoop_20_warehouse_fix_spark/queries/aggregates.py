@@ -441,3 +441,65 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
         F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
     )
+
+
+def _profile_part(li, col, numeric):
+    mn, mx = F.min(col), F.max(col)
+    if numeric:
+        mn, mx = F.round(mn, 4), F.round(mx, 4)
+    return li.select(col).agg(
+        F.lit(col).alias("col_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(col).alias("n_filled"),
+        F.count_distinct(F.col(col)).alias("n_distinct"),
+        mn.cast("string").alias("min_v"),
+        mx.cast("string").alias("max_v"),
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(l_quantity) AS n_filled,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(round(min(l_quantity), 4) AS VARCHAR) AS min_v,
+           CAST(round(max(l_quantity), 4) AS VARCHAR) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(l_discount), count(DISTINCT l_discount),
+           CAST(round(min(l_discount), 4) AS VARCHAR),
+           CAST(round(max(l_discount), 4) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(l_returnflag), count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*), count(l_shipdate), count(DISTINCT l_shipdate),
+           CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE/statistics pass a warehouse runs
+    before planning and data-quality review): per-column row count,
+    filled count, exact distinct count, min and max — stringified into
+    one long-format report.
+
+    Physical form: one PRUNED single-column scan per profiled column
+    (each aggregation reads exactly one column from parquet), unioned.
+    At 100 TB profile all columns in ONE pass instead: a single agg with
+    grouped count_distinct via expand, or approx_count_distinct when
+    exactness isn't required — the same exact/approx split as
+    agg_uniq_capped vs agg_uniq_approx."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        _profile_part(li, "l_quantity", True),
+        _profile_part(li, "l_discount", True),
+        _profile_part(li, "l_returnflag", False),
+        _profile_part(li, "l_shipdate", False),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

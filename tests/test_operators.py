@@ -485,3 +485,38 @@ def test_redact_pii_unit(spark):
     assert dict(rows[1][1].asDict()) == {"email": 1, "ipv4": 1, "phone": 1}
     assert rows[2][0] == ""  # empty passes through
     assert rows[3][0] is None  # NULL propagates, no crash
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=12
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=12
+        ),
+    )
+    def test_asof_join_forward_matches_python_reference(spark, left, right):
+        from hadoop_20_warehouse_fix_spark.operators.joins import asof_join
+
+        right = list({(k, t): None for k, t in right}.keys())
+        ldf = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+        )
+        rdf = spark.createDataFrame(
+            [(k, t, f"r{k}_{t}") for k, t in right], "k long, t long, rv string"
+        )
+        got = {
+            r.lid: r.rv
+            for r in asof_join(
+                ldf, rdf, on="k", left_ts="t", right_ts="t",
+                right_value_cols=["rv"], direction="forward",
+            ).collect()
+        }
+        want = {}
+        for i, (k, t) in enumerate(left):
+            cands = [(rt, rv) for rk, rt in right if rk == k and rt >= t for rv in [f"r{rk}_{rt}"]]
+            want[i] = min(cands)[1] if cands else None
+        assert got == want
