@@ -332,3 +332,36 @@ def badrecords_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, schema="doc_id bigint, text string", sep="\t", permissive=True
     )
     return parsed.filter(F.col("doc_id").isNotNull()).select("doc_id", "text")
+
+
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+    FROM documents
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the storage layer: an old-schema batch
+    (doc_id, text) and a new-schema batch (doc_id, text, lang) land in
+    the same table directory; a mergeSchema read returns the union
+    schema with NULLs where the old files lack the column — the
+    add-a-column migration every long-lived warehouse table goes
+    through (the reference's Writable world had NO story for this
+    beyond rewriting; Parquet's self-describing footers give it for
+    free). Producers may only ADD nullable columns — renames/type
+    changes still need a rewrite, same as the reference."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="schema_evo_") + "/t"
+    write_table(docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), path, mode="append")
+    write_table(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang"),
+        path,
+        mode="append",
+    )
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "doc_id", "text", "lang"
+    )

@@ -308,3 +308,51 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_counts(t).getField("email").cast("long").alias("n_email"),
         pii_counts(t).getField("ipv4").cast("long").alias("n_ipv4"),
     )
+
+
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                                   i -> words[i] || ' ' || words[i+1])) AS bigram
+      FROM w
+    )
+    SELECT bigram, n FROM (
+      SELECT bigram, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, bigram) AS rk
+      FROM bg GROUP BY bigram
+    ) WHERE rk <= 20
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams across the corpus — the n-gram frequency pass
+    (phrase mining / contamination screening) an LLM corpus audit runs.
+    Tokenize once per doc, pair adjacent words via a zip_with over the
+    array and its tail (no per-token self-join), explode, count with
+    map-side partials (shuffle is O(bigram vocabulary)), deterministic
+    TakeOrdered top-k (count desc, bigram asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counted = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("bigram", "n")
+    )
