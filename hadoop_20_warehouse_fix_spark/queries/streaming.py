@@ -441,3 +441,39 @@ def events_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "user_id", epoch_seconds("sess_start").alias("sess_start"), "cnt"
     )
+
+
+@query(
+    "events_stream_sliding",
+    oracle="""
+    SELECT win_start, count(*) AS cnt
+    FROM (
+        SELECT unnest([b, b - 1800]) AS win_start
+        FROM (SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b FROM events)
+    )
+    GROUP BY win_start
+    """,
+)
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows on the REAL streaming engine — with
+    this, all three window families (tumbling, sliding, session) have a
+    drained-stream twin proving stream ≡ batch under the same oracle as
+    their batch forms. Each event updates size/slide = 2 window states;
+    the watermark bounds how many windows stay open."""
+    import tempfile
+    import uuid
+
+    from hadoop_20_warehouse_fix_spark.streaming.windows import (
+        run_available_now,
+        sliding_agg,
+    )
+
+    sdf = stream_table(spark, sf_dir, "events")
+    out = sliding_agg(sdf, window_size="1 hour", slide="30 minutes", watermark="2 hours")
+    res = run_available_now(
+        out,
+        tempfile.mkdtemp(prefix="stream_sliding_ckpt_"),
+        query_name="stream_sliding_" + uuid.uuid4().hex[:8],
+        output_mode="complete",
+    )
+    return res.select(epoch_seconds("win_start").alias("win_start"), "cnt")
