@@ -283,3 +283,48 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="event_id",
         default_rate=0.05,
     ).select("event_id", "event_type")
+
+
+@query(
+    "intersect_all_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each nationkey appears
+    min(count_customer, count_supplier) times. The multiset form the
+    reference's tagged-reducer merge actually produced (it never
+    deduplicated unless told to); both engines implement the SQL:2003
+    multiplicity rule so the oracle is value-for-value."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersectAll(supp)
+
+
+@query(
+    "except_all_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: every open-order row survives except
+    one per matching BUILDING customer (multiplicity arithmetic, not set
+    membership). Complements except_keys the same way intersect_all_keys
+    complements intersect_keys."""
+    open_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return open_cust.exceptAll(building)

@@ -520,3 +520,22 @@ if _HAS_HYPOTHESIS:
             cands = [(rt, rv) for rk, rt in right if rk == k and rt >= t for rv in [f"r{rk}_{rt}"]]
             want[i] = min(cands)[1] if cands else None
         assert got == want
+
+
+def test_approx_percentile_within_rank_error(spark):
+    # The documented scale swap for agg_percentiles: approx_percentile's
+    # value must sit within the rank-error band of the exact sorted set
+    # (accuracy=100 -> rank error <= 1%).
+    from hadoop_20_warehouse_fix_spark.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select("l_extendedprice")
+    vals = sorted(r.l_extendedprice for r in li.collect())
+    n = len(vals)
+    approx = li.agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 100)").alias("p")
+    ).head().p
+    for q, got in zip((0.25, 0.5, 0.75), approx):
+        lo = vals[max(0, int((q - 0.02) * n))]
+        hi = vals[min(n - 1, int((q + 0.02) * n))]
+        assert lo <= got <= hi, (q, got, lo, hi)
