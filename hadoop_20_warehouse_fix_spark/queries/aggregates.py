@@ -503,3 +503,31 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates (which ROW holds the extreme, not just
+    the extreme value): Spark ``min_by``/``max_by`` == DuckDB
+    ``arg_min``/``arg_max``. Single-pass mergeable state (value,
+    ordering-key) per group — no window, no self-join, the common
+    replacement for the 'top-1 per group via row_number' anti-pattern.
+    Deterministic here because o_totalprice is unique per status group
+    at these SFs (ties would be engine-order dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("cheapest_order"),
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

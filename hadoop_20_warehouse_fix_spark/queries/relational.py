@@ -328,3 +328,35 @@ def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"))
     )
     return open_cust.exceptAll(building)
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6)    AS cd,
+           CAST(ntile(4) OVER w AS INT)    AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist, ntile —
+    per nation ordered by account balance (the percentile-bucketing
+    report shape). Both engines implement the SQL-standard definitions;
+    c_custkey breaks ordering ties so bucket boundaries are
+    deterministic. One shuffle on the partition key; within-partition
+    sort only."""
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
