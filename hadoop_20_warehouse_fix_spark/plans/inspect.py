@@ -22,6 +22,7 @@ class PlanSummary:
     num_exchanges: int
     num_broadcast_joins: int
     num_sortmerge_joins: int
+    num_file_scans: int
     codegen_spans: int
     pushed_filters: list[str]
     read_schemas: list[str]
@@ -51,6 +52,9 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         num_exchanges=len(re.findall(r"\(\d+\) Exchange\b", formatted)),
         num_broadcast_joins=len(re.findall(r"\(\d+\) BroadcastHashJoin", formatted)),
         num_sortmerge_joins=len(re.findall(r"\(\d+\) SortMergeJoin", formatted)),
+        # each "(n) Scan <format>" node = one pass over a source; a query
+        # that re-reads the same fact table N times shows N scans here
+        num_file_scans=len(re.findall(r"\(\d+\) Scan ", formatted)),
         codegen_spans=len(set(re.findall(r"\*\((\d+)\)", simple))),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", formatted),
         read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", formatted),

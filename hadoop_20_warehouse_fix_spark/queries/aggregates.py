@@ -95,12 +95,15 @@ def agg_uniq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniq_count(load_table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey", cap=1000)
 
 
-@query("agg_uniq_approx")
 def agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct — the declared 100 TB-scale analog of UniqValueCount
     (SURVEY §4 note #3). Sketches merge map-side; shuffle volume is
-    O(groups × sketch size) instead of O(distinct values). Rows-only
-    check: HLL estimates are engine-specific (no cross-engine oracle)."""
+    O(groups × sketch size) instead of O(distinct values). HLL estimates
+    are engine-specific, so this operator is pytest-covered (accuracy
+    bounds in tests/test_operators.py) rather than driver-registered; the
+    exact-replayable KMV sibling ``agg_uniq_kmv`` carries the oracle
+    burden — the same exact/approx split as the reference's
+    UniqValueCount cap (``UniqValueCount.java:30``)."""
     return uniq_count(
         load_table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey", approx=True
     )
@@ -234,15 +237,16 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_heavy_hitters_cms")
 def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via count-min sketch: a 4x4096 counter summary of
     the corpus word stream (fixed size regardless of vocabulary — the
     100 TB frequency-query structure), probed for the exact top-20
     words. CMS never under-counts; over-count bounded by eN/width.
-    xxhash64-based → no cross-engine oracle (rows-only); the
-    never-undercount and bounded-error properties are asserted against
-    exact counts in tests/test_operators.py."""
+    xxhash64-based → no cross-engine oracle, so this operator is
+    pytest-covered (never-undercount + bounded-error asserted against
+    exact counts in tests/test_operators.py) rather than
+    driver-registered; the md5-positioned sibling
+    ``agg_heavy_hitters_cms_md5`` carries the exact-replay oracle."""
     from hadoop_20_warehouse_fix_spark.operators.aggregates import cms_lookup, count_min_sketch
 
     docs = load_table(spark, sf_dir, "documents")
@@ -443,20 +447,6 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _profile_part(li, col, numeric):
-    mn, mx = F.min(col), F.max(col)
-    if numeric:
-        mn, mx = F.round(mn, 4), F.round(mx, 4)
-    return li.select(col).agg(
-        F.lit(col).alias("col_name"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count(col).alias("n_filled"),
-        F.count_distinct(F.col(col)).alias("n_distinct"),
-        mn.cast("string").alias("min_v"),
-        mx.cast("string").alias("max_v"),
-    )
-
-
 @query(
     "profile_table",
     oracle="""
@@ -486,23 +476,39 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled count, exact distinct count, min and max — stringified into
     one long-format report.
 
-    Physical form: one PRUNED single-column scan per profiled column
-    (each aggregation reads exactly one column from parquet), unioned.
-    At 100 TB profile all columns in ONE pass instead: a single agg with
-    grouped count_distinct via expand, or approx_count_distinct when
-    exactness isn't required — the same exact/approx split as
-    agg_uniq_capped vs agg_uniq_approx."""
+    Physical form: ONE scan of lineitem (plan-shape-asserted in
+    tests/test_plans.py) feeding a single aggregation over all profiled
+    columns; Spark plans the multi-column exact count_distinct via
+    Expand — rows are replicated once per distinct-column group
+    map-side, but the 100 TB fact table is READ once, not once per
+    column. The single 1-row aggregate is then unpivoted driver-free
+    with ``stack``. The one-pass many-metrics shape is the reference's
+    counters framework (many metrics, one job — ``Counters.java``);
+    swap count_distinct for approx_count_distinct when exactness isn't
+    required — the same exact/approx split as agg_uniq_capped vs
+    agg_uniq_approx."""
     li = load_table(spark, sf_dir, "lineitem")
-    parts = [
-        _profile_part(li, "l_quantity", True),
-        _profile_part(li, "l_discount", True),
-        _profile_part(li, "l_returnflag", False),
-        _profile_part(li, "l_shipdate", False),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    cols = [("l_quantity", True), ("l_discount", True), ("l_returnflag", False), ("l_shipdate", False)]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, numeric in cols:
+        mn, mx = F.min(c), F.max(c)
+        if numeric:
+            mn, mx = F.round(mn, 4), F.round(mx, 4)
+        aggs += [
+            F.count(c).alias(f"fill_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            mn.cast("string").alias(f"min_{c}"),
+            mx.cast("string").alias(f"max_{c}"),
+        ]
+    one_row = li.select([c for c, _ in cols]).agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', n_rows, fill_{c}, dist_{c}, min_{c}, max_{c}" for c, _ in cols
+    )
+    return one_row.select(
+        F.expr(
+            f"stack({len(cols)}, {tuples}) AS (col_name, n_rows, n_filled, n_distinct, min_v, max_v)"
+        )
+    )
 
 
 @query(

@@ -98,13 +98,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, dim=64)
 
 
-@query("sim_ann_ivf")
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF-Flat cells (16-centroid deterministic codebook,
     nprobe=4): corpus assigned to nearest-centroid inverted lists, each
     query probes its 4 nearest cells — ~1/4 of the corpus scored per
-    query. Approximate by construction → rows-only; recall vs brute
-    force asserted in tests/test_similarity.py."""
+    query. Approximate by construction (k-means codebook → no
+    cross-engine oracle), so this operator is pytest-covered (recall vs
+    brute force in tests/test_similarity.py) rather than
+    driver-registered; the md5-codebook sibling ``sim_ann_ivf_md5``
+    carries the exact-replay oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4)
 

@@ -240,18 +240,58 @@ def jdbc_select_query(table: str, fields: list[str], conditions: str | None = No
     return q
 
 
-def badrecords_safe_udf(fn: Callable, return_type, counter_name: str = "bad_records"):
+def badrecords_safe_cast(col, dtype: str):
+    """Expression fast path for the SkipBadRecords contract: a malformed
+    value becomes NULL instead of failing the task, entirely inside
+    whole-stage codegen (``try_cast`` — no Python in the plan). Prefer
+    this (or Spark's ``try_divide``/``try_to_timestamp``/... family)
+    whenever the per-record transform is expressible as an expression;
+    reach for :func:`badrecords_safe_udf` only for arbitrary Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast(dtype)
+
+
+def badrecords_safe_udf(
+    fn: Callable, return_type, counter_name: str = "bad_records", engine: str = "pandas"
+):
     """Wrap a Python fn so records that crash it yield NULL instead of
     failing the task — the SkipBadRecords capability without the
-    binary-search dance (we don't re-execute; we tolerate inline).
-    Use with ``df.withColumn(..., safe(col)); df.filter(col.isNotNull())``."""
+    binary-search dance (``SkipBadRecords.java:51``: we don't re-execute
+    a narrowed range; we tolerate inline).
+    Use with ``df.withColumn(..., safe(col)); df.filter(col.isNotNull())``.
 
-    @F.udf(return_type)
-    def safe(*args):
-        try:
-            return fn(*args)
-        except Exception:
-            return None
+    ``engine="pandas"`` (default) ships rows in Arrow batches and loops
+    in-process per batch — no per-row (de)serialization round-trip, the
+    10-100x fast path for arbitrary Python. ``engine="python_row"`` is
+    the legacy row-at-a-time form, kept ONLY as an explicit escape hatch
+    (e.g. fn needs true per-row isolation semantics); it plans a
+    BatchEvalPython node and is the classic 100 TB throughput killer.
+    For SQL-expressible transforms skip Python entirely:
+    :func:`badrecords_safe_cast` / ``F.try_*``."""
+    if engine == "python_row":
+
+        @F.udf(return_type)
+        def safe_row(*args):
+            try:
+                return fn(*args)
+            except Exception:
+                return None
+
+        return safe_row
+    if engine != "pandas":
+        raise ValueError(f"engine must be 'pandas' or 'python_row', got {engine!r}")
+
+    import pandas as pd
+
+    @F.pandas_udf(return_type)
+    def safe(*cols):
+        out = []
+        for vals in zip(*cols):
+            try:
+                out.append(fn(*vals))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
 
     return safe
 

@@ -90,6 +90,21 @@ def test_headline_query_plan_discipline(spark):
     assert s6.scans_only_columns("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
 
 
+def test_profile_table_single_scan(spark):
+    """profile_table must read the fact table exactly ONCE: all
+    per-column stats come from a single aggregation over one scan (the
+    multi-column exact distinct is planned via Expand), never one
+    pruned scan per profiled column — at 100 TB a per-column re-scan
+    multiplies the dominant IO cost by the column count."""
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+
+    df = load_all()["profile_table"].fn(spark, SF)
+    s = plan_summary(df)
+    assert s.num_file_scans == 1, s.text
+    # the one scan is still pruned to the 4 profiled columns
+    assert s.scans_only_columns("l_quantity", "l_discount", "l_returnflag", "l_shipdate")
+
+
 def test_teragen_deterministic_and_shaped(spark):
     a = teragen(spark, 1000, seed=5)
     b = teragen(spark, 1000, seed=5)

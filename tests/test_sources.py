@@ -136,11 +136,34 @@ def test_jdbc_select_query_construction():
 
 
 def test_badrecords_safe_udf(spark):
-    safe = badrecords_safe_udf(lambda s: 100 // int(s), "int")
     df = spark.createDataFrame([("5",), ("0",), ("x",), ("4",)], ["s"])
-    out = df.select(safe("s").alias("v"))
-    assert out.filter(F.col("v").isNotNull()).count() == 2
-    assert out.filter(F.col("v").isNull()).count() == 2
+    for engine in ("pandas", "python_row"):
+        safe = badrecords_safe_udf(lambda s: 100 // int(s), "int", engine=engine)
+        out = df.select(safe("s").alias("v"))
+        assert out.filter(F.col("v").isNotNull()).count() == 2, engine
+        assert out.filter(F.col("v").isNull()).count() == 2, engine
+
+
+def test_badrecords_default_engine_is_not_row_at_a_time(spark):
+    """The default path must plan an Arrow-batched ArrowEvalPython, never
+    the per-row BatchEvalPython (the 100 TB scan-path throughput killer —
+    only engine='python_row' may produce it)."""
+    df = spark.createDataFrame([("5",), ("x",)], ["s"])
+    safe = badrecords_safe_udf(lambda s: int(s), "int")
+    plan = df.select(safe("s").alias("v"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_badrecords_safe_cast_is_pure_expression(spark):
+    """Expression fast path: malformed → NULL with zero Python in the plan."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import badrecords_safe_cast
+
+    df = spark.createDataFrame([("5",), ("x",), ("7",)], ["s"])
+    out = df.select(badrecords_safe_cast("s", "int").alias("v"))
+    assert [r.v for r in out.collect()] == [5, None, 7]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
 
 
 def test_jdbc_roundtrip_embedded_derby(spark):
