@@ -27,6 +27,16 @@ class PlanSummary:
     pushed_filters: list[str]
     read_schemas: list[str]
 
+    def broadcast_inputs(self) -> list[set[str]]:
+        """Column-name sets entering each BroadcastExchange — the bytes
+        actually shipped to every executor. At 100 TB broadcast width is
+        the first executor-OOM lever, so tests assert these sets carry
+        only the join keys + projected columns."""
+        out = []
+        for m in re.finditer(r"\(\d+\) BroadcastExchange\n(?:.*\n)*?Input \[\d+\]: \[([^\]]*)\]", self.text):
+            out.append({c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()})
+        return out
+
     def scans_only_columns(self, *cols: str) -> bool:
         """True if every file scan reads a subset of ``cols`` — column
         pruning proof."""

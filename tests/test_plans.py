@@ -90,6 +90,42 @@ def test_headline_query_plan_discipline(spark):
     assert s6.scans_only_columns("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
 
 
+def test_broadcast_build_sides_are_pruned(spark):
+    """Every BroadcastExchange ships ONLY the join key + projected
+    columns — broadcast bytes are the first executor-OOM lever at
+    100 TB, so an unpruned dim (part has 9 columns, nation 4) in the
+    exchange is a plan bug even when results are correct."""
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+
+    reg = load_all()
+    s = plan_summary(reg["join_broadcast_dim"].fn(spark, SF))
+    ins = s.broadcast_inputs()
+    assert len(ins) == 1, s.text
+    assert ins[0] <= {"p_partkey", "p_brand"}, ins
+
+    # q5: which relations broadcast is an AQE size decision (at sf0.001
+    # even pruned lineitem qualifies), but EVERY broadcast must be a
+    # pruned projection: never a table's wide *_comment column, never
+    # more than the handful of key/name/measure columns the query uses.
+    s5 = plan_summary(reg["q5_local_supplier_volume"].fn(spark, SF))
+    assert s5.broadcast_inputs(), "q5 must broadcast its dims"
+    for cols in s5.broadcast_inputs():
+        assert not any(c.endswith("_comment") for c in cols), cols
+        assert len(cols) <= 5, cols
+
+
+def test_lsh_broadcast_query_side_pruned(spark):
+    """sim_ann_lsh broadcasts the query side: only (bucket, query_id,
+    vector, norm) may cross the wire — never raw corpus columns."""
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+
+    df = load_all()["sim_ann_lsh"].fn(spark, SF)
+    ins = plan_summary(df).broadcast_inputs()
+    assert ins, "expected a broadcast of the query side"
+    for cols in ins:
+        assert cols <= {"bucket", "query_id", "qv", "qn"}, cols
+
+
 def test_profile_table_single_scan(spark):
     """profile_table must read the fact table exactly ONCE: all
     per-column stats come from a single aggregation over one scan (the
