@@ -60,6 +60,23 @@ def ensure_events_conf(spark: SparkSession) -> None:
             spark.conf.set(key, val)
         except Exception:
             pass
+    # The timezone pin is the one conf whose silent loss changes ANSWERS
+    # (the NTZ fallback casts in normalize_event_ts/epoch_seconds become
+    # JVM-default-tz dependent) rather than just failing a scan — so its
+    # absence must be loud, not swallowed.
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
+        import warnings
+
+        warnings.warn(
+            f"session.timeZone={tz!r} (wanted UTC and the session rejected it): "
+            "events timestamp normalization of TIMESTAMP_NTZ data is now "
+            "JVM-timezone-dependent",
+            stacklevel=2,
+        )
 
 
 # Back-compat alias (round-1/2 call sites and tests import this name).

@@ -528,6 +528,7 @@ def connected_components(
         "label", F.col("id")
     ).persist()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -548,6 +549,7 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
         # Iterative plans nest one join per round; past a few rounds the
@@ -557,6 +559,21 @@ def connected_components(
         if (it + 1) % 5 == 0:
             labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
+    if not converged:
+        # An unconverged label set is silently WRONG for survivor-style
+        # consumers: a long-chain component whose diameter exceeds
+        # max_iter leaves non-canonical hubs labeled as themselves, and
+        # dedup would keep extra "survivors". Loud, not fatal — callers
+        # that only need approximate clusters may proceed.
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} without converging "
+            "(component diameter exceeds the round cap); labels may be "
+            "non-canonical — raise max_iter or switch to the large-star/"
+            "small-star rule for long-chain graphs",
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -246,12 +246,20 @@ def ivf_topk(
         )
         cent_rows = (
             corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            # a NULL embedding can't seed a centroid; skipping it here
+            # keeps the draw identical on clean data (no reorder). Draw
+            # 2x and trim to the modal length below so a ragged vector
+            # can't poison the codebook either.
+            .where(F.col("cvec").isNotNull())
             .orderBy(order, F.col("cid"))
-            .limit(n_centroids)
+            .limit(2 * n_centroids)
             .collect()
         )
+        lengths = [len(r.cvec) for r in cent_rows]
+        modal = max(set(lengths), key=lengths.count) if lengths else 0
         for r in cent_rows:
-            cents.append((int(r.cid), unit([float(x) for x in r.cvec])))
+            if len(r.cvec) == modal and len(cents) < n_centroids:
+                cents.append((int(r.cid), unit([float(x) for x in r.cvec])))
 
     def dist_entries_sql(vec_name: str) -> str:
         # struct(-dot, cid) per centroid: array_min/sort_array order by
@@ -302,18 +310,37 @@ def ivf_topk(
         by_cid = sorted(cents)
         cid_order = [cid for cid, _ in by_cid]
         cmat = np.array([cv for _, cv in by_cid], dtype=np.float64)  # K x dim, unit rows
+        _dim = cmat.shape[1]
+
+        def _stack_valid(vs: pd.Series):
+            # A NULL or wrong-length embedding must degrade to a NULL
+            # output row, not crash the whole Arrow batch (the SQL fold
+            # path NULLs per row; the fast path must match). Invalid
+            # rows score against a zero vector and are masked after.
+            arrs = list(vs)
+            valid = np.fromiter(
+                (a is not None and len(a) == _dim for a in arrs), dtype=bool, count=len(arrs)
+            )
+            m = np.zeros((len(arrs), _dim), dtype=np.float64)
+            for i in np.flatnonzero(valid):
+                m[i] = arrs[i]
+            return m, valid
 
         @pandas_udf("int")
         def assign_cell(vs: pd.Series) -> pd.Series:
-            v = np.vstack(vs.to_numpy())  # batch x dim (float32 ok)
+            v, valid = _stack_valid(vs)  # batch x dim (float32 ok)
             idx = np.argmax(v @ cmat.T, axis=1)
-            return pd.Series([cid_order[i] for i in idx], dtype="int32")
+            return pd.Series(
+                pd.array([cid_order[i] if ok else None for i, ok in zip(idx, valid)], dtype="Int32")
+            )
 
         @pandas_udf("array<int>")
         def probe_cells(vs: pd.Series) -> pd.Series:
-            v = np.vstack(vs.to_numpy())
+            v, valid = _stack_valid(vs)
             order = np.argsort(-(v @ cmat.T), axis=1, kind="stable")[:, :nprobe]
-            return pd.Series([[cid_order[i] for i in row] for row in order])
+            return pd.Series(
+                [[cid_order[i] for i in row] if ok else None for row, ok in zip(order, valid)]
+            )
 
         c = with_norm(
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
@@ -355,16 +382,17 @@ def ivf_topk(
 
         @pandas_udf("double")
         def pair_cosine(qs: pd.Series, cs: pd.Series, qn: pd.Series, cn: pd.Series) -> pd.Series:
-            qm = np.vstack(qs.to_numpy()).astype(np.float64)
-            cm = np.vstack(cs.to_numpy()).astype(np.float64)
-            denom = qn.to_numpy() * cn.to_numpy()
+            qm, qok = _stack_valid(qs)
+            cm, cok = _stack_valid(cs)
+            denom = qn.astype("float64").to_numpy() * cn.astype("float64").to_numpy()
             with np.errstate(divide="ignore", invalid="ignore"):
                 out = np.einsum("ij,ij->i", qm, cm) / denom
-            # True NULL (not NaN) for zero-norm pairs: NaN sorts ABOVE
-            # every real double in Spark's DESC order and would rank
-            # degenerate vectors first; NULL sorts last, matching the
-            # JVM cosine()'s F.when guard.
-            return pd.Series(pd.array(out, dtype="Float64")).mask(denom == 0)
+            # True NULL (not NaN) for zero-norm, NULL, or ragged pairs:
+            # NaN sorts ABOVE every real double in Spark's DESC order
+            # and would rank degenerate vectors first; NULL sorts last,
+            # matching the JVM cosine()'s F.when guard.
+            bad = ~qok | ~cok | ~np.isfinite(denom) | (denom == 0)
+            return pd.Series(pd.array(out, dtype="Float64")).mask(bad)
 
         scored = (
             c.join(F.broadcast(q), on="cell")

@@ -257,7 +257,8 @@ def sim_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, 4-cell probing, and within-cell ranking are ALL replayed
     by the DuckDB oracle value-for-value. The reproducible-ANN contract:
     any engine with md5 derives the identical index and answers.
-    (sim_ann_ivf keeps the k-means codebook — better cells, rows-only.)"""
+    (sim_ann_ivf keeps the k-means codebook — better cells,
+    pytest-only since its estimates are engine-specific.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb,
@@ -277,7 +278,12 @@ def sim_ann_ivf_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of JVM folds — 6.8x faster at 200k vectors (SCALING.md).
     Tie policy is aligned by construction and
     tests/test_similarity.py asserts result equality with the fold
-    path, so the exact-replay oracle gates BOTH implementations."""
+    path, so the exact-replay oracle gates BOTH implementations.
+    Portability caveat: BLAS-vs-fold summation differs sub-ulp, so on
+    OTHER hardware a borderline cell/rank tie could flip; the
+    authoritative cross-platform gate is the fold-equality pytest
+    (test_ivf_vectorized_assignment_matches_sql) — the bit-exact oracle
+    is validated on the driver's own BLAS."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb,

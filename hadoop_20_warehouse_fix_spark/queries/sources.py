@@ -7,12 +7,11 @@ through the matching reader.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.scratch import scratch_dir
 from hadoop_20_warehouse_fix_spark.queries import query
 
 
@@ -33,7 +32,7 @@ def seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.writers import write_sequence_file
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="seqfile_rt_") + "/seq"
+    path = scratch_dir(prefix="seqfile_rt_") + "/seq"
     write_sequence_file(docs, path, "doc_id", "text")
     back = read_sequence_file(spark, path, "LongWritable", "Text", "doc_id", "text")
     return back.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
@@ -86,7 +85,7 @@ def kvtext_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.writers import write_kv_text
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="kvtext_rt_") + "/kv"
+    path = scratch_dir(prefix="kvtext_rt_") + "/kv"
     write_kv_text(docs, path, "doc_id", "text")
     return read_kv_text(spark, path)
 
@@ -103,7 +102,7 @@ def xml_records_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.readers import read_xml_records
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="xml_rt_") + "/xml"
+    path = scratch_dir(prefix="xml_rt_") + "/xml"
     docs.select(
         F.concat(
             F.lit('<rec id="'), F.col("doc_id").cast("string"), F.lit('">'),
@@ -132,7 +131,7 @@ def demux_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.writers import write_partitioned
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="demux_rt_") + "/parts"
+    path = scratch_dir(prefix="demux_rt_") + "/parts"
     write_partitioned(docs, path, F.pmod(F.col("doc_id"), F.lit(8)), "part")
     back = spark.read.parquet(path)
     return back.groupBy(F.col("part").cast("bigint").alias("part")).agg(
@@ -179,7 +178,7 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.writers import compact
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="compact_rt_")
+    base = scratch_dir(prefix="compact_rt_")
     src, dst = base + "/small", base + "/compacted"
     docs.repartition(16).write.mode("overwrite").parquet(src)
     compact(spark, src, dst, target_file_mb=512)
@@ -202,7 +201,7 @@ def multi_sink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.writers import multi_sink, write_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="multisink_rt_")
+    base = scratch_dir(prefix="multisink_rt_")
     multi_sink(
         docs,
         {
@@ -248,7 +247,7 @@ def compressed_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.writers import write_kv_text
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="gztext_rt_") + "/kv"
+    path = scratch_dir(prefix="gztext_rt_") + "/kv"
     write_kv_text(docs, path, "doc_id", "text", compression="gzip")
     return read_kv_text(spark, path)
 
@@ -269,7 +268,7 @@ def mapfile_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.writers import write_sorted
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="mapfile_rt_") + "/sorted"
+    path = scratch_dir(prefix="mapfile_rt_") + "/sorted"
     write_sorted(docs, path, ["doc_id"], num_files=4, bloom_cols=["doc_id"])
     return spark.read.parquet(path)
 
@@ -290,7 +289,7 @@ def nline_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.writers import write_kv_text
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="nline_rt_") + "/kv"
+    path = scratch_dir(prefix="nline_rt_") + "/kv"
     write_kv_text(docs, path, "doc_id", "text")
     lines = read_text_nlines(spark, path, lines_per_task=100)
     kv = lines.select(
@@ -326,7 +325,7 @@ def badrecords_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k"),
         "text",
     )
-    path = tempfile.mkdtemp(prefix="badrec_rt_") + "/kv"
+    path = scratch_dir(prefix="badrec_rt_") + "/kv"
     write_kv_text(mangled, path, "k", "text")
     parsed = read_csv(
         spark, path, schema="doc_id bigint, text string", sep="\t", permissive=True
@@ -355,7 +354,7 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_warehouse_fix_spark.sources.writers import write_table
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="schema_evo_") + "/t"
+    path = scratch_dir(prefix="schema_evo_") + "/t"
     write_table(docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), path, mode="append")
     write_table(
         docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_fix_spark.catalog import epoch_seconds, load_table, stream_table
 from hadoop_20_warehouse_fix_spark.queries import query
+from hadoop_20_warehouse_fix_spark.scratch import scratch_dir
 from hadoop_20_warehouse_fix_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
@@ -167,7 +168,6 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression. Same oracle as events_tumbling_hourly: a drained stream
     must produce exactly the batch answer — the streaming/batch
     unification guarantee the engine relies on for backfills."""
-    import tempfile
     import uuid
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
@@ -186,7 +186,7 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_available_now(
         out,
-        tempfile.mkdtemp(prefix="stream_tumbling_ckpt_"),
+        scratch_dir(prefix="stream_tumbling_ckpt_"),
         query_name="stream_tumbling_" + uuid.uuid4().hex[:8],
         output_mode="complete",
     )
@@ -211,7 +211,6 @@ def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals a batch GROUP BY exactly. Values ride as integer cents so
     the Python-side accumulation is order-independent and the DuckDB
     comparison is exact."""
-    import tempfile
     import uuid
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import (
@@ -226,7 +225,7 @@ def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stateful_running_agg(cents, key_col="user_id", value_col="value")
     res = run_available_now(
         out,
-        tempfile.mkdtemp(prefix="stream_stateful_ckpt_"),
+        scratch_dir(prefix="stream_stateful_ckpt_"),
         query_name="stream_stateful_" + uuid.uuid4().hex[:8],
         output_mode="update",
     )
@@ -250,7 +249,6 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: dedup state is one entry per distinct key — bound it with a
     watermark (dropDuplicatesWithinWatermark) on event-time keys; here
     the key domain (user x type) is small and the drain is one batch."""
-    import tempfile
     import uuid
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
@@ -259,7 +257,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = sdf.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     res = run_available_now(
         deduped,
-        tempfile.mkdtemp(prefix="stream_dedup_ckpt_"),
+        scratch_dir(prefix="stream_dedup_ckpt_"),
         query_name="stream_dedup_" + uuid.uuid4().hex[:8],
         output_mode="append",
     )
@@ -289,7 +287,6 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: watermark bounds each side's state to the interval window;
     the join itself shuffles both streams on user_id once."""
-    import tempfile
     import uuid
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
@@ -313,7 +310,7 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_available_now(
         joined,
-        tempfile.mkdtemp(prefix="stream_join_ckpt_"),
+        scratch_dir(prefix="stream_join_ckpt_"),
         query_name="stream_join_" + uuid.uuid4().hex[:8],
         output_mode="append",
     )
@@ -339,7 +336,6 @@ def events_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     every row is within the watermark of every other, so the retained
     key set must equal batch DISTINCT exactly — same oracle as the
     unbounded variant, different (100 TB-safe) state contract."""
-    import tempfile
     import uuid
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import run_available_now
@@ -352,7 +348,7 @@ def events_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     )
     res = run_available_now(
         deduped,
-        tempfile.mkdtemp(prefix="stream_dedup_wm_ckpt_"),
+        scratch_dir(prefix="stream_dedup_wm_ckpt_"),
         query_name="stream_dedup_wm_" + uuid.uuid4().hex[:8],
         output_mode="append",
     )
@@ -376,11 +372,9 @@ def stream_demux_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value. Partition-pruned consumers read one event_type
     directory without touching the rest; at 100 TB that layout is the
     difference between a full scan and a 1/N scan per consumer."""
-    import tempfile
-
     from hadoop_20_warehouse_fix_spark.streaming.windows import stream_demux
 
-    base = tempfile.mkdtemp(prefix="stream_demux_rt_")
+    base = scratch_dir(prefix="stream_demux_rt_")
     sdf = stream_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value"), "ts"
     )
@@ -422,7 +416,6 @@ def events_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     as events_sessionized. Completes the §2.10 claim that every window
     family (tumbling/sliding/session) runs on the real streaming
     engine, not just as batch-equivalent expressions."""
-    import tempfile
     import uuid
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import (
@@ -434,7 +427,7 @@ def events_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = session_agg(sdf, gap="10 minutes", key_cols=["user_id"])
     res = run_available_now(
         out,
-        tempfile.mkdtemp(prefix="stream_sess_ckpt_"),
+        scratch_dir(prefix="stream_sess_ckpt_"),
         query_name="stream_sess_" + uuid.uuid4().hex[:8],
         output_mode="complete",
     )
@@ -460,7 +453,6 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained-stream twin proving stream ≡ batch under the same oracle as
     their batch forms. Each event updates size/slide = 2 window states;
     the watermark bounds how many windows stay open."""
-    import tempfile
     import uuid
 
     from hadoop_20_warehouse_fix_spark.streaming.windows import (
@@ -472,7 +464,7 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sliding_agg(sdf, window_size="1 hour", slide="30 minutes", watermark="2 hours")
     res = run_available_now(
         out,
-        tempfile.mkdtemp(prefix="stream_sliding_ckpt_"),
+        scratch_dir(prefix="stream_sliding_ckpt_"),
         query_name="stream_sliding_" + uuid.uuid4().hex[:8],
         output_mode="complete",
     )

@@ -184,6 +184,28 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_warns_when_iteration_cap_hit(spark):
+    """A chain whose diameter exceeds max_iter must WARN (silently
+    non-canonical labels would make dedup keep extra survivors)."""
+    import warnings
+
+    from hadoop_20_warehouse_fix_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=2).collect()
+    assert any("without converging" in str(w.message) for w in caught)
+    # and with enough rounds it converges silently
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {r.id: r.cluster_id for r in connected_components(chain).collect()}
+    assert not any("without converging" in str(w.message) for w in caught)
+    assert set(got.values()) == {1}
+
+
 def test_dedup_clusters_transitive_on_corpus(spark):
     # Transitivity on the real corpus: every pair's two docs share one
     # cluster label, and labels are the component-min doc_id.

@@ -230,3 +230,26 @@ def test_ivf_vectorized_assignment_matches_sql(spark):
     a = ivf_topk(emb, q, k=5, codebook="sample_md5", assign="sql").orderBy("query_id", "rank")
     b = ivf_topk(emb, q, k=5, codebook="sample_md5", assign="vectorized").orderBy("query_id", "rank")
     assert a.collect() == b.collect()
+
+
+def test_ivf_vectorized_tolerates_null_and_ragged_embeddings(spark):
+    """A NULL or wrong-length embedding in the corpus must degrade to
+    'that row contributes nothing' (as the SQL fold path does via NULL
+    propagation), never crash the Arrow batch."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_fix_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 11 == 0, F.slice("embedding", 1, 3))
+        .otherwise(F.col("embedding")),
+    )
+    q = poisoned.filter(F.col("vec_id") < 10)
+    out = ivf_topk(poisoned, q, k=5, codebook="sample_md5", assign="vectorized")
+    rows = out.collect()  # must not raise
+    assert all(r.cosine is not None for r in rows)
+    # queries with invalid vectors simply return no neighbors
+    assert not any(r.query_id % 7 == 0 and r.query_id != 0 for r in rows if r.query_id is not None)
