@@ -141,6 +141,23 @@ def test_profile_table_single_scan(spark):
     assert s.scans_only_columns("l_quantity", "l_discount", "l_returnflag", "l_shipdate")
 
 
+def test_no_registered_query_plans_row_python_or_cartesian(spark):
+    """Global plan discipline over the ENTIRE registry: no registered
+    query may plan a row-at-a-time Python UDF (BatchEvalPython — the
+    100 TB throughput killer; Arrow-batched ArrowEvalPython/MapInPandas
+    are the sanctioned Python paths) or an unkeyed CartesianProduct.
+    Checked at sf0.001 — plan shape is SF-invariant."""
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+
+    bad = {}
+    for name, spec in sorted(load_all().items()):
+        plan = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        hits = [m for m in ("BatchEvalPython", "CartesianProduct") if m in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
+
+
 def test_teragen_deterministic_and_shaped(spark):
     a = teragen(spark, 1000, seed=5)
     b = teragen(spark, 1000, seed=5)
