@@ -144,6 +144,16 @@ def test_badrecords_safe_udf(spark):
         assert out.filter(F.col("v").isNull()).count() == 2, engine
 
 
+def test_badrecords_pandas_engine_handles_more_return_types(spark):
+    """The Arrow path must round-trip non-int return types (object
+    Series → Arrow conversion) with NULLs interleaved."""
+    df = spark.createDataFrame([("2.5",), ("x",), ("4.0",)], ["s"])
+    as_double = badrecords_safe_udf(lambda s: float(s), "double")
+    assert [r.v for r in df.select(as_double("s").alias("v")).collect()] == [2.5, None, 4.0]
+    as_str = badrecords_safe_udf(lambda s: str(float(s)), "string")
+    assert [r.v for r in df.select(as_str("s").alias("v")).collect()] == ["2.5", None, "4.0"]
+
+
 def test_badrecords_default_engine_is_not_row_at_a_time(spark):
     """The default path must plan an Arrow-batched ArrowEvalPython, never
     the per-row BatchEvalPython (the 100 TB scan-path throughput killer —
