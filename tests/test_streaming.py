@@ -18,6 +18,9 @@ from hadoop_20_warehouse_fix_spark.streaming import (
 )
 
 SF = "/root/testdata/sf0.001"
+EVENTS_SCHEMA_STR = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+)
 
 
 @pytest.fixture()
@@ -67,6 +70,67 @@ def test_stream_demux_partitions(spark, landing, tmp_path):
     dirs = {d.rsplit("=", 1)[-1] for d in glob.glob(out_dir + "/event_type=*")}
     assert dirs == types
     assert spark.read.parquet(out_dir).count() == spark.read.parquet(landing).count()
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """The watermark must actually ENFORCE lateness, not just annotate
+    it: a row arriving (in a later file, same checkpoint) with an event
+    time far below the persisted watermark is excluded from windowed
+    counts, while the batch aggregate over the same files counts it —
+    the divergence IS the late-drop contract."""
+    from pyspark.sql import Row
+    from datetime import datetime
+
+    d = str(tmp_path / "landing_wm")
+    ckpt = str(tmp_path / "ckpt_wm")
+
+    def land(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA_STR).coalesce(1).write.mode("append").parquet(d)
+
+    def ev(i, ts):
+        return Row(event_id=i, ts=ts, user_id=1, event_type="c", value=1.0, props="{}")
+
+    # file 1: two on-time rows in hour 0 and one at hour 10 that drives
+    # the watermark (1h delay) far past hour 0's window end
+    land([
+        ev(1, datetime(2000, 1, 1, 0, 10)),
+        ev(2, datetime(2000, 1, 1, 0, 20)),
+        ev(3, datetime(2000, 1, 1, 10, 0)),
+    ])
+
+    out_dir = str(tmp_path / "wm_out")
+
+    def drain():
+        # parquet sink: the append-mode sink that supports checkpoint
+        # recovery (memory sink only recovers in complete mode)
+        sdf = stream_events(spark, d)
+        out = tumbling_agg(sdf, window_size="1 hour", watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.win_start, r.cnt) for r in spark.read.parquet(out_dir).collect()}
+
+    run1 = drain()
+    # hour-0 window closed and emitted with exactly the 2 on-time rows
+    assert (datetime(2000, 1, 1, 0, 0), 2) in run1
+
+    # file 2: a LATE row for hour 0, far below the persisted watermark
+    land([ev(4, datetime(2000, 1, 1, 0, 30))])
+    run2_new = drain() - run1
+    # the late row must not re-open or re-emit the hour-0 window
+    assert not any(ws == datetime(2000, 1, 1, 0, 0) for ws, _ in run2_new), run2_new
+
+    # the batch aggregate over the same files DOES count it — proving
+    # the stream's omission was the watermark, not data loss
+    batch = tumbling_agg(spark.read.parquet(d), window_size="1 hour")
+    bc = {(r.win_start, r.cnt) for r in batch.collect()}
+    assert (datetime(2000, 1, 1, 0, 0), 3) in bc
 
 
 def test_checkpoint_resume_exactly_once(spark, tmp_path):
