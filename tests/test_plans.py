@@ -145,14 +145,22 @@ def test_no_registered_query_plans_row_python_or_cartesian(spark):
     """Global plan discipline over the ENTIRE registry: no registered
     query may plan a row-at-a-time Python UDF (BatchEvalPython — the
     100 TB throughput killer; Arrow-batched ArrowEvalPython/MapInPandas
-    are the sanctioned Python paths) or an unkeyed CartesianProduct.
+    are the sanctioned Python paths), an unkeyed CartesianProduct, or a
+    scan that reads a TPC-H ``*_comment`` column (the wide column no
+    query uses — seeing one in a ReadSchema means column pruning broke).
     Checked at sf0.001 — plan shape is SF-invariant."""
+    import re
+
     from hadoop_20_warehouse_fix_spark.queries import load_all
 
     bad = {}
     for name, spec in sorted(load_all().items()):
-        plan = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        qe = spec.fn(spark, SF)._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         hits = [m for m in ("BatchEvalPython", "CartesianProduct") if m in plan]
+        formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+        if any("_comment" in s for s in re.findall(r"ReadSchema: struct<([^>]*)>", formatted)):
+            hits.append("scans *_comment column")
         if hits:
             bad[name] = hits
     assert not bad, bad
