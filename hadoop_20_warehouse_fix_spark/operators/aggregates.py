@@ -37,6 +37,47 @@ DESCRIPTORS = {
 }
 
 
+def profile_columns(df: DataFrame, cols: Sequence[tuple[str, bool]]) -> DataFrame:
+    """One-pass table profile (the ANALYZE/statistics report): per
+    column, row count, filled count, exact distinct count, min and max
+    (stringified; numeric columns rounded to 4) in long format
+    ``(col_name, n_rows, n_filled, n_distinct, min_v, max_v)``.
+    ``cols`` = (column, is_numeric) pairs.
+
+    Physical form (measured — SCALING.md round 4): unpivot FIRST via a
+    ``stack`` generator in the scan stage (one narrow
+    (col_name, val_num, val_str) tuple per profiled column per row),
+    then ONE grouped aggregation; the exact distinct count rewrites to a
+    (col_name, value)-keyed partial aggregate that combines map-side to
+    ~per-column cardinality before the shuffle. One scan of the source,
+    shuffle bounded by the sum of column cardinalities. Distinct/filled
+    counts use the injective string rendering; min/max keep numeric
+    ordering through the typed val_num lane. On an EMPTY input this
+    returns 0 rows (no groups). The one-pass many-metrics shape is the
+    reference's counters framework (many metrics, one job —
+    ``M/Counters.java``)."""
+    entries = []
+    for c, numeric in cols:
+        vnum = f"CAST({c} AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        entries.append(f"'{c}', {vnum}, CAST({c} AS STRING)")
+    unp = df.selectExpr(
+        f"stack({len(cols)}, {', '.join(entries)}) AS (col_name, val_num, val_str)"
+    )
+    numeric_names = [c for c, n in cols if n]
+    is_num = F.col("col_name").isin(numeric_names)
+    return unp.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val_str").alias("n_filled"),
+        F.count_distinct("val_str").alias("n_distinct"),
+        F.when(is_num, F.round(F.min("val_num"), 4).cast("string"))
+        .otherwise(F.min("val_str"))
+        .alias("min_v"),
+        F.when(is_num, F.round(F.max("val_num"), 4).cast("string"))
+        .otherwise(F.max("val_str"))
+        .alias("max_v"),
+    )
+
+
 def value_aggregate(
     df: DataFrame,
     descriptors: Sequence[tuple[str, str, str]],

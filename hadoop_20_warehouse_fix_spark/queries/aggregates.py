@@ -495,27 +495,12 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     one all-zero row per column. Swap count_distinct for
     approx_count_distinct when exactness isn't required — the same
     exact/approx split as agg_uniq_capped vs agg_uniq_approx."""
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import profile_columns
+
     li = load_table(spark, sf_dir, "lineitem")
-    cols = [("l_quantity", True), ("l_discount", True), ("l_returnflag", False), ("l_shipdate", False)]
-    entries = []
-    for c, numeric in cols:
-        vnum = f"CAST({c} AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
-        entries.append(f"'{c}', {vnum}, CAST({c} AS STRING)")
-    unp = li.selectExpr(
-        f"stack({len(cols)}, {', '.join(entries)}) AS (col_name, val_num, val_str)"
-    )
-    numeric_names = [c for c, n in cols if n]
-    is_num = F.col("col_name").isin(numeric_names)
-    return unp.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("val_str").alias("n_filled"),
-        F.count_distinct("val_str").alias("n_distinct"),
-        F.when(is_num, F.round(F.min("val_num"), 4).cast("string"))
-        .otherwise(F.min("val_str"))
-        .alias("min_v"),
-        F.when(is_num, F.round(F.max("val_num"), 4).cast("string"))
-        .otherwise(F.max("val_str"))
-        .alias("max_v"),
+    return profile_columns(
+        li,
+        [("l_quantity", True), ("l_discount", True), ("l_returnflag", False), ("l_shipdate", False)],
     )
 
 

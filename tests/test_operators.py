@@ -539,3 +539,23 @@ def test_approx_percentile_within_rank_error(spark):
         lo = vals[max(0, int((q - 0.02) * n))]
         hi = vals[min(n - 1, int((q + 0.02) * n))]
         assert lo <= got <= hi, (q, got, lo, hi)
+
+
+def test_profile_columns_nulls_empty_and_numeric_ordering(spark):
+    """profile_columns counts NULLs out of n_filled but into n_rows,
+    orders numerics numerically (9 < 10 — not lexicographically), and
+    returns 0 rows (not a crash) on an empty input."""
+    from hadoop_20_warehouse_fix_spark.operators.aggregates import profile_columns
+
+    df = spark.createDataFrame(
+        [(9.0, "a"), (10.0, None), (None, "b"), (9.0, "b")], "x double, s string"
+    )
+    got = {r.col_name: r for r in profile_columns(df, [("x", True), ("s", False)]).collect()}
+    x, s = got["x"], got["s"]
+    assert (x.n_rows, x.n_filled, x.n_distinct) == (4, 3, 2)
+    assert (x.min_v, x.max_v) == ("9.0", "10.0")  # numeric, not lexicographic
+    assert (s.n_rows, s.n_filled, s.n_distinct) == (4, 3, 2)
+    assert (s.min_v, s.max_v) == ("a", "b")
+
+    empty = spark.createDataFrame([], "x double, s string")
+    assert profile_columns(empty, [("x", True), ("s", False)]).count() == 0
