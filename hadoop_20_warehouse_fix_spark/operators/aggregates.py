@@ -47,15 +47,18 @@ def profile_columns(df: DataFrame, cols: Sequence[tuple[str, bool]]) -> DataFram
     Physical form (measured — SCALING.md round 4): unpivot FIRST via a
     ``stack`` generator in the scan stage (one narrow
     (col_name, val_num, val_str) tuple per profiled column per row),
-    then ONE grouped aggregation; the exact distinct count rewrites to a
-    (col_name, value)-keyed partial aggregate that combines map-side to
-    ~per-column cardinality before the shuffle. One scan of the source,
-    shuffle bounded by the sum of column cardinalities. Distinct/filled
-    counts use the injective string rendering; min/max keep numeric
-    ordering through the typed val_num lane. On an EMPTY input this
-    returns 0 rows (no groups). The one-pass many-metrics shape is the
-    reference's counters framework (many metrics, one job —
-    ``M/Counters.java``)."""
+    then TWO grouped aggregations: stage 1 dedupes to the distinct
+    (col_name, value) pairs while summing row/filled counts — its agg
+    buffers are all longs/doubles, so the heavy |rows|x|cols| stage
+    stays in HashAggregate (string min/max buffers would force a
+    SortAggregate fallback: measured 3.6x slower); stage 2 derives
+    distinct counts and min/max over the ~sum-of-cardinalities
+    survivors. One scan of the source, shuffle bounded by the sum of
+    column cardinalities. Distinct/filled counts use the injective
+    string rendering; min/max keep numeric ordering through the typed
+    val_num lane. On an EMPTY input this returns 0 rows (no groups).
+    The one-pass many-metrics shape is the reference's counters
+    framework (many metrics, one job — ``M/Counters.java``)."""
     entries = []
     for c, numeric in cols:
         vnum = f"CAST({c} AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
@@ -63,16 +66,21 @@ def profile_columns(df: DataFrame, cols: Sequence[tuple[str, bool]]) -> DataFram
     unp = df.selectExpr(
         f"stack({len(cols)}, {', '.join(entries)}) AS (col_name, val_num, val_str)"
     )
+    per_value = unp.groupBy("col_name", "val_str").agg(
+        F.count(F.lit(1)).alias("c"), F.min("val_num").alias("vn")
+    )
     numeric_names = [c for c, n in cols if n]
     is_num = F.col("col_name").isin(numeric_names)
-    return unp.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("val_str").alias("n_filled"),
-        F.count_distinct("val_str").alias("n_distinct"),
-        F.when(is_num, F.round(F.min("val_num"), 4).cast("string"))
+    return per_value.groupBy("col_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(F.col("val_str").isNotNull(), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_filled"
+        ),
+        F.count("val_str").alias("n_distinct"),
+        F.when(is_num, F.round(F.min("vn"), 4).cast("string"))
         .otherwise(F.min("val_str"))
         .alias("min_v"),
-        F.when(is_num, F.round(F.max("val_num"), 4).cast("string"))
+        F.when(is_num, F.round(F.max("vn"), 4).cast("string"))
         .otherwise(F.max("val_str"))
         .alias("max_v"),
     )

@@ -477,20 +477,17 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     one long-format report.
 
     Physical form: ONE scan of lineitem (plan-shape-asserted in
-    tests/test_plans.py) — unpivot FIRST (``stack`` generator: each row
-    becomes one narrow (col_name, val_num, val_str) tuple per profiled
-    column, inside the scan stage), THEN one grouped aggregation keyed
-    by column name. The exact distinct count rewrites to a
-    (col_name, value)-keyed partial aggregate, so the map side combines
-    down to ~per-column-cardinality rows before the shuffle — measured
-    47x faster at sf0.1 than the same one-scan semantics expressed as a
-    single wide agg with multi-column count_distinct (whose Expand
-    plan pushes every row through a sort aggregate 5x), and 10x faster
-    than one pruned scan per column. Distinct/filled counts use the
-    injective string rendering of each value; min/max keep numeric
-    ordering via the typed val_num lane. The one-pass many-metrics
-    shape is the reference's counters framework (many metrics, one job
-    — ``Counters.java``). Degenerate-input note: on an EMPTY table this
+    tests/test_plans.py) via ``operators.aggregates.profile_columns`` —
+    unpivot first, then a two-stage aggregation whose heavy stage keeps
+    HashAggregate-able buffers. Candidate plans and honest measurements
+    (plus the two local-bench traps the first measurement fell into) are
+    recorded in SCALING.md round 4: 0.91 s at sf0.1 vs 0.83 s for one
+    pruned scan per column and 3.3-3.6 s for the naive one-pass forms;
+    local parity with the per-column form, strictly better at 100 TB
+    (one shuffle bounded by sum-of-cardinalities instead of 4 scan
+    passes + 4 shuffle rounds). The one-pass many-metrics shape is the
+    reference's counters framework (many metrics, one job —
+    ``Counters.java``). Degenerate-input note: on an EMPTY table this
     returns 0 rows (no groups), where the per-column-agg form returned
     one all-zero row per column. Swap count_distinct for
     approx_count_distinct when exactness isn't required — the same
