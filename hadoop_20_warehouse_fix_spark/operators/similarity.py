@@ -326,15 +326,18 @@ def ivf_topk(
                 m[i] = arrs[i]
             return m, valid
 
-        @pandas_udf("int")
+        # Cell ids ARE corpus ids (bigint): an int32 return type
+        # overflows the Arrow conversion once ids exceed 2^31 (hit at
+        # the 1M-corpus measurement, SCALING.md round 4).
+        @pandas_udf("bigint")
         def assign_cell(vs: pd.Series) -> pd.Series:
             v, valid = _stack_valid(vs)  # batch x dim (float32 ok)
             idx = np.argmax(v @ cmat.T, axis=1)
             return pd.Series(
-                pd.array([cid_order[i] if ok else None for i, ok in zip(idx, valid)], dtype="Int32")
+                pd.array([cid_order[i] if ok else None for i, ok in zip(idx, valid)], dtype="Int64")
             )
 
-        @pandas_udf("array<int>")
+        @pandas_udf("array<bigint>")
         def probe_cells(vs: pd.Series) -> pd.Series:
             v, valid = _stack_valid(vs)
             order = np.argsort(-(v @ cmat.T), axis=1, kind="stable")[:, :nprobe]

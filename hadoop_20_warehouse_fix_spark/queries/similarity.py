@@ -275,7 +275,9 @@ def sim_ann_ivf_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB IVF path under the SAME oracle as sim_ann_ivf_md5:
     identical md5 codebook, but cell assignment and candidate scoring
     run as Arrow-batched numpy matmuls (broadcast codebook Pandas UDFs)
-    instead of JVM folds — 6.8x faster at 200k vectors (SCALING.md).
+    instead of JVM folds — parity at 200k vectors, 2.6x at 1M, with
+    the gap growing linearly in corpus size (re-measured fresh-plan in
+    SCALING.md round 4, correcting round 3's 6.8x-at-200k figure).
     Tie policy is aligned by construction and
     tests/test_similarity.py asserts result equality with the fold
     path, so the exact-replay oracle gates BOTH implementations.
