@@ -89,6 +89,68 @@ def quality_score(text: Column) -> Column:
     return length_part * punct_part * shape_part
 
 
+def langscore_struct(words: Column) -> Column:
+    """One-traversal language-marker scoring: a single ``F.aggregate``
+    over a BOUND token-array column computing all four marker counts
+    plus the total word length, as a struct.
+
+    Why this exists next to :func:`lang_id`: the per-language
+    ``marker_count`` HOFs are CodegenFallback expressions — opaque to
+    whole-stage-codegen subexpression elimination — so the composed
+    ``lang_id``+``quality_score`` form walks the token array ~5x per row
+    (4 marker filters + the mean-word-len aggregate). This fused form
+    walks it ONCE with 4 membership tests per token. Measured at sf0.1:
+    0.89 s -> 0.76 s for the corpus_clean gate stage, value-identical;
+    the traversal-count gap, not the constant, is what matters at 100 TB.
+    ``words`` must be a materialized column (see
+    :func:`~hadoop_20_warehouse_fix_spark.operators.dedup.doc_shingle_sets`
+    for the projection-barrier idiom), not an inline ``split`` — an
+    inline expression would be re-evaluated per lambda reference."""
+    zero = F.struct(
+        *(F.lit(0).alias(lang) for lang in LANG_PRIORITY), F.lit(0).alias("sum_len")
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        return F.struct(
+            *[
+                (acc[lang] + F.when(w.isin(*LANG_MARKERS[lang]), 1).otherwise(0)).alias(lang)
+                for lang in LANG_PRIORITY
+            ],
+            (acc["sum_len"] + F.length(w)).alias("sum_len"),
+        )
+
+    return F.aggregate(words, zero, step)
+
+
+def lang_from_scores(scores: dict[str, Column]) -> Column:
+    """The :func:`lang_id` argmax/tie-break CASE chain over BOUND score
+    columns — same prediction semantics, but each score is referenced
+    as a cheap column instead of re-evaluating a marker-count HOF."""
+    expr = F.lit("unknown")
+    for lang in reversed(LANG_PRIORITY):
+        cond = scores[lang] > 0
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            if LANG_PRIORITY.index(other) < LANG_PRIORITY.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            else:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_from_parts(n_words: Column, sum_len: Column, n_chars: Column, n_punct: Column) -> Column:
+    """:func:`quality_score`'s arithmetic over pre-computed counting
+    columns (same operation order, so results are bit-identical)."""
+    punct = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    wl = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    length_part = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    punct_part = F.greatest(F.lit(1.0) - punct * 4, F.lit(0.0))
+    shape_part = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return length_part * punct_part * shape_part
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 hex of normalized text (cross-engine
     stable — DuckDB md5 produces identical hex)."""
