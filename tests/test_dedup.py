@@ -287,3 +287,104 @@ def test_minhash_survivors_equal_exact_component_survivors(spark):
     dropped = {r.id for r in cc.filter(F.col("cluster_id") != F.col("id")).collect()}
     exact = {r.doc_id for r in docs.select("doc_id").collect()} - dropped
     assert fast == exact
+
+
+def test_exact_dedup_rows_matches_semijoin_reference(spark):
+    """exact_dedup_rows (min_by one-shuffle form) must keep exactly the
+    rows the winners+left-semi-join reference formulation keeps —
+    including under mass duplication (hot fingerprints) and unique
+    texts, with all payload columns intact."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        exact_dedup_rows,
+        normalize_text,
+    )
+
+    rows = [(i, f"dup text {i % 7}", float(i)) for i in range(200)]
+    rows += [(1000 + i, f"unique {i}", -1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, payload double")
+    fp = F.md5(normalize_text(F.col("text")))
+
+    got = exact_dedup_rows(df, "doc_id", fp)
+    winners = (
+        df.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    want = df.join(winners.select("doc_id"), "doc_id", "left_semi")
+    assert got.columns == df.columns
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() == 7 + 50
+
+
+def test_exact_dedup_rows_plan_single_aggregate_no_join(spark):
+    """The min_by form must compile to a join-free plan: one partial +
+    one final aggregate around a single exchange. (The semi-join form it
+    replaced costs 3 exchanges at scale — SCALING.md round 4.)"""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        exact_dedup_rows,
+        normalize_text,
+    )
+    from hadoop_20_warehouse_fix_spark.plans.inspect import plan_summary
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = exact_dedup_rows(docs, "doc_id", F.md5(normalize_text(F.col("text"))))
+    s = plan_summary(out)
+    assert s.num_broadcast_joins == 0 and s.num_sortmerge_joins == 0
+    assert s.num_exchanges == 1
+
+
+def test_langscore_struct_matches_composed_functions(spark):
+    """The fused one-traversal scorer must be value-identical to the
+    composed lang_id/quality_score/ws_token_count expressions on
+    adversarial text (ties, empty, punctuation-heavy, multilingual)."""
+    from hadoop_20_warehouse_fix_spark.functions.text import (
+        LANG_PRIORITY,
+        lang_from_scores,
+        lang_id,
+        langscore_struct,
+        quality_from_parts,
+        quality_score,
+        ws_token_count,
+    )
+    from hadoop_20_warehouse_fix_spark.operators.dedup import words_of
+
+    texts = [
+        (1, "the cat and the hat is it"),
+        (2, "der hund und die katze ist ein zu"),
+        (3, "el que los y en es una las"),
+        (4, "le la et les des est une dans"),
+        (5, "the der el le"),  # 1-each tie -> priority order wins
+        (6, ""),
+        (7, "   "),
+        (8, "!!! ??? ;;; :::"),
+        (9, "the the der der"),  # en/de tie at 2 -> en (priority)
+        (10, "supercalifragilisticexpialidocious xx"),
+        (11, "a b c d e f g the"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    composed = df.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("pred"),
+        F.round(quality_score(F.col("text")), 9).alias("q"),
+        ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+    tokened = df.select("doc_id", "text", words_of(F.col("text")).alias("words"))
+    counted = tokened.select(
+        "doc_id",
+        langscore_struct(F.col("words")).alias("ls"),
+        F.size("words").alias("n_words"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"[\w\s]", "")).alias("n_punct"),
+    )
+    fused = counted.select(
+        "doc_id",
+        lang_from_scores({lang: F.col("ls")[lang] for lang in LANG_PRIORITY}).alias("pred"),
+        F.round(
+            quality_from_parts(
+                F.col("n_words"), F.col("ls")["sum_len"], F.col("n_chars"), F.col("n_punct")
+            ),
+            9,
+        ).alias("q"),
+        F.col("n_words").alias("n_tokens"),
+    )
+    assert composed.exceptAll(fused).count() == 0 and fused.exceptAll(composed).count() == 0
