@@ -82,7 +82,7 @@ FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 
 
 @query("corpus_clean", headline=True, oracle=_ORACLE)
-def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_clean(spark: SparkSession, sf_dir: str, near_dup: str = "ngram") -> DataFrame:
     """Corpus cleaning pipeline, one plan:
 
     1. language gate — keep predicted-English docs (stopword-marker
@@ -154,7 +154,26 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = enriched.filter((F.col("pred") == "en") & (F.col("q") >= 0.3)).drop("pred")
     s2 = exact_dedup_rows(s1, "doc_id", F.col("fp")).drop("fp").persist()
-    pairs = ngram_jaccard_pairs(s2.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.6)
+    if near_dup == "lsh":
+        # The documented swap past the DF^2 regime: LSH banding emits
+        # candidates from (band, hash) equality joins — no posting-list
+        # blowup when duplication makes every shingle hot. Measured on a
+        # 10x-duplicated 50k-doc corpus: ngram posting pairs 1.56x
+        # slower than LSH (every posting list 10-hot => 100x pair
+        # rows), identical survivor sets; at 1x the two are within 4%
+        # (signature cost ~ posting cost), so the default stays ngram
+        # (exact by construction) and the swap is a flag, not a fork.
+        # Recall is the banding S-curve (~0.999 at j >= 0.7),
+        # precision 1.0 (exact verify). See SCALING.md round 4.
+        from hadoop_20_warehouse_fix_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            s2.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.6
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            s2.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.6
+        )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return s2.join(drop, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", F.round("q", 6).alias("quality")

@@ -388,3 +388,15 @@ def test_langscore_struct_matches_composed_functions(spark):
         F.col("n_words").alias("n_tokens"),
     )
     assert composed.exceptAll(fused).count() == 0 and fused.exceptAll(composed).count() == 0
+
+
+def test_corpus_clean_lsh_swap_same_survivors(spark):
+    """The near_dup='lsh' scale path must keep the same survivor set as
+    the default exact ngram path on the test corpus (LSH recall loss
+    would show up here as extra survivors)."""
+    from hadoop_20_warehouse_fix_spark.queries.corpus import corpus_clean
+
+    a = corpus_clean(spark, SF_CORRECT, near_dup="ngram").select("doc_id")
+    b = corpus_clean(spark, SF_CORRECT, near_dup="lsh").select("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    spark.catalog.clearCache()
