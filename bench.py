@@ -80,7 +80,11 @@ def main() -> None:
                 # Queries that persist intermediates (corpus_clean) must not
                 # leak cached partitions into the next run's memory budget.
                 spark.catalog.clearCache()
-        if times:
+        # A query is either a survivor or an error, never both: a run-2
+        # failure must not leave a one-sample time in the min_of_2 map
+        # (it would silently enter the cross-round total as a valid
+        # measurement while also appearing under "errors").
+        if times and name not in errors:
             per_query[name] = round(min(times), 3)
 
     total = round(sum(per_query.values()), 3)

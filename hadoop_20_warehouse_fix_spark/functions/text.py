@@ -32,19 +32,16 @@ def marker_count(text: Column, markers: tuple[str, ...]) -> Column:
 def lang_id(text: Column) -> Column:
     """Predicted language code, or 'unknown' when no marker hits.
     n-gram-free stopword heuristic — deterministic and oracle-mirrorable;
-    swap in a real model via pandas_udf where accuracy matters."""
-    scores = {lang: marker_count(text, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
-    expr = F.lit("unknown")
-    # Build the CASE chain in reverse priority so earlier langs win ties.
-    for lang in reversed(LANG_PRIORITY):
-        cond = scores[lang] > 0
-        for other in LANG_PRIORITY:
-            if other != lang and LANG_PRIORITY.index(other) < LANG_PRIORITY.index(lang):
-                cond = cond & (scores[lang] > scores[other])
-            elif other != lang:
-                cond = cond & (scores[lang] >= scores[other])
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    swap in a real model via pandas_udf where accuracy matters.
+
+    Delegates the argmax/tie-break CASE chain to
+    :func:`lang_from_scores` (single source of truth — the fused
+    corpus_clean path shares it), composed over per-language
+    ``marker_count`` HOFs. Hot paths should prefer the one-traversal
+    :func:`langscore_struct` + :func:`lang_from_scores` layering."""
+    return lang_from_scores(
+        {lang: marker_count(text, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
+    )
 
 
 def ws_token_count(text: Column) -> Column:
@@ -81,12 +78,19 @@ def mean_word_len(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite quality in [0,1]: length saturation × (1 − punct excess)
     × word-shape sanity. Deterministic arithmetic over the components —
-    the standard cheap pre-filter before expensive model scoring."""
-    length_part = F.least(ws_token_count(text) / F.lit(50.0), F.lit(1.0))
-    punct_part = F.greatest(F.lit(1.0) - punct_ratio(text) * 4, F.lit(0.0))
-    wl = mean_word_len(text)
-    shape_part = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return length_part * punct_part * shape_part
+    the standard cheap pre-filter before expensive model scoring.
+
+    Delegates the arithmetic to :func:`quality_from_parts` (single
+    source of truth shared with the fused corpus_clean path), composed
+    over inline counting expressions. Hot paths should materialize the
+    token array once and feed :func:`quality_from_parts` directly."""
+    words = words_of(text)
+    return quality_from_parts(
+        F.size(words),
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)),
+        F.length(text),
+        F.length(F.regexp_replace(text, r"[\w\s]", "")),
+    )
 
 
 def langscore_struct(words: Column) -> Column:

@@ -256,10 +256,22 @@ def ivf_topk(
             .collect()
         )
         lengths = [len(r.cvec) for r in cent_rows]
-        modal = max(set(lengths), key=lengths.count) if lengths else 0
+        # Modal length with a deterministic tie-break (largest length
+        # wins a count tie — set-iteration order is not a policy). This
+        # guards against a MINORITY of ragged vectors poisoning the
+        # codebook; if ragged rows form the plurality of the draw the
+        # corpus itself is malformed and the dimension check below
+        # surfaces it rather than silently searching a truncated space.
+        modal = max(set(lengths), key=lambda ln: (lengths.count(ln), ln)) if lengths else 0
         for r in cent_rows:
             if len(r.cvec) == modal and len(cents) < n_centroids:
                 cents.append((int(r.cid), unit([float(x) for x in r.cvec])))
+
+    if not cents:
+        raise ValueError(
+            "ivf_topk: empty codebook — the corpus has no non-NULL "
+            f"embeddings to draw {n_centroids} centroids from"
+        )
 
     def dist_entries_sql(vec_name: str) -> str:
         # struct(-dot, cid) per centroid: array_min/sort_array order by

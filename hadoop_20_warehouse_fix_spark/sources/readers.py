@@ -281,14 +281,30 @@ def badrecords_safe_udf(
     if engine != "pandas":
         raise ValueError(f"engine must be 'pandas' or 'python_row', got {engine!r}")
 
+    import numpy as np
     import pandas as pd
+
+    def _pyval(v):
+        # Match what a row UDF would hand fn: SQL NULL as None (pandas
+        # delivers NaN/NaT in typed Series), timestamps as datetime,
+        # arrays as lists — otherwise a fn written against the row
+        # contract (e.g. `if v is None`) silently changes behavior.
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime()
+        if v is None or v is pd.NaT:
+            return None
+        if isinstance(v, float) and np.isnan(v):
+            return None
+        return v
 
     @F.pandas_udf(return_type)
     def safe(*cols):
         out = []
         for vals in zip(*cols):
             try:
-                out.append(fn(*vals))
+                out.append(fn(*(_pyval(v) for v in vals)))
             except Exception:
                 out.append(None)
         return pd.Series(out, dtype="object")

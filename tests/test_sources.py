@@ -222,3 +222,38 @@ def test_nested_recordio_style_roundtrip(spark, tmp_path):
     assert got[1].attrs == {"a": 1, "b": 2} and bytes(got[1].payload) == b"\x00\x01"
     assert got[2].tags == [] and got[2].attrs == {}
     assert got[3].name is None and got[3].payload is None
+
+
+def test_badrecords_engines_agree_on_null_and_typed_values(spark):
+    """The pandas engine must hand fn the same Python values the row
+    engine does: SQL NULL as None (not NaN/NaT), timestamps as
+    datetime, arrays as lists — a fn written against the row contract
+    (`if v is None`) must not change behavior with the default engine."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1.0, datetime.datetime(2000, 1, 2, 3, 4, 5), [1, 2]),
+            (None, None, None),
+            (3.0, datetime.datetime(2001, 6, 7, 8, 9, 10), [3]),
+        ],
+        "x double, t timestamp, a array<int>",
+    )
+
+    def classify(x, t, a):
+        if x is None:
+            return "null-x"
+        if not isinstance(t, datetime.datetime):
+            return f"bad-t:{type(t).__name__}"
+        if not isinstance(a, list):
+            return f"bad-a:{type(a).__name__}"
+        return f"{x * 2}|{t.year}|{sum(a)}"
+
+    outs = {}
+    for engine in ("pandas", "python_row"):
+        safe = badrecords_safe_udf(classify, "string", engine=engine)
+        outs[engine] = [
+            r.o for r in df.select(safe("x", "t", "a").alias("o")).collect()
+        ]
+    assert outs["pandas"] == outs["python_row"]
+    assert outs["pandas"] == ["2.0|2000|3", "null-x", "6.0|2001|3"]
