@@ -335,8 +335,8 @@ def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            c_nationkey,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6)    AS cd,
+           floor(percent_rank() OVER w * 1000000) / 1000000 AS pr,
+           floor(cume_dist() OVER w * 1000000) / 1000000    AS cd,
            CAST(ntile(4) OVER w AS INT)    AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -348,7 +348,15 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     report shape). Both engines implement the SQL-standard definitions;
     c_custkey breaks ordering ties so bucket boundaries are
     deterministic. One shuffle on the partition key; within-partition
-    sort only."""
+    sort only.
+
+    Truncation (floor(x*1e6)/1e6) instead of round(x, 6) on BOTH sides:
+    percent_rank/cume_dist are exact rationals k/n, and at some corpus
+    sizes k/n*1e6 lands EXACTLY on .5 (e.g. 820/12800 = 0.0640625),
+    where Spark's round (half-up) and DuckDB's (half-even) disagree —
+    caught by an sf0.1 sweep after passing at sf0.01. floor of the
+    identical IEEE double has no tie policy, so it is engine-agnostic
+    at every scale."""
     c = load_table(spark, sf_dir, "customer")
     from pyspark.sql import Window
 
@@ -356,7 +364,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        (F.floor(F.percent_rank().over(w) * 1000000) / 1000000).alias("pr"),
+        (F.floor(F.cume_dist().over(w) * 1000000) / 1000000).alias("cd"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
