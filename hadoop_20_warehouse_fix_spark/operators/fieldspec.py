@@ -75,8 +75,15 @@ def field_select(
     value_name: str = "value",
 ) -> DataFrame:
     """Apply a field-selection spec to a delimited-line column, producing
-    (key, value) string columns — the FieldSelection mapper's output."""
-    arr = F.split(F.col(line_col), sep)
+    (key, value) string columns — the FieldSelection mapper's output.
+
+    ``sep`` is treated as a LITERAL separator (the reference's
+    FieldSelectionHelper splits on the literal string): it is
+    regex-escaped before F.split, so '|' or '.' separators split on the
+    character, matching the literal rejoin on the output side."""
+    import re
+
+    arr = F.split(F.col(line_col), re.escape(sep))
     key_ranges, value_ranges = parse_spec(spec)
     return df.select(
         _select_fields(arr, key_ranges, sep).alias(key_name),

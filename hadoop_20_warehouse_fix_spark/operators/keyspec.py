@@ -56,8 +56,14 @@ def parse_keyspec(spec: str) -> list[KeyPart]:
 
 
 def keyspec_columns(line_col: str | Column, spec: str, sep: str = "\t") -> list[Column]:
-    """Compile a keyspec to orderBy-ready Column expressions."""
-    arr = F.split(F.col(line_col) if isinstance(line_col, str) else line_col, sep)
+    """Compile a keyspec to orderBy-ready Column expressions.
+
+    ``sep`` is literal (Unix ``sort -t`` semantics), so it is
+    regex-escaped before F.split — '|' means the pipe character, not an
+    empty regex alternation."""
+    import re
+
+    arr = F.split(F.col(line_col) if isinstance(line_col, str) else line_col, re.escape(sep))
     cols: list[Column] = []
     for p in parse_keyspec(spec):
         if p.field_end is not None and p.field_end == p.field_start:

@@ -116,9 +116,18 @@ def prefix_sum(
     )
     part = part.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(order_col)
-    local = part.withColumn("_local_sum", F.sum(value_col).over(w))
+    # Persist BEFORE the totals collect: the offsets job and the
+    # returned plan's own action would otherwise re-execute
+    # repartitionByRange, whose sampled split points are not guaranteed
+    # identical across executions — a row landing in a different _pid
+    # the second time would get the wrong offset. The persist pins one
+    # partitioning for both consumers (and halves the work).
+    local = part.withColumn("_local_sum", F.sum(value_col).over(w)).persist()
+    # Partition total = sum of values, NOT max of the running sum: with
+    # negative values the running sum peaks mid-partition and max()
+    # would inflate every later partition's offset.
     totals = (
-        local.groupBy("_pid").agg(F.max("_local_sum").alias("_ptotal")).orderBy("_pid").collect()
+        local.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal")).orderBy("_pid").collect()
     )
     offsets, acc = [], 0
     for r in totals:

@@ -41,11 +41,14 @@ def read_kv_text(
     semantics: everything after the first sep is the value)."""
     line = F.col("value")
     idx = F.instr(line, sep)
+    # Column-API substr with BOUND positions — no SQL-string
+    # interpolation (a quote in sep must not break the expression) and
+    # the value starts at idx + len(sep), so multi-character separators
+    # split correctly ('a::b' -> value 'b', not ':b').
+    value_expr = line.substr(idx + len(sep), F.length(line))
     return read_text(spark, path).select(
         F.when(idx > 0, F.substring_index(line, sep, 1)).otherwise(line).alias(key_name),
-        F.when(idx > 0, F.expr(f"substring(value, instr(value, '{sep}') + 1)")).otherwise(F.lit("")).alias(
-            value_name
-        ),
+        F.when(idx > 0, value_expr).otherwise(F.lit("")).alias(value_name),
     )
 
 
@@ -353,7 +356,13 @@ def stratified_sample(
         cond = F.col(strata_col) == stratum
         t = hex_threshold(rate)
         expr = F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
-    thr = expr.otherwise(F.lit(hex_threshold(default_rate)))
+    # Empty rates dict = uniform sampling at default_rate (no CASE chain
+    # to hang the otherwise() off).
+    thr = (
+        F.lit(hex_threshold(default_rate))
+        if expr is None
+        else expr.otherwise(F.lit(hex_threshold(default_rate)))
+    )
     coin = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
     return df.filter(coin < thr)
 

@@ -79,8 +79,11 @@ def sliding_agg(
     if events.isStreaming:
         events = events.withWatermark(ts_col, watermark)
     out = events.groupBy(win).agg(*(aggs or [F.count("*").alias("cnt")]))
+    # Both bounds, mirroring tumbling_agg: sliding windows overlap, so
+    # win_start alone cannot reconstruct the extent downstream.
     return out.select(
         F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
         *[c for c in out.columns if c != "window"],
     )
 
@@ -167,10 +170,22 @@ def stream_demux(
 ) -> None:
     """Streaming MultipleOutputFormat (SURVEY §2.1 demux sink): route each
     micro-batch's rows into per-value directories via partitionBy inside
-    foreachBatch — idempotent per batchId, so exactly-once on replay."""
+    foreachBatch — ACTUALLY idempotent per batchId: each batch writes
+    under a ``_batch_id=<id>`` sub-partition with DYNAMIC partition
+    overwrite, so a batch replayed after a crash-before-checkpoint
+    rewrites exactly its own partitions instead of appending duplicates
+    (a blind append only claims exactly-once). Top-level layout stays
+    ``<partition_col>=<value>/`` — partition-pruned consumers are
+    unaffected and projections never see ``_batch_id`` unless asked."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy(partition_col).parquet(path)
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col, "_batch_id")
+            .parquet(path)
+        )
 
     q = (
         sdf.writeStream.foreachBatch(write_batch)

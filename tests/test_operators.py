@@ -559,3 +559,67 @@ def test_profile_columns_nulls_empty_and_numeric_ordering(spark):
 
     empty = spark.createDataFrame([], "x double, s string")
     assert profile_columns(empty, [("x", True), ("s", False)]).count() == 0
+
+
+def test_prefix_sum_with_negative_values(spark):
+    """Partition totals must be sum(value), not max(running sum): with
+    negatives the running sum peaks mid-partition and a max-based
+    offset silently inflates every later partition's cumsum."""
+    from hadoop_20_warehouse_fix_spark.operators.sort import prefix_sum
+
+    vals = [5, -3, 2, -7, 4, -1, 6, -2, 3, -4] * 20
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.k: r.cumsum for r in prefix_sum(df, "k", "v", num_partitions=7).collect()}
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+def test_field_and_key_specs_treat_separator_literally(spark):
+    """'|' and '.' separators are literal characters (FieldSelection /
+    sort -t semantics), not regexes — an unescaped '|' is an empty
+    alternation that splits every character apart."""
+    from hadoop_20_warehouse_fix_spark.operators.fieldspec import field_select
+    from hadoop_20_warehouse_fix_spark.operators.keyspec import keyspec_columns
+
+    df = spark.createDataFrame([("a|bb|ccc",), ("z|y|x",)], "line string")
+    out = {(r.key, r.value) for r in field_select(df, "line", "1-:0", sep="|").collect()}
+    assert out == {("bb|ccc", "a"), ("y|x", "z")}
+    ordered = [
+        r.line
+        for r in df.orderBy(*keyspec_columns("line", "-k2,2", sep="|")).collect()
+    ]
+    assert ordered == ["a|bb|ccc", "z|y|x"]  # sorted by field 2: bb < y
+
+
+def test_read_kv_text_multichar_and_quote_separators(spark, tmp_path):
+    """Multi-char separators must split AFTER the whole separator, and a
+    quote separator must not break the (formerly SQL-interpolated)
+    value expression."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import read_kv_text
+
+    p1 = str(tmp_path / "kv1.txt")
+    with open(p1, "w") as f:
+        f.write("a::b\nnokey\nx::y::z\n")
+    got = {(r.key, r.value) for r in read_kv_text(spark, p1, sep="::").collect()}
+    assert got == {("a", "b"), ("nokey", ""), ("x", "y::z")}
+
+    p2 = str(tmp_path / "kv2.txt")
+    with open(p2, "w") as f:
+        f.write("k'v\n")
+    got2 = {(r.key, r.value) for r in read_kv_text(spark, p2, sep="'").collect()}
+    assert got2 == {("k", "v")}
+
+
+def test_stratified_sample_empty_rates_uses_default(spark):
+    from hadoop_20_warehouse_fix_spark.sources.readers import stratified_sample
+
+    df = spark.createDataFrame([(i, "en") for i in range(100)], "doc_id long, lang string")
+    kept_all = stratified_sample(df, "lang", {}, "doc_id", default_rate=1.0).count()
+    kept_none = stratified_sample(df, "lang", {}, "doc_id", default_rate=0.0).count()
+    assert kept_all == 100 and kept_none == 0
+    kept_half = stratified_sample(df, "lang", {}, "doc_id", default_rate=0.5).count()
+    assert 20 <= kept_half <= 80
