@@ -142,15 +142,27 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str = "events") -> Data
     same file (schema-only; no data scan), so it can never drift from
     the physical encoding the way a hand-declared string schema did in
     round 2 — the structural bug behind the events_stream_* wrong
-    answers. ``pathGlobFilter`` selects the one table out of the
-    scale-factor directory (the file source takes a directory)."""
+    answers. BOTH physical layouts stream correctly: a directory of
+    part files is read directly (the FileStreamSource requires a
+    directory basePath), while a single-file table goes through the
+    ``pathGlobFilter`` form over the scale-factor directory — the
+    glob alone would match only leaf file NAMES, so a directory-shaped
+    table under it would have streamed zero rows with no error. (The
+    isdir probe is driver-local, matching this catalog's local-path
+    contract; a remote-FS catalog would ask the Hadoop FileSystem.)"""
+    import os
+
     ensure_events_conf(spark)
-    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/{name}.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     if name == "events":
         sdf = normalize_event_ts(sdf)
     return sdf

@@ -204,20 +204,26 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(arr[yi][:, xi])
 
 
-def resize_batch(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_batch(media: DataFrame, width: int, height: int, decode: bool = True) -> DataFrame:
     """Arrow-batched resize over binary payloads. Decodable payloads
     (PPM/BMP magic) get a REAL nearest-neighbor pixel resize
     (:func:`resize_image`); anything else falls back to the
     deterministic byte-resampler stand-in (width*height//64 stride-
     sampled bytes) so non-image corpora — e.g. the documents-as-media
     test fixture — stay deterministic. Same signature, batch shape, and
-    output schema either way."""
+    output schema either way.
+
+    ``decode=False`` forces the byte-resampler for EVERY row: a caller
+    that knows its payloads are not images (text corpora) opts out of
+    magic sniffing, so a text that happens to parse as a valid PPM
+    header cannot flip a row onto the pixel path and make the output
+    content-dependent."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(width * height // 64, 1)
         for pdf in batches:
             def sample(b):
-                if b and bytes(b[:2]) in (b"P6", b"BM"):
+                if decode and b and bytes(b[:2]) in (b"P6", b"BM"):
                     try:
                         return resize_image(bytes(b), width, height)
                     except (NotImplementedError, ValueError):

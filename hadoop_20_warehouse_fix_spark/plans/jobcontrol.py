@@ -35,6 +35,10 @@ def run_dag(steps: list[Step]) -> dict[str, str]:
     """Run steps in dependency order; return name → final state.
     Deterministic: ready steps execute in list order (the reference
     polled jobs in insertion order too)."""
+    names = [s.name for s in steps]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate step names: {dupes} — the second would silently never run")
     by_name = {s.name: s for s in steps}
     for s in steps:
         for d in s.deps:
@@ -74,6 +78,12 @@ def run_dag(steps: list[Step]) -> dict[str, str]:
                     errors[s.name] = exc
                     mark_dependent_failed(s.name)
                 progressed = True
+    if any(st == WAITING for st in states.values()):
+        # No step progressed but some never became runnable: a
+        # dependency cycle. Silent WAITING states would read as
+        # "non-failed" to a caller checking only for FAILED.
+        stuck = sorted(n for n, st in states.items() if st == WAITING)
+        raise ValueError(f"dependency cycle — steps never became runnable: {stuck}")
     run_dag.last_results = results  # introspection for callers/tests
     run_dag.last_errors = errors
     return states

@@ -19,13 +19,13 @@ from hadoop_20_warehouse_fix_spark.queries import query
 @query(
     "agg_value_framework",
     oracle="""
-    SELECT 'LongValueSum:qty' AS id, CAST(sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS VARCHAR) AS value FROM lineitem
+    SELECT 'LongValueSum:qty' AS id, CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS VARCHAR) AS value FROM lineitem
     UNION ALL
     SELECT 'ValueCount:rows', CAST(count(l_orderkey) AS VARCHAR) FROM lineitem
     UNION ALL
-    SELECT 'LongValueMax:qty', CAST(max(CAST(FLOOR(l_quantity) AS BIGINT)) AS VARCHAR) FROM lineitem
+    SELECT 'LongValueMax:qty', CAST(max(CAST(trunc(l_quantity) AS BIGINT)) AS VARCHAR) FROM lineitem
     UNION ALL
-    SELECT 'LongValueMin:qty', CAST(min(CAST(FLOOR(l_quantity) AS BIGINT)) AS VARCHAR) FROM lineitem
+    SELECT 'LongValueMin:qty', CAST(min(CAST(trunc(l_quantity) AS BIGINT)) AS VARCHAR) FROM lineitem
     UNION ALL
     SELECT 'StringValueMax:rflag', CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
     UNION ALL
@@ -40,7 +40,12 @@ def agg_value_framework(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``"Type:name"`` exactly like ``generateEntry``
     (``ValueAggregatorBaseDescriptor.java:84-90``). All descriptors
     compute in a single agg (one job), values emitted as strings (the
-    reference emitted Text)."""
+    reference emitted Text).
+
+    Long coercion is TRUNCATION toward zero on both sides (Spark
+    cast(double as long) ↔ DuckDB trunc()): the previous oracle used
+    FLOOR, which agrees only on non-negative values — a latent mismatch
+    on any column with negative fractional values."""
     li = load_table(spark, sf_dir, "lineitem")
     return value_aggregate(
         li,

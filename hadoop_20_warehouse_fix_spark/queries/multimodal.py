@@ -99,8 +99,13 @@ def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks that delivery contract; pixel math is pytest-gated."""
     from hadoop_20_warehouse_fix_spark.functions.multimodal import documents_as_media, resize_batch
 
+    # decode=False: this corpus is text-as-bytes BY CONSTRUCTION, so the
+    # query opts out of magic sniffing — a document that happened to
+    # start with a parseable 'P6' header must not flip onto the pixel
+    # path and break the fixed-n_bytes delivery oracle. The pixel path
+    # itself is exercised on real images in tests.
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    out = resize_batch(media, 32, 32)
+    out = resize_batch(media, 32, 32, decode=False)
     return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
 
 

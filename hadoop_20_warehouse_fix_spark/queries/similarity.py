@@ -179,15 +179,19 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint (integers stringify identically across engines; raw
     double-to-string formatting does not)."""
     from hadoop_20_warehouse_fix_spark.functions.embeddings import (
-        l2_norm_col,
-        normalize_embedding,
+        unit_from_norm,
+        with_l2_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Projection barrier: the norm fold materializes ONCE per row, then
+    # the unit transform references the bound column — the inline
+    # normalize_embedding form re-runs the d-element fold per element
+    # (O(d^2) per row; measured 3.7x end-to-end at sf0.1, SCALING.md round 4).
+    emb = with_l2_norm(load_table(spark, sf_dir, "embeddings"))
     unit = emb.select(
         "vec_id",
-        F.round(l2_norm_col(F.col("embedding")), 6).alias("norm"),
-        normalize_embedding(F.col("embedding")).alias("u"),
+        F.round(F.col("nrm"), 6).alias("norm"),
+        unit_from_norm(F.col("embedding"), F.col("nrm")).alias("u"),
     ).where(F.col("u").isNotNull())
     return unit.select(
         "vec_id",

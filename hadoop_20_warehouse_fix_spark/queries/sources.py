@@ -285,18 +285,18 @@ def nline_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Content must survive the repartition byte-for-byte; the partition
     arithmetic itself (ceil(lines/N) tasks) is asserted in
     tests/test_sources.py."""
-    from hadoop_20_warehouse_fix_spark.sources.readers import read_text_nlines
+    from hadoop_20_warehouse_fix_spark.sources.readers import (
+        read_text_nlines,
+        split_first_sep,
+    )
     from hadoop_20_warehouse_fix_spark.sources.writers import write_kv_text
 
     docs = load_table(spark, sf_dir, "documents")
     path = scratch_dir(prefix="nline_rt_") + "/kv"
     write_kv_text(docs, path, "doc_id", "text")
     lines = read_text_nlines(spark, path, lines_per_task=100)
-    kv = lines.select(
-        F.substring_index("value", "\t", 1).alias("key"),
-        F.expr("substring(value, instr(value, '\t') + 1)").alias("value"),
-    )
-    return kv
+    key_expr, value_expr = split_first_sep(F.col("value"), "\t")
+    return lines.select(key_expr.alias("key"), value_expr.alias("value"))
 
 
 @query(

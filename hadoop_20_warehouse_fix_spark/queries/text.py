@@ -348,11 +348,12 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    # (n desc, bigram asc) is a unique total order, so orderBy+limit is
+    # exactly the row_number()<=20 result — but it compiles to the
+    # distributed TakeOrderedAndProject instead of an unpartitioned
+    # window that would drag the whole bigram vocabulary onto one task.
     return (
-        counted.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        counted.orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
         .select("bigram", "n")
     )

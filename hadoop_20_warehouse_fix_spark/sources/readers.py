@@ -39,17 +39,24 @@ def read_kv_text(
 ) -> DataFrame:
     """KV lines split at the FIRST separator (KeyValueLineRecordReader
     semantics: everything after the first sep is the value)."""
-    line = F.col("value")
-    idx = F.instr(line, sep)
-    # Column-API substr with BOUND positions — no SQL-string
-    # interpolation (a quote in sep must not break the expression) and
-    # the value starts at idx + len(sep), so multi-character separators
-    # split correctly ('a::b' -> value 'b', not ':b').
-    value_expr = line.substr(idx + len(sep), F.length(line))
+    key_expr, value_expr = split_first_sep(F.col("value"), sep)
     return read_text(spark, path).select(
-        F.when(idx > 0, F.substring_index(line, sep, 1)).otherwise(line).alias(key_name),
-        F.when(idx > 0, value_expr).otherwise(F.lit("")).alias(value_name),
+        key_expr.alias(key_name), value_expr.alias(value_name)
     )
+
+
+def split_first_sep(line, sep: str = "\t"):
+    """(key, value) column pair splitting at the FIRST separator —
+    KeyValueLineRecordReader semantics (no sep → whole line is the key,
+    empty value). The ONE implementation of this contract: Column-API
+    substr with BOUND positions (no SQL-string interpolation, so a
+    quote in sep can't break the expression) and the value starting at
+    idx + len(sep) (multi-character separators split correctly:
+    'a::b' -> value 'b', not ':b')."""
+    idx = F.instr(line, sep)
+    key_expr = F.when(idx > 0, F.substring_index(line, sep, 1)).otherwise(line)
+    value_expr = F.when(idx > 0, line.substr(idx + len(sep), F.length(line))).otherwise(F.lit(""))
+    return key_expr, value_expr
 
 
 def read_xml_records(

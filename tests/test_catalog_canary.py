@@ -158,3 +158,39 @@ print("TZ-OK")
     assert proc.returncode == 0 and "TZ-OK" in proc.stdout, (
         f"rc={proc.returncode}\nstdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
     )
+
+
+def test_stream_table_reads_both_physical_layouts(spark, tmp_path):
+    """stream_table must drain the same rows whether the table is a
+    single parquet FILE (current driver layout) or a DIRECTORY of part
+    files (the other layout parquet writers produce) — the glob-filter
+    form matched only leaf file names and silently streamed zero rows
+    from a directory-shaped table."""
+    import shutil
+
+    from hadoop_20_warehouse_fix_spark.catalog import load_table, stream_table
+    from tests.conftest import SF_CORRECT
+
+    base = str(tmp_path / "sfdir")
+    import os
+
+    os.makedirs(base)
+    # directory-shaped copy of events
+    load_table(spark, SF_CORRECT, "events").repartition(3).write.parquet(
+        f"{base}/events.parquet"
+    )
+    n_batch = spark.read.parquet(f"{base}/events.parquet").count()
+
+    sdf = stream_table(spark, base, "events")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("stream_layout_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.table("stream_layout_probe").count()
+    assert n_stream == n_batch > 0
+    shutil.rmtree(base)

@@ -193,9 +193,7 @@ def test_embedding_quantize_reconstruction(spark):
     )
 
     emb = load_table(spark, SF_CORRECT, "embeddings")
-    q = quantize_int8(emb).withColumn(
-        "recon", dequantize_int8(quantize_int8(emb))
-    )
+    q = quantize_int8(emb).withColumn("recon", dequantize_int8())
     orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
     for r in q.select("vec_id", "scale", "codes", "recon").collect():
         o = orig[r.vec_id]
