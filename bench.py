@@ -2,8 +2,15 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]; print ONE JSON line with per-query seconds.
 
-Each query is executed once as a full action (count of the result —
-forces the whole plan without collecting wide rows to the driver).
+Each query is forced through a noop-sink write (`format("noop")`): the
+v2 write consumes EVERY output row and column, so the full plan
+executes without shipping wide rows to the driver. A bare .count() is
+NOT a valid forcing action — Catalyst prunes everything the count does
+not need (a pure sort+project query collapses to a metadata row-count
+with ReadSchema struct<>, and aggregate VALUES are dropped when only
+the group count is consumed). Round 4 found sort_total_order timing a
+no-op this way; SCALING.md records the discontinuity this fix creates
+in cross-round totals.
 """
 
 from __future__ import annotations
@@ -45,11 +52,15 @@ def main() -> None:
     # execution, not one-time Janino compilation of each query's
     # generated classes (plan shape — hence generated code — is
     # identical across SFs; only the data volume differs).
+    def force(df) -> None:
+        """Execute the FULL plan: noop v2 write consumes every row/column."""
+        df.write.mode("overwrite").format("noop").save()
+
     smallest = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(smallest) and os.path.realpath(smallest) != os.path.realpath(sf_dir):
         for name, spec in sorted(headline.items()):
             try:
-                spec.fn(spark, smallest).count()
+                force(spec.fn(spark, smallest))
             except Exception:
                 pass  # warmup is best-effort; the timed run will surface real failures
         spark.catalog.clearCache()  # drop warmup-persisted intermediates
@@ -70,7 +81,7 @@ def main() -> None:
         for _ in range(2):
             t0 = time.perf_counter()
             try:
-                spec.fn(spark, sf_dir).count()
+                force(spec.fn(spark, sf_dir))
                 times.append(time.perf_counter() - t0)
             except Exception as exc:  # noqa: BLE001 — keep benching survivors
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -89,12 +100,16 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf  # non-numeric suffix: report verbatim, never crash post-run
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "timing": "min_of_2",
         # 1/5/15-min load averages at bench end: cross-round deltas are
         # only meaningful when load is comparable.

@@ -35,10 +35,15 @@ def build_session(
     on a real cluster pass ``master=None`` and let spark-submit set it.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not (cpus.isdigit() or cpus == "*"):
+        # Validate ONCE: a bad value must not reach the master URL
+        # (local[] / local[auto] fails getOrCreate long after the
+        # shuffle-partitions fallback pretended to handle it).
+        cpus = "32"
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
     builder = (
         SparkSession.builder.master(master)

@@ -4,6 +4,17 @@ from __future__ import annotations
 
 import os
 import sys
+import time
+
+# Pin the PROCESS timezone before any Spark session exists: PySpark's
+# TimestampType.fromInternal converts via datetime.fromtimestamp (OS
+# local tz), so collected timestamp columns — hence every oracle
+# comparison that returns one raw — are tz-dependent. The engine's own
+# epoch math is proven tz-independent by the TZ=America/New_York
+# subprocess test; this pin makes the raw-timestamp comparisons
+# portable too.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 import pytest
 

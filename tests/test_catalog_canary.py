@@ -172,8 +172,6 @@ def test_stream_table_reads_both_physical_layouts(spark, tmp_path):
     from tests.conftest import SF_CORRECT
 
     base = str(tmp_path / "sfdir")
-    import os
-
     os.makedirs(base)
     # directory-shaped copy of events
     load_table(spark, SF_CORRECT, "events").repartition(3).write.parquet(

@@ -396,7 +396,11 @@ def test_corpus_clean_lsh_swap_same_survivors(spark):
     would show up here as extra survivors)."""
     from hadoop_20_warehouse_fix_spark.queries.corpus import corpus_clean
 
-    a = corpus_clean(spark, SF_CORRECT, near_dup="ngram").select("doc_id")
-    b = corpus_clean(spark, SF_CORRECT, near_dup="lsh").select("doc_id")
-    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-    spark.catalog.clearCache()
+    try:
+        a = corpus_clean(spark, SF_CORRECT, near_dup="ngram").select("doc_id")
+        b = corpus_clean(spark, SF_CORRECT, near_dup="lsh").select("doc_id")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    finally:
+        # corpus_clean persists its cleaned corpus; a failing assertion
+        # must not leak the cache into later tests in the shared session.
+        spark.catalog.clearCache()

@@ -316,7 +316,6 @@ if _HAS_HYPOTHESIS:
         df = spark.createDataFrame([(ln,) for ln in lines], "line string")
         got = [r.line for r in keyfield_sort(df, "line", spec, sep=",").collect()]
         parts = parse_keyspec(spec)
-        want = sorted(lines, key=lambda ln: (_py_sort_key(ln, parts, ","), ln))
         got_stable = sorted(lines, key=lambda ln: (_py_sort_key(ln, parts, ","),))
         # Compare KEYS, not full orders: ties are free to permute.
         assert [_py_sort_key(ln, parts, ",") for ln in got] == [

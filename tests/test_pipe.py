@@ -50,7 +50,10 @@ def test_pipe_grouped_uniq_count(spark):
 def test_pipe_nonzero_exit_fails(spark):
     # PipeMapRed.java:124 — non-zero subprocess exit fails the job.
     df = spark.createDataFrame([("x",)], ["k"])
-    with pytest.raises((Py4JJavaError, Exception)):
+    # Assert the SPECIFIC failure (subprocess exit status surfaced), not
+    # any Exception — pytest.raises(Exception) would also pass on an
+    # unrelated plan-construction error and never pin the contract.
+    with pytest.raises(Exception, match=r"(?i)exit|status|code 1"):
         pipe(df, "sh -c 'exit 1'").collect()
 
 

@@ -249,5 +249,8 @@ def test_ivf_vectorized_tolerates_null_and_ragged_embeddings(spark):
     out = ivf_topk(poisoned, q, k=5, codebook="sample_md5", assign="vectorized")
     rows = out.collect()  # must not raise
     assert all(r.cosine is not None for r in rows)
-    # queries with invalid vectors simply return no neighbors
-    assert not any(r.query_id % 7 == 0 and r.query_id != 0 for r in rows if r.query_id is not None)
+    # Queries with invalid vectors (NULL at %7: ids 0 and 7 among
+    # vec_id<10) simply return no neighbors — NO exemptions: a zero-fill
+    # regression in the Arrow batch path would fabricate neighbors for
+    # exactly these ids.
+    assert not any(r.query_id in (0, 7) for r in rows if r.query_id is not None)
