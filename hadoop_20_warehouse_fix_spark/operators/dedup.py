@@ -217,9 +217,20 @@ def ngram_jaccard_pairs(
             "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh_str")
         ).select("id", "n_sh", F.xxhash64("sh_str").alias("sh"))
         if max_df is not None:
-            rows = rows.withColumn(
-                "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-            ).filter(F.col("df") <= max_df)
+            # Stop-shingle cap via a combinable count + broadcast
+            # anti-join, NOT a window count (full sort of every exploded
+            # row) and NOT a post-aggregation size filter (which would
+            # BUILD the 10M-element posting array for a hot shingle
+            # before discarding it — the executor-memory blowup max_df
+            # exists to prevent). The hot set is tiny by construction
+            # (shingles with DF > cap), so it broadcasts.
+            hot = (
+                rows.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_df)
+                .select("sh")
+            )
+            rows = rows.join(F.broadcast(hot), "sh", "left_anti")
         posting = (
             rows.groupBy("sh")
             .agg(F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("ids"))
@@ -532,7 +543,11 @@ def connected_components(
     start as each node's own id; each round every node takes the min of
     its label and its neighbors' labels (one equality join + min-agg
     per round). Labels decrease monotonically, so convergence is
-    detected by one scalar agg: sum(labels) unchanged -> fixed point.
+    detected by one scalar agg: COUNT of rows whose label changed this
+    round == 0 -> fixed point. (A sum-of-labels comparison is the same
+    single-scalar shape but overflows bigint under ANSI mode once ids
+    reach ~6e17 snowflake magnitude at ~16+ nodes — a count is bounded
+    by the node count and can neither overflow nor false-converge.)
     Rounds needed = component diameter; near-dup components are dense
     quasi-cliques (diameter 2-4), so this terminates in a handful of
     rounds. For adversarial long-chain graphs at 100 TB, swap the
@@ -549,7 +564,6 @@ def connected_components(
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).persist()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for it in range(max_iter):
         nbr_min = (
@@ -557,29 +571,34 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(
+            labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+        )
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
             .select(
                 labels["id"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < labels["label"]).cast("int").alias("_chg"),
             )
             .persist()
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        n_changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = new_sum
         # Iterative plans nest one join per round; past a few rounds the
         # lineage itself becomes the cost (analysis time, task binary
         # size). localCheckpoint truncates it to the materialized data —
-        # the standard iterative-algorithm hygiene on long chains.
+        # the standard iterative-algorithm hygiene on long chains. The
+        # cached pre-checkpoint DF is unpersisted BEFORE rebinding, or
+        # every 5th round's cache would stay pinned for the session.
         if (it + 1) % 5 == 0:
-            labels = labels.localCheckpoint(eager=True)
+            cp = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = cp
     sym.unpersist()
     if not converged:
         # An unconverged label set is silently WRONG for survivor-style

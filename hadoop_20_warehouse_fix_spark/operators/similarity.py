@@ -17,8 +17,10 @@ Two tiers:
   codebook (one pass, no iterative fit); vectors are assigned to their
   nearest centroid's posting list and queries probe the ``nprobe``
   nearest lists. Same physics as FAISS-style IVF-Flat, expressed as a
-  bucket equality join. Approximate (tested for recall against brute
-  force), so registered rows-only with the driver.
+  bucket equality join. The md5-codebook variant is fully
+  deterministic and oracle-gated value-for-value (the benched
+  ``sim_ann_ivf_md5`` headline); the k-means-codebook variant is
+  engine-specific and pytest-gated for recall against brute force.
 """
 
 from __future__ import annotations
@@ -139,6 +141,21 @@ def lsh_topk(
     recall, more candidates; tune per corpus density.
 
     Output schema matches brute_force_topk (rank within candidates)."""
+    # Fail loudly on a dim mismatch: zip_with pads the shorter side with
+    # NULLs, every hyperplane dot goes NULL, every sign CASE yields 0 —
+    # ALL vectors silently collapse into bucket 0 and the "sub-linear
+    # candidate set" degenerates to all-pairs with no error. One-row
+    # probe (LIMIT 1 scan) — cheap next to the search itself.
+    probe = (
+        corpus.select(F.size(F.col(vec_col)).alias("d"))
+        .where(F.col("d") >= 0)
+        .first()
+    )
+    if probe is not None and probe.d != dim:
+        raise ValueError(
+            f"lsh_topk: dim={dim} but corpus embeddings have length {probe.d} — "
+            "a mismatch buckets every vector into bucket 0 (full all-pairs scan)"
+        )
     planes = hyperplanes(dim, n_planes, seed)
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv", "qn"
@@ -225,11 +242,18 @@ def ivf_topk(
                 lambda a, y: a + y.cast("double") * y.cast("double"),
             )
         )
-        feats = corpus.select(
+        # Projection barrier: the norm fold materializes ONCE per row
+        # before the transform references it — the inline form re-runs
+        # the d-element fold per element (the documented O(d^2)
+        # CodegenFallback trap; see functions/embeddings.py).
+        staged = corpus.select(F.col(vec_col).alias("_v"), nrm_expr.alias("_nrm")).where(
+            F.col("_nrm") > 0
+        )
+        feats = staged.select(
             array_to_vector(
-                F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm_expr)
+                F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm"))
             ).alias("features")
-        ).where(nrm_expr > 0)
+        )
         model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
         for cid, center in enumerate(model.clusterCenters()):
             cents.append((cid, unit([float(x) for x in center])))
@@ -382,12 +406,7 @@ def ivf_topk(
                 )
             ),
         )
-    scored = (
-        c.join(F.broadcast(q), on="cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    cosine_expr = cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     if assign == "vectorized":
         # Candidate scoring is the next interpreted-fold bottleneck
         # after assignment (|corpus|*nprobe/K pairs) — batch it through
@@ -409,14 +428,16 @@ def ivf_topk(
             bad = ~qok | ~cok | ~np.isfinite(denom) | (denom == 0)
             return pd.Series(pd.array(out, dtype="Float64")).mask(bad)
 
-        scored = (
-            c.join(F.broadcast(q), on="cell")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn(
-                "cosine", pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
-            )
-            .select("query_id", "neighbor_id", "cosine")
-        )
+        cosine_expr = pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    # ONE candidate pipeline; only the cosine expression differs by
+    # branch (building the JVM form and discarding it in the vectorized
+    # branch was copy-paste divergence waiting to happen).
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr)
+        .select("query_id", "neighbor_id", "cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -514,11 +535,24 @@ def blocked_cosine_pairs(
     def score(key, pdf):
         i, j = pairs_list[int(key[0])]
         ids = pdf["id"].to_numpy()
-        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        # NULL / ragged embeddings degrade to absent rows, not a task
+        # crash (np.array on a ragged list raises) — same posture as the
+        # reference embedding_cosine_pairs (NULL cosine never matches)
+        # and the vectorized IVF _stack_valid guard.
+        arrs = list(pdf["v"])
+        d = next((len(a) for a in arrs if a is not None), 0)
+        ok = np.fromiter(
+            (a is not None and len(a) == d for a in arrs), dtype=bool, count=len(arrs)
+        )
+        if d == 0 or not ok.any():
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = ids[ok]
+        X = np.array([arrs[ix] for ix in np.flatnonzero(ok)], dtype=np.float64)
+        gsel_all = pdf["g"].to_numpy()[ok]
         nrm = np.linalg.norm(X, axis=1)
         nz = nrm != 0.0  # zero-norm: cosine undefined -> never matches
         ids, X = ids[nz], X[nz] / nrm[nz][:, None]
-        gsel = pdf["g"].to_numpy()[nz]
+        gsel = gsel_all[nz]
         if i == j:
             sims = X @ X.T
             ia, ib = np.triu_indices(len(ids), k=1)
@@ -562,12 +596,22 @@ def brute_force_topk_np(
     import pandas as pd
 
     q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
-    # Zero-norm guard, mirroring the JVM cosine()'s NULL-sorts-last
-    # posture: zero-norm QUERIES are dropped (the JVM form would emit
-    # all-NULL cosines for them — degenerate either way) and zero-norm
-    # CORPUS vectors are masked out per batch below, so neither produces
-    # NaNs that would sort unpredictably through lexsort.
-    q_keep = [r for r in q_rows if any(float(x) != 0.0 for x in r.qv)]
+    # Degenerate-input guard, mirroring the JVM cosine()'s posture:
+    # NULL / ragged / zero-norm QUERIES are dropped (the JVM form emits
+    # all-NULL cosines for them — degenerate either way), NULL / ragged
+    # / zero-norm CORPUS vectors are masked per batch below, and an
+    # empty usable query set returns an empty result instead of a
+    # numpy AxisError.
+    dim = next((len(r.qv) for r in q_rows if r.qv is not None), 0)
+    q_keep = [
+        r
+        for r in q_rows
+        if r.qv is not None and len(r.qv) == dim and any(float(x) != 0.0 for x in r.qv)
+    ]
+    if not q_keep:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = np.array([r.qid for r in q_keep])
     q_mat = np.array([r.qv for r in q_keep], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -575,7 +619,14 @@ def brute_force_topk_np(
     def score(batches):
         for pdf in batches:
             ids = pdf["nid"].to_numpy()
-            c = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            arrs = list(pdf["cv"])
+            ok = np.fromiter(
+                (a is not None and len(a) == dim for a in arrs), dtype=bool, count=len(arrs)
+            )
+            if not ok.any():
+                continue
+            ids = ids[ok]
+            c = np.array([arrs[ix] for ix in np.flatnonzero(ok)], dtype=np.float64)
             c_nrm = np.linalg.norm(c, axis=1, keepdims=True)
             nz = c_nrm[:, 0] != 0.0
             ids, c, c_nrm = ids[nz], c[nz], c_nrm[nz]

@@ -136,7 +136,7 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
     )
     return f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                         w -> w <> '')) AS w
       FROM documents
     ), h AS (

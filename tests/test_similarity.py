@@ -254,3 +254,41 @@ def test_ivf_vectorized_tolerates_null_and_ragged_embeddings(spark):
     # regression in the Arrow batch path would fabricate neighbors for
     # exactly these ids.
     assert not any(r.query_id in (0, 7) for r in rows if r.query_id is not None)
+
+
+def test_blocked_cosine_and_np_topk_tolerate_null_ragged(spark):
+    """NULL / ragged / zero-norm embeddings must degrade (absent rows),
+    never crash the Arrow batch — and an all-degenerate query set
+    returns empty, not an AxisError."""
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        brute_force_topk_np,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 11 == 0, F.slice("embedding", 1, 3))
+        .otherwise(F.col("embedding")),
+    )
+    pairs = blocked_cosine_pairs(poisoned, threshold=0.2, n_blocks=2).collect()
+    bad = {r.vec_id for r in poisoned.where(
+        F.col("embedding").isNull() | (F.size("embedding") == 3)).collect()}
+    assert all(r.id_a not in bad and r.id_b not in bad for r in pairs)
+
+    q = poisoned.filter(F.col("vec_id") < 10)
+    rows = brute_force_topk_np(poisoned, q, k=3).collect()
+    assert all(r.query_id not in bad and r.neighbor_id not in bad for r in rows)
+    assert rows  # clean queries still produce neighbors
+
+    all_null = emb.limit(3).withColumn("embedding", F.lit(None).cast("array<float>"))
+    assert brute_force_topk_np(emb, all_null, k=3).count() == 0
+
+
+def test_lsh_topk_rejects_dim_mismatch(spark):
+    import pytest
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    with pytest.raises(ValueError, match="dim=32 but corpus embeddings have length 64"):
+        lsh_topk(emb, emb.limit(2), dim=32)
