@@ -183,6 +183,49 @@ def range_band_join(
     return facts.join(F.broadcast(bands), on=cond, how="inner")
 
 
+def range_fragment_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    fragment_width: int = 1000,
+) -> DataFrame:
+    """Big-big range join — the shape :func:`range_band_join`'s
+    docstring defers to when the interval side is too large to
+    broadcast (millions of IP ranges / genomic intervals / validity
+    windows): a BroadcastNestedLoopJoin is |facts| x |bands|
+    comparisons and a non-broadcast NLJ is a cartesian shuffle, both
+    non-starters.
+
+    Bucketize-and-explode: every band [lo, hi) explodes into the fixed-
+    width fragments it overlaps (``floor(lo/W) .. floor((hi-1)/W)``),
+    each fact maps to the ONE fragment containing its value, and the
+    match becomes an EQUALITY join on fragment id + an exact residual
+    filter. Each fact matches a band in exactly one fragment (its own),
+    so no dedup pass is needed.
+
+    Cost model: band-side rows multiply by ``ceil(span/W)`` (W too
+    small => interval blowup), fragment fan-in grows with bands-per-
+    fragment (W too large => per-key near-cartesian). Set W near the
+    median band span; skewed giant bands explode into many fragments —
+    bounded rows each — instead of melting one reducer. Measured in
+    SCALING.md round 4 vs the broadcast form."""
+    frag = F.floor(F.col(value_col) / fragment_width)
+    f = facts.withColumn("_frag", frag.cast("long"))
+    b = bands.withColumn(
+        "_frag",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / fragment_width).cast("long"),
+                F.floor((F.col(hi_col) - 1) / fragment_width).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return f.join(b, on="_frag").filter(cond).drop("_frag")
+
+
 def tagged_cogroup(
     left: DataFrame,
     right: DataFrame,

@@ -622,3 +622,39 @@ def test_stratified_sample_empty_rates_uses_default(spark):
     assert kept_all == 100 and kept_none == 0
     kept_half = stratified_sample(df, "lang", {}, "doc_id", default_rate=0.5).count()
     assert 20 <= kept_half <= 80
+
+
+def test_range_fragment_join_matches_broadcast_form(spark):
+    """The big-big fragment form must produce exactly the broadcast
+    NLJ's matches — including bands spanning many fragments, bands
+    inside one fragment, facts on band boundaries, and overlapping
+    bands (a fact may match several)."""
+    import random
+
+    from hadoop_20_warehouse_fix_spark.operators.joins import (
+        range_band_join,
+        range_fragment_join,
+    )
+
+    rng = random.Random(7)
+    bands = []
+    for i in range(200):
+        lo = rng.randrange(0, 50_000)
+        hi = lo + rng.choice([1, 3, 999, 1000, 1001, 7777])
+        bands.append((i, lo, hi))
+    facts = [(j, rng.randrange(0, 60_000)) for j in range(2_000)]
+    # boundary probes: exactly lo (inclusive) and exactly hi (exclusive)
+    facts += [(9001, bands[0][1]), (9002, bands[0][2])]
+    bdf = spark.createDataFrame(bands, "band_id long, lo long, hi long")
+    fdf = spark.createDataFrame(facts, "fact_id long, v long")
+
+    want = {
+        (r.fact_id, r.band_id)
+        for r in range_band_join(fdf, bdf, "v").collect()
+    }
+    for w in (100, 1000, 10_000):
+        got = {
+            (r.fact_id, r.band_id)
+            for r in range_fragment_join(fdf, bdf, "v", fragment_width=w).collect()
+        }
+        assert got == want, f"fragment_width={w} mismatch"
