@@ -164,6 +164,129 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    bucket_width: int,
+    how: str = "left",
+    direction: str = "backward",
+) -> DataFrame:
+    """Skew-resistant as-of join: same semantics as :func:`asof_join`
+    (greatest ``right_ts`` <= ``left_ts`` per key for ``backward``,
+    smallest >= for ``forward``, ties inclusive), but the per-key
+    window is replaced by a two-pass scheme partitioned on
+    ``(key, floor(ts / bucket_width))``.
+
+    Why it exists: :func:`asof_join`'s single window per key puts a hot
+    key's ENTIRE history through one task — measured 3.8x slower than
+    the uniform-key regime at 10M x 1M rows with 50% of rows on one key
+    (SCALING.md round 4). Here a hot key's rows spread across
+    ``ts_domain / bucket_width`` tasks, so the straggler bound drops
+    from |hot key| to |hot key| / n_buckets.
+
+    Passes (one window each, both bounded):
+    1. *Within-bucket*: union left+right partitioned by ``(key,
+       bucket)`` — resolves every left row whose match lives in its own
+       bucket (the common case when ``bucket_width`` is chosen near the
+       median right-event spacing x a few).
+    2. *Carry across buckets*: per-(key, bucket) right summaries
+       (``max_by``/``min_by`` — one row per non-empty bucket) unioned
+       with the distinct unresolved left buckets, windowed per key
+       ordered by bucket id. Row count per key is bounded by the bucket
+       count regardless of skew; at equal bucket the target sorts first
+       so a same-bucket summary (which pass 1 already adjudicated
+       exactly) is never visible.
+    The carry then equality-joins back on ``(key, bucket)`` — pass 1's
+    output is already hash-partitioned on that key, so only the small
+    carry side moves.
+
+    Requires a NUMERIC ts (epoch seconds/millis, etc.) for the bucket
+    arithmetic — use :func:`asof_join` for arbitrary orderable types.
+    Equal ``right_ts`` ties within a key pick an arbitrary right row in
+    BOTH forms (callers with tie-sensitive data should disambiguate the
+    ts). Result equality with :func:`asof_join` across bucket widths,
+    directions, and skew is asserted in tests/test_operators.py.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    W = int(bucket_width)
+    if W <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    forward = direction == "forward"
+
+    rv = F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv")
+    bucket = lambda ts: F.floor(F.col(ts) / W).cast("long")  # noqa: E731
+    r = right.select(
+        *keys, F.col(right_ts).alias("_ts"), bucket(right_ts).alias("_b"), F.lit(0).alias("_side"), rv
+    )
+    l_cols = list(left.columns)
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        bucket(left_ts).alias("_b"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.struct(*[F.col(c) for c in l_cols]).alias("_lv"),
+    )
+    r = r.withColumn("_lv", F.lit(None).cast(l.schema["_lv"].dataType))
+
+    # Pass 1 — within-bucket prefix scan (right before left at equal ts
+    # keeps <= / >= inclusive, exactly as asof_join).
+    order = [F.desc("_ts"), F.asc("_side")] if forward else [F.asc("_ts"), F.asc("_side")]
+    w1 = (
+        Window.partitionBy(*keys, "_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = (
+        l.unionByName(r)
+        .withColumn("_m1", F.last("_rv", ignorenulls=True).over(w1))
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_rv")
+    )
+
+    # Pass 2 — carry the nearest out-of-bucket right value. Summaries:
+    # the row pass 1 would have picked had the bucket boundary not cut
+    # the scan (latest for backward, earliest for forward).
+    pick = "max_by(_rv, _ts)" if not forward else "min_by(_rv, _ts)"
+    rs = r.groupBy(*keys, "_b").agg(F.expr(pick).alias("_brv"), F.lit(1).alias("_bside"))
+    need = (
+        in_bucket.filter(F.col("_m1").isNull())
+        .select(*keys, "_b")
+        .distinct()
+        .withColumn("_bside", F.lit(0))
+        .withColumn("_brv", F.lit(None).cast(r.schema["_rv"].dataType))
+    )
+    # Target (_bside=0) sorts before the same-bucket summary (_bside=1)
+    # in BOTH directions: last() over preceding rows sees strictly
+    # earlier (backward) / later (forward) buckets only.
+    border = [F.desc("_b"), F.asc("_bside")] if forward else [F.asc("_b"), F.asc("_bside")]
+    w2 = (
+        Window.partitionBy(*keys)
+        .orderBy(*border)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        rs.unionByName(need)
+        .withColumn("_carry", F.last("_brv", ignorenulls=True).over(w2))
+        .filter(F.col("_bside") == 0)
+        .select(*keys, "_b", "_carry")
+    )
+
+    matched = in_bucket.join(carry, on=[*keys, "_b"], how="left").withColumn(
+        "_match", F.coalesce(F.col("_m1"), F.col("_carry"))
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_match").isNotNull())
+    return matched.select(
+        *[F.col("_lv")[c].alias(c) for c in l_cols],
+        *[F.col("_match")[c].alias(c) for c in right_value_cols],
+    )
+
+
 def range_band_join(
     facts: DataFrame,
     bands: DataFrame,

@@ -103,6 +103,101 @@ def test_asof_join_backward_semantics(spark):
     assert inner == {"p1", "p2"}
 
 
+def test_asof_join_bucketed_matches_window_form(spark):
+    """The skew-resistant two-pass form must equal the single-window
+    form row-for-row across bucket widths (including W=1, every row its
+    own bucket, and W larger than the ts domain, one bucket == the
+    window form's regime), both directions, and a hot-key distribution.
+    Timestamps are unique per key so the equal-ts tie nondeterminism
+    both forms share cannot fake a diff."""
+    import random
+
+    from hadoop_20_warehouse_fix_spark.operators.joins import asof_join, asof_join_bucketed
+
+    rng = random.Random(42)
+    # ~60% of left rows on the hot key "h"; unique ts per (key, side).
+    def rows(n, tag):
+        out = []
+        seen = set()
+        for i in range(n):
+            k = "h" if rng.random() < 0.6 else f"k{rng.randrange(5)}"
+            t = rng.randrange(0, 1000)
+            while (k, t) in seen:
+                t = rng.randrange(0, 1000)
+            seen.add((k, t))
+            out.append((k, t, f"{tag}{i}"))
+        return out
+
+    left = spark.createDataFrame(rows(120, "l"), ["k", "t", "lid"])
+    right = spark.createDataFrame(rows(40, "r"), ["k", "t", "rid"])
+
+    for direction in ("backward", "forward"):
+        expect = sorted(
+            (r.lid, r.rid)
+            for r in asof_join(
+                left, right, on="k", left_ts="t", right_ts="t",
+                right_value_cols=["rid"], direction=direction,
+            ).collect()
+        )
+        for w in (1, 7, 100, 10_000):
+            got = sorted(
+                (r.lid, r.rid)
+                for r in asof_join_bucketed(
+                    left, right, on="k", left_ts="t", right_ts="t",
+                    right_value_cols=["rid"], bucket_width=w, direction=direction,
+                ).collect()
+            )
+            assert got == expect, f"direction={direction} W={w}"
+
+    # how='inner' drops unmatched left rows, same as the window form.
+    inner_expect = sorted(
+        r.lid
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_value_cols=["rid"], how="inner",
+        ).collect()
+    )
+    inner_got = sorted(
+        r.lid
+        for r in asof_join_bucketed(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_value_cols=["rid"], bucket_width=7, how="inner",
+        ).collect()
+    )
+    assert inner_got == inner_expect
+
+
+def test_asof_join_bucketed_cross_bucket_carry(spark):
+    """A left row whose bucket holds no right row must take the value
+    from an EARLIER bucket (backward) / LATER bucket (forward), and a
+    same-bucket right row strictly on the wrong side of the left ts
+    must NOT leak in via the bucket summary (the _bside ordering)."""
+    from hadoop_20_warehouse_fix_spark.operators.joins import asof_join_bucketed
+
+    left = spark.createDataFrame([("a", 25, "p0"), ("a", 42, "p1")], ["k", "t", "pid"])
+    # W=10: right t=7 lives in bucket 0; left t=25 (bucket 2) and t=42
+    # (bucket 4) both carry across empty buckets. Right t=28 is in left
+    # p0's OWN bucket but after t=25 — the backward summary for bucket 2
+    # is max_by => t=28's value, which must stay invisible to p0.
+    right = spark.createDataFrame([("a", 7, "r_old"), ("a", 28, "r_late")], ["k", "t", "rid"])
+    back = {
+        r.pid: r.rid
+        for r in asof_join_bucketed(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_value_cols=["rid"], bucket_width=10,
+        ).collect()
+    }
+    assert back == {"p0": "r_old", "p1": "r_late"}
+    fwd = {
+        r.pid: r.rid
+        for r in asof_join_bucketed(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_value_cols=["rid"], bucket_width=10, direction="forward",
+        ).collect()
+    }
+    assert fwd == {"p0": "r_late", "p1": None}
+
+
 def test_range_band_join_boundaries(spark):
     from hadoop_20_warehouse_fix_spark.operators.joins import range_band_join
 
