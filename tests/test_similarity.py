@@ -230,6 +230,33 @@ def test_ivf_vectorized_assignment_matches_sql(spark):
     assert a.collect() == b.collect()
 
 
+def test_ivf_precomputed_codebook_matches_inline_build(spark):
+    """The amortization path (build the codebook once via ivf_codebook,
+    reuse across query batches) must give bit-identical results to the
+    inline build, for both the seeded-draw and kmeans codebooks, and
+    reject an empty codebook loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_fix_spark.operators.similarity import ivf_codebook, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    for kind in ("sample_md5", "kmeans"):
+        cb = ivf_codebook(emb, codebook=kind)
+        assert len(cb) == 16 and all(len(v) == 64 for _, v in cb)
+        for lo, hi in ((0, 5), (5, 10)):  # two query batches, one codebook
+            q = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            direct = ivf_topk(emb, q, k=5, codebook=kind).orderBy("query_id", "rank").collect()
+            reused = (
+                ivf_topk(emb, q, k=5, precomputed_codebook=cb)
+                .orderBy("query_id", "rank")
+                .collect()
+            )
+            assert reused == direct, f"codebook={kind} batch=[{lo},{hi})"
+    with pytest.raises(ValueError, match="empty"):
+        ivf_topk(emb, emb.limit(1), precomputed_codebook=[])
+
+
 def test_ivf_vectorized_tolerates_null_and_ragged_embeddings(spark):
     """A NULL or wrong-length embedding in the corpus must degrade to
     'that row contributes nothing' (as the SQL fold path does via NULL
