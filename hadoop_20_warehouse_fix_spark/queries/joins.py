@@ -288,6 +288,53 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_bucketed",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.ts,
+           CAST(round(a.value, 2) AS DOUBLE) AS purchase_value,
+           b.ts AS click_ts,
+           CAST(round(b.value, 2) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+    ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME backward as-of contract as join_asof_last_click (same
+    DuckDB ASOF oracle), through the skew-resistant two-pass form:
+    ``asof_join_bucketed`` partitions on (user_id, hour bucket) so a
+    hot user's history spreads across tasks instead of serializing in
+    one per-key window — measured 3.5x on a 50%-hot-key 10M x 1M corpus
+    (SCALING.md round 4). The join key is ``unix_micros(ts)``: lossless
+    for TimestampType (micros physical), so bucket arithmetic cannot
+    perturb the at-or-before semantics the oracle checks."""
+    from hadoop_20_warehouse_fix_spark.operators.joins import asof_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    ets = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value"),
+        ets.alias("_ets"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.round("value", 2).alias("click_value"),
+        ets.alias("_ets"),
+    )
+    return asof_join_bucketed(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="_ets",
+        right_ts="_ets",
+        right_value_cols=["click_ts", "click_value"],
+        bucket_width=3_600 * 1_000_000,  # one hour of micros
+        how="left",
+    ).drop("_ets")
+
+
+@query(
     "join_range_bands",
     oracle="""
     SELECT b.band, count(*) AS n_orders,
