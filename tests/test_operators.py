@@ -167,6 +167,26 @@ def test_asof_join_bucketed_matches_window_form(spark):
     assert inner_got == inner_expect
 
 
+def test_asof_join_bucketed_negative_ts(spark):
+    """Negative timestamps (pre-epoch) must bucket by FLOOR division —
+    a truncating divide would map ts=-1 and ts=+1 into the same bucket 0
+    and break the carry ordering across the sign boundary."""
+    from hadoop_20_warehouse_fix_spark.operators.joins import asof_join_bucketed
+
+    left = spark.createDataFrame([("a", -3, "p_neg"), ("a", 12, "p_pos")], ["k", "t", "pid"])
+    right = spark.createDataFrame([("a", -15, "r_neg"), ("a", 2, "r_pos")], ["k", "t", "rid"])
+    out = {
+        r.pid: r.rid
+        for r in asof_join_bucketed(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_value_cols=["rid"], bucket_width=10,
+        ).collect()
+    }
+    # p_neg (t=-3): only r_neg (-15) is at-or-before; r_pos (t=2) must
+    # not leak backward across the sign boundary. p_pos: r_pos wins.
+    assert out == {"p_neg": "r_neg", "p_pos": "r_pos"}
+
+
 def test_asof_join_bucketed_cross_bucket_carry(spark):
     """A left row whose bucket holds no right row must take the value
     from an EARLIER bucket (backward) / LATER bucket (forward), and a
@@ -451,6 +471,16 @@ if _HAS_HYPOTHESIS:
             cands = [(rt, rv) for rk, rt in right if rk == k and rt <= t for rv in [f"r{rk}_{rt}"]]
             want[i] = max(cands)[1] if cands else None
         assert got == want
+        from hadoop_20_warehouse_fix_spark.operators.joins import asof_join_bucketed
+
+        got_b = {
+            r.lid: r.rv
+            for r in asof_join_bucketed(
+                ldf, rdf, on="k", left_ts="t", right_ts="t",
+                right_value_cols=["rv"], bucket_width=4,
+            ).collect()
+        }
+        assert got_b == want
 
 
 if _HAS_HYPOTHESIS:
