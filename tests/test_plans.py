@@ -201,6 +201,33 @@ def test_sort_validate_catches_everything(spark):
     assert v2["checksum_match"] and not v2["globally_sorted"]
 
 
+def test_sort_validate_file_order_on_disk_table(spark, tmp_path):
+    """Validating a sorted table READ BACK from parquet needs
+    file_order=True: Spark orders scan partitions by split size, so the
+    partition-granularity boundary check false-negatives on multi-file
+    reads (caught live on a 128-file TeraSort output, round 4). File-
+    name granularity must pass the genuinely sorted table and still
+    fail a per-file-unsorted one."""
+    from hadoop_20_warehouse_fix_spark.operators.sort import total_order_sort
+
+    data = teragen(spark, 20000, seed=5)
+    path = str(tmp_path / "sorted")
+    # 64 files on a 32-thread session: the scan PACKS multiple files
+    # per partition, exercising the file-seam case inside one partition
+    # (the second false-negative mode the 100M run surfaced).
+    total_order_sort(data, ["key"], num_partitions=64).write.parquet(path)
+    v = sort_validate(data, spark.read.parquet(path), "key", file_order=True)
+    assert v == {"counts_match": True, "checksum_match": True, "globally_sorted": True}
+
+    # Range-partitioned by key but UNSORTED within each file: the
+    # filename-boundary check alone can't see it — the within-partition
+    # check must.
+    bad = str(tmp_path / "bad")
+    data.repartitionByRange(16, "key").write.parquet(bad)
+    v_bad = sort_validate(data, spark.read.parquet(bad), "key", file_order=True)
+    assert v_bad["checksum_match"] and not v_bad["globally_sorted"]
+
+
 def test_blocked_cosine_pairs_no_cartesian(spark):
     # The exact embedding-pair join must run as the blocked-GEMM plan:
     # equality joins + groupBy only — never a cartesian/BNLJ, which is
