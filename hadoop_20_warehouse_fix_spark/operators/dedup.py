@@ -302,6 +302,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def estimate_posting_pair_volume(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    sample_frac: float = 1.0,
+) -> float:
+    """Estimate the posting-pair volume ``sum over shingles of
+    DF*(DF-1)/2`` — the row count of :func:`ngram_jaccard_pairs`'
+    dominant pair-explode stage — from a deterministic md5-sample of the
+    corpus.
+
+    Why sampling scales: a doc sample of rate ``p`` thins every posting
+    list binomially (sample DF ~= p*DF), so the sampled pair volume is
+    ~p^2 of the true one; dividing by p^2 recovers it. The estimate is
+    noisy for shingles with DF ~ 1/p, but the quantity spans orders of
+    magnitude between the healthy regime and the DF^2 cliff (SCALING.md
+    round 4 measured 10x duplication => ~100x pair volume), so
+    order-of-magnitude accuracy is all a strategy choice needs.
+
+    The md5 coin (same idiom as sample_stratified) makes the sample —
+    hence the estimate, hence any decision taken on it — a pure
+    function of the data: reproducible across runs and engines, no RNG
+    state. Cost: shingle explode + one combinable groupBy over the
+    sample, ONE scalar collected."""
+    rows = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    if sample_frac < 1.0:
+        coin = (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast("double")
+            / F.lit(float(0xFFFFFFFF))
+        )
+        rows = rows.filter(coin < sample_frac)
+    sampled_pairs = (
+        shingle_rows(rows, "id", "text", n)
+        .groupBy(F.xxhash64("sh").alias("shk"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / F.lit(2.0)).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    return float(sampled_pairs or 0.0) / (sample_frac * sample_frac)
+
+
+def choose_near_dup_strategy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    sample_frac: float = 1.0,
+    pair_budget: float = 50_000_000.0,
+) -> str:
+    """Pick the near-dup strategy from the DATA, not from hope: returns
+    ``"ngram"`` (exact posting-list blocking) while the estimated
+    posting-pair volume fits ``pair_budget``, else ``"lsh"`` (MinHash
+    banding, candidates ~ true-pair count, immune to the DF^2 blowup).
+
+    This is the operating rule SCALING.md round 4 derived from the
+    corpus_clean 100x-duplication sweep (ngram DNF at ~10,000x the pair
+    volume; LSH linear) turned into code. ``pair_budget`` is the
+    cluster knob: pair rows the dominant shuffle may emit, roughly
+    ``pair_rows_per_core_per_sec x cores x acceptable_seconds`` (the
+    sf0.1 bench sustains ~10M pair rows/s/32 cores through the posting
+    stage; 50M keeps the default well inside the measured-healthy
+    regime while tripping orders of magnitude before the cliff).
+
+    Deterministic by construction (md5 sample, exact arithmetic) — safe
+    on replayed/oracle-gated paths so long as the corpus is fixed."""
+    est = estimate_posting_pair_volume(df, id_col, text_col, n, sample_frac)
+    return "lsh" if est > pair_budget else "ngram"
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 60
 ) -> DataFrame:

@@ -82,7 +82,13 @@ FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 
 
 @query("corpus_clean", headline=True, oracle=_ORACLE)
-def corpus_clean(spark: SparkSession, sf_dir: str, near_dup: str = "ngram") -> DataFrame:
+def corpus_clean(
+    spark: SparkSession,
+    sf_dir: str,
+    near_dup: str = "ngram",
+    auto_sample_frac: float = 0.05,
+    auto_pair_budget: float = 50_000_000.0,
+) -> DataFrame:
     """Corpus cleaning pipeline, one plan:
 
     1. language gate — keep predicted-English docs (stopword-marker
@@ -99,7 +105,10 @@ def corpus_clean(spark: SparkSession, sf_dir: str, near_dup: str = "ngram") -> D
 
     100 TB: stages 1-2 are scan-fused row filters (no exchange); stage 3
     shuffles fingerprints; stage 4 is the documented n-gram blocking
-    strategy (swap in minhash_lsh_pairs past the DF^2 regime). Nothing
+    strategy (``near_dup="lsh"`` swaps in minhash_lsh_pairs past the
+    DF^2 regime; ``near_dup="auto"`` probes the DF distribution on a
+    deterministic sample and picks for you — the web-scale default,
+    since duplication is exactly what an ingest doesn't know). Nothing
     collects to the driver. The cleaned corpus (s2) feeds THREE
     consumers (pair generation and the final anti-join's both sides), so
     it is persisted — MEMORY_AND_DISK, spill-safe — rather than
@@ -154,6 +163,22 @@ def corpus_clean(spark: SparkSession, sf_dir: str, near_dup: str = "ngram") -> D
     )
     s1 = enriched.filter((F.col("pred") == "en") & (F.col("q") >= 0.3)).drop("pred")
     s2 = exact_dedup_rows(s1, "doc_id", F.col("fp")).drop("fp").persist()
+    if near_dup == "auto":
+        # Data-driven strategy pick (SCALING.md round 4's operating rule
+        # as code): probe the DF distribution of the CLEANED corpus —
+        # the probe reuses the persist above — and flip to LSH when the
+        # estimated posting-pair volume crosses the budget. md5-sampled
+        # + exact arithmetic => deterministic for a fixed corpus; at
+        # oracle scale the estimate sits orders of magnitude under the
+        # budget, so auto == ngram there by construction.
+        from hadoop_20_warehouse_fix_spark.operators.dedup import (
+            choose_near_dup_strategy,
+        )
+
+        near_dup = choose_near_dup_strategy(
+            s2.select("doc_id", "text"), "doc_id", "text", n=3,
+            sample_frac=auto_sample_frac, pair_budget=auto_pair_budget,
+        )
     if near_dup == "lsh":
         # The documented swap past the DF^2 regime: LSH banding emits
         # candidates from (band, hash) equality joins — no posting-list

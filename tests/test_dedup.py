@@ -404,3 +404,60 @@ def test_corpus_clean_lsh_swap_same_survivors(spark):
         # corpus_clean persists its cleaned corpus; a failing assertion
         # must not leak the cache into later tests in the shared session.
         spark.catalog.clearCache()
+
+
+def test_estimate_posting_pair_volume_exact_at_full_sample(spark):
+    """At sample_frac=1.0 the estimate IS the exact posting-pair count.
+    Corpus built so the only shared shingle is the common 'a b c' head
+    (each doc's tail words are unique), hence volume = k*(k-1)/2 for the
+    k docs carrying it."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        estimate_posting_pair_volume,
+    )
+
+    k = 6
+    rows = [(i, f"a b c t{i}x t{i}y t{i}z") for i in range(k)]
+    rows += [(100 + i, f"u{i}p u{i}q u{i}r u{i}s") for i in range(4)]  # no shared shingles
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    est = estimate_posting_pair_volume(df, "doc_id", "text", n=3, sample_frac=1.0)
+    assert est == k * (k - 1) / 2
+
+
+def test_choose_near_dup_strategy_flips_on_duplication(spark):
+    """The SCALING.md operating rule as code: a bounded-DF corpus picks
+    the exact ngram path; heavy duplication (every posting list hot)
+    crosses the pair budget and flips to LSH."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        choose_near_dup_strategy,
+    )
+
+    base = [(i, f"w{i}a w{i}b w{i}c w{i}d common tail words here") for i in range(20)]
+    df = spark.createDataFrame(base, ["doc_id", "text"])
+    budget = 500.0
+    assert choose_near_dup_strategy(df, "doc_id", "text", pair_budget=budget) == "ngram"
+
+    # 30x duplication: the 5 'common tail words here'-window shingles
+    # each reach DF ~600 => pair volume >> budget.
+    dup = [(1000 * r + i, t) for r in range(30) for (i, t) in base]
+    ddf = spark.createDataFrame(dup, ["doc_id", "text"])
+    assert choose_near_dup_strategy(ddf, "doc_id", "text", pair_budget=budget) == "lsh"
+    # Sampling preserves the decision (deterministic md5 coin, scaled
+    # estimate stays orders of magnitude over budget).
+    assert (
+        choose_near_dup_strategy(ddf, "doc_id", "text", sample_frac=0.5, pair_budget=budget)
+        == "lsh"
+    )
+
+
+def test_corpus_clean_auto_matches_ngram_at_test_scale(spark):
+    """near_dup='auto' must resolve to the exact ngram path (hence
+    identical output) on the healthy-DF test corpus — the determinism
+    contract that makes auto safe on oracle-gated runs."""
+    from hadoop_20_warehouse_fix_spark.queries.corpus import corpus_clean
+
+    try:
+        a = corpus_clean(spark, SF_CORRECT, near_dup="ngram")
+        b = corpus_clean(spark, SF_CORRECT, near_dup="auto")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    finally:
+        spark.catalog.clearCache()
