@@ -372,6 +372,63 @@ def choose_near_dup_strategy(
     return "lsh" if est > pair_budget else "ngram"
 
 
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    mode: str = "flag",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: find (``mode="flag"``) or remove
+    (``mode="clean"``) training documents sharing at least one word
+    ``n``-gram with an evaluation set — the anti-leakage pass every
+    training-data pipeline runs before the corpus ships (13-gram
+    overlap in the GPT-3 appendix; the reference era's analog was a
+    reduce-side semi-join of tokenized corpora,
+    ``M/lib/FieldSelectionMapReduce.java`` + the join contribs).
+
+    ``flag`` returns ``(id, n_hits)`` — n_hits = DISTINCT shared
+    n-grams, the triage signal for how contaminated a doc is; ``clean``
+    returns the surviving training ROWS (anti-join on the flagged ids).
+
+    Physics at 100 TB: shingles join on 8-byte ``xxhash64`` keys, never
+    strings. The asymmetry is the whole design — an eval suite is
+    bounded (thousands of docs, ~1e5-1e7 distinct n-grams => MBs
+    hashed) while the corpus is not, so the eval side builds ONCE and
+    broadcasts; the train side's shingle stream then semi-joins
+    map-side with NO shuffle of the corpus at all in clean mode
+    (flag mode shuffles only the matching (id, shingle) rows, a
+    contamination-sized set). ``broadcast_eval=False`` drops the hint
+    for adversarially large eval sets (falls back to a hashed shuffle
+    join chosen by AQE). Hash-collision caveat as elsewhere in this
+    module: a 2^-64 collision could flag one extra n-gram — acceptable
+    for a removal gate (errs toward removal)."""
+    ev = (
+        shingle_rows(evalset, id_col, text_col, n)
+        .select(F.xxhash64("sh").alias("shk"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = shingle_rows(train, id_col, text_col, n).select(
+        "id", F.xxhash64("sh").alias("shk")
+    )
+    flagged = (
+        tr.join(ev, "shk")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    if mode == "flag":
+        return flagged
+    if mode != "clean":
+        raise ValueError(f"mode must be 'flag' or 'clean', got {mode!r}")
+    return train.join(
+        flagged.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 60
 ) -> DataFrame:

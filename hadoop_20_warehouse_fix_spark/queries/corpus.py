@@ -206,6 +206,52 @@ def corpus_clean(
 
 
 @query(
+    "corpus_decontaminate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(words) - 3, 0)),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2],
+                              words[i+3]))) AS shs
+      FROM w
+    ), ev AS (
+      SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0
+    ), tr AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT tr.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (anti-leakage): flag training documents
+    sharing any word-4-gram with the held-out eval slice — here the
+    deterministic slice ``doc_id % 97 == 0`` stands in for the
+    benchmark suite; a real pipeline passes its eval corpus and a
+    longer n (GPT-3 used 13-grams). Output: (doc_id, n_hits) with
+    n_hits = DISTINCT shared 4-grams.
+
+    100 TB: the eval shingle set is bounded and broadcast, so the
+    corpus-side shingle stream never shuffles its misses — only
+    contamination-sized match rows reach the count. See
+    operators.dedup.decontaminate for the physics."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, evalset, "doc_id", "text", n=4).select(
+        F.col("id").alias("doc_id"), F.col("n_hits")
+    )
+
+
+@query(
     "corpus_pack_shards",
     oracle="""
     WITH t AS (

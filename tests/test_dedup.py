@@ -461,3 +461,58 @@ def test_corpus_clean_auto_matches_ngram_at_test_scale(spark):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_decontaminate_flag_and_clean_planted_overlap(spark):
+    """Planted 4-gram overlap: train doc 1 embeds an eval phrase (two
+    distinct shared 4-grams), doc 2 is clean, doc 3 shares the phrase
+    verbatim. flag counts DISTINCT shared n-grams; clean drops exactly
+    the flagged docs."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
+
+    evalset = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we know the capital of france is warm in summer"),
+            (2, "completely unrelated training text about databases and joins"),
+            (3, "the capital of france is paris obviously says the quiz"),
+        ],
+        ["doc_id", "text"],
+    )
+    flags = {r.id: r.n_hits for r in decontaminate(train, evalset, "doc_id", "text", n=4).collect()}
+    # doc 1 shares 'the capital of france' + 'capital of france is' = 2
+    assert flags[1] == 2
+    assert 2 not in flags
+    assert flags[3] >= 4  # the whole eval doc appears => all its 4-grams
+    survivors = {r.doc_id for r in decontaminate(train, evalset, "doc_id", "text", n=4, mode="clean").collect()}
+    assert survivors == {2}
+
+
+def test_decontaminate_eval_side_broadcasts_and_train_never_shuffles_in_clean_mode(spark):
+    """The 100 TB contract from the docstring: eval shingles broadcast
+    (bounded side), and clean mode's anti-join keeps the corpus side
+    shuffle-free — zero Exchange nodes in the whole plan."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
+    from hadoop_20_warehouse_fix_spark.plans.inspect import plan_summary
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    cleaned = decontaminate(tr, ev, "doc_id", "text", n=4, mode="clean")
+    s = plan_summary(cleaned)
+    assert "BroadcastExchange" in s.text and s.num_sortmerge_joins == 0
+    # The only shuffles are the eval-shingle distinct and the
+    # contamination-sized flag aggregation — corpus ROWS (the text
+    # payload) must never enter an Exchange.
+    import re
+
+    shuffled_cols = [
+        {c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()}
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", s.text
+        )
+    ]
+    assert shuffled_cols, "expected the bounded-side exchanges to be visible"
+    assert all("text" not in cols for cols in shuffled_cols), shuffled_cols
