@@ -155,6 +155,54 @@ def quality_from_parts(n_words: Column, sum_len: Column, n_chars: Column, n_punc
     return length_part * punct_part * shape_part
 
 
+def repetition_struct(words: Column) -> Column:
+    """Gopher-style repetition signals (Rae et al. 2021, app. A1:
+    repetitive documents are low-quality training data) as EXACT
+    INTEGER counts — ``struct(n_words, n_distinct_words,
+    top_word_count, n_bigrams, n_distinct_bigrams)``.
+
+    Integer outputs on purpose: downstream ratio gates (top-word
+    fraction > 1/5, duplicate-bigram fraction > 3/10) become integer
+    cross-multiplications, exact in any engine — immune to the
+    float round()-tie divergence (Spark half-up vs DuckDB half-even)
+    the round-4 sf0.1 oracle sweep caught in window_distribution.
+
+    top_word_count is a run-length fold over the sorted token array
+    (max run = max frequency), not a per-distinct-token refilter — the
+    fold is O(L log L) per doc vs O(d*L). All bound-column HOFs:
+    scan-fused, zero shuffle, skew bounded by max doc length.
+    ``words`` must be a materialized column (projection-barrier idiom,
+    see langscore_struct)."""
+    n = F.size(words)
+    sw = F.array_sort(words)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(a: Column, w: Column) -> Column:
+        run = F.when(w.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    top = F.aggregate(sw, zero, step, lambda a: a["best"])
+    tail_len = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, tail_len),
+        F.slice(words, 2, tail_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        top.cast("long").alias("top_word_count"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 hex of normalized text (cross-engine
     stable — DuckDB md5 produces identical hex)."""

@@ -357,3 +357,60 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("bigram", "n")
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ), b AS (
+      SELECT doc_id, words,
+             list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                            i -> words[i] || ' ' || words[i+1]) AS bigrams
+      FROM w
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+             CAST(COALESCE(list_max(list_transform(list_distinct(words),
+                    d -> len(list_filter(words, x -> x = d)))), 0) AS BIGINT) AS top_word_count,
+             CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+      FROM b
+    )
+    SELECT *,
+           (top_word_count * 5 > n_words
+            OR (n_bigrams - n_distinct_bigrams) * 10 > n_bigrams * 3) AS repetitive
+    FROM s
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021 app. A1):
+    per-doc exact counts — total/distinct words, most-frequent-word
+    count (run-length fold over the sorted token array), total/distinct
+    adjacent bigrams — plus the ``repetitive`` flag via INTEGER
+    cross-multiplication (top-word fraction > 1/5 OR duplicate-bigram
+    fraction > 3/10), so engines can never disagree on a float tie.
+    The oracle recomputes top_word_count the O(d*L) way (per-distinct
+    refilter) — agreement across the two algorithms is part of the
+    check. Scan-fused per-row work, zero shuffle; at 100 TB this rides
+    the same pass as the language/quality gates."""
+    from hadoop_20_warehouse_fix_spark.functions.text import repetition_struct
+    from hadoop_20_warehouse_fix_spark.operators.dedup import words_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", words_of(F.col("text")).alias("words"))
+    r = tok.select("doc_id", repetition_struct(F.col("words")).alias("r"))
+    flat = r.select(
+        "doc_id",
+        *[F.col("r")[c].alias(c) for c in
+          ("n_words", "n_distinct_words", "top_word_count", "n_bigrams", "n_distinct_bigrams")],
+    )
+    return flat.withColumn(
+        "repetitive",
+        (F.col("top_word_count") * 5 > F.col("n_words"))
+        | ((F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 10 > F.col("n_bigrams") * 3),
+    )

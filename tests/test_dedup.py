@@ -516,3 +516,37 @@ def test_decontaminate_eval_side_broadcasts_and_train_never_shuffles_in_clean_mo
     ]
     assert shuffled_cols, "expected the bounded-side exchanges to be visible"
     assert all("text" not in cols for cols in shuffled_cols), shuffled_cols
+
+
+def test_repetition_struct_matches_python_reference(spark):
+    """repetition_struct's run-length fold vs a plain-python Counter on
+    crafted docs: heavy word repetition, heavy bigram repetition, a
+    normal doc, an empty doc, and a one-word doc."""
+    from collections import Counter
+
+    from hadoop_20_warehouse_fix_spark.functions.text import repetition_struct
+    from hadoop_20_warehouse_fix_spark.operators.dedup import words_of
+
+    texts = {
+        1: "spam spam spam spam eggs spam spam ham spam spam",
+        2: "to be or not to be or not to be or not to be",
+        3: "a perfectly ordinary sentence with distinct tokens only",
+        4: "",
+        5: "single",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", words_of(F.col("text")).alias("words")
+        ).select("doc_id", repetition_struct(F.col("words")).alias("r")).select("doc_id", "r.*").collect()
+    }
+    for doc_id, text in texts.items():
+        words = [w for w in text.lower().split() if w]
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        got = out[doc_id]
+        assert got.n_words == len(words)
+        assert got.n_distinct_words == len(set(words))
+        assert got.top_word_count == (max(Counter(words).values()) if words else 0)
+        assert got.n_bigrams == len(bigrams)
+        assert got.n_distinct_bigrams == len(set(bigrams))
