@@ -203,6 +203,65 @@ def repetition_struct(words: Column) -> Column:
     )
 
 
+def repetition_struct_pandas(words: Column) -> Column:
+    """Arrow-batched alternate physical strategy for
+    :func:`repetition_struct` — identical output contract (exact
+    integer counts), pandas_udf transport instead of the interpreted
+    JVM array-HOF fold.
+
+    Exists because the fold is a CodegenFallback expression: if a
+    profile ever shows it dominating a real ingest, this is the
+    documented escape hatch. Measured head-to-head in SCALING.md round
+    4 — the winner is corpus-dependent (Arrow ships every token string
+    to Python, the fold never leaves the JVM), which is exactly why
+    BOTH live behind one contract and an equality pytest, the same
+    fold-vs-BLAS discipline as the IVF assignment paths."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # No type-hint signature: `from __future__ import annotations`
+    # stringifies hints and the local `pd` alias can't be resolved by
+    # pyspark's hint inspector — the explicit returnType carries the
+    # struct schema instead.
+    def _rep(ws_col):
+        rows = []
+        for ws in ws_col:
+            if ws is None:
+                rows.append((None, None, None, None, None))
+                continue
+            toks = list(ws)
+            n = len(toks)
+            if n:
+                counts: dict[str, int] = {}
+                for w in toks:
+                    counts[w] = counts.get(w, 0) + 1
+                nd, top = len(counts), max(counts.values())
+            else:
+                nd, top = 0, 0
+            if n >= 2:
+                bg = {f"{toks[i]} {toks[i + 1]}" for i in range(n - 1)}
+                nb, ndb = n - 1, len(bg)
+            else:
+                nb, ndb = 0, 0
+            rows.append((n, nd, top, nb, ndb))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_words", "n_distinct_words", "top_word_count",
+                "n_bigrams", "n_distinct_bigrams",
+            ],
+        )
+
+    rep = pandas_udf(
+        _rep,
+        returnType=(
+            "n_words long, n_distinct_words long, top_word_count long,"
+            " n_bigrams long, n_distinct_bigrams long"
+        ),
+    )
+    return rep(words)
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 hex of normalized text (cross-engine
     stable — DuckDB md5 produces identical hex)."""

@@ -550,3 +550,20 @@ def test_repetition_struct_matches_python_reference(spark):
         assert got.top_word_count == (max(Counter(words).values()) if words else 0)
         assert got.n_bigrams == len(bigrams)
         assert got.n_distinct_bigrams == len(set(bigrams))
+
+
+def test_repetition_struct_pandas_equals_fold(spark):
+    """The Arrow-batched strategy and the JVM fold must agree row-for-row
+    on the real corpus (same contract, two physical paths — the
+    fold-vs-BLAS discipline)."""
+    from hadoop_20_warehouse_fix_spark.functions.text import (
+        repetition_struct,
+        repetition_struct_pandas,
+    )
+    from hadoop_20_warehouse_fix_spark.operators.dedup import words_of
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    tok = docs.select("doc_id", words_of(F.col("text")).alias("words"))
+    a = tok.select("doc_id", repetition_struct(F.col("words")).alias("r")).select("doc_id", "r.*")
+    b = tok.select("doc_id", repetition_struct_pandas(F.col("words")).alias("r")).select("doc_id", "r.*")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
