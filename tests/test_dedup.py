@@ -567,3 +567,55 @@ def test_repetition_struct_pandas_equals_fold(spark):
     a = tok.select("doc_id", repetition_struct(F.col("words")).alias("r")).select("doc_id", "r.*")
     b = tok.select("doc_id", repetition_struct_pandas(F.col("words")).alias("r")).select("doc_id", "r.*")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# --- property-based: repetition stats vs a Python reference -------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    # Tiny vocabulary forces heavy repetition; include the empty doc.
+    _doc = st.lists(st.sampled_from(["x", "y", "zz", "x y"]), min_size=0, max_size=12).map(
+        " ".join
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=st.lists(_doc, min_size=1, max_size=6))
+    def test_repetition_struct_property_vs_counter(spark, texts):
+        """Both physical strategies vs collections.Counter truth on
+        adversarial token streams (note 'x y' tokens create bigrams
+        colliding with genuine adjacency — the contract is defined on
+        the whitespace token stream, so both engines and the reference
+        agree by construction)."""
+        from collections import Counter
+
+        from hadoop_20_warehouse_fix_spark.functions.text import (
+            repetition_struct,
+            repetition_struct_pandas,
+        )
+        from hadoop_20_warehouse_fix_spark.operators.dedup import words_of
+
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        tok = df.select("doc_id", words_of(F.col("text")).alias("words"))
+        for fn in (repetition_struct, repetition_struct_pandas):
+            got = {
+                r.doc_id: r
+                for r in tok.select("doc_id", fn(F.col("words")).alias("r"))
+                .select("doc_id", "r.*")
+                .collect()
+            }
+            for doc_id, text in enumerate(texts):
+                words = [w for w in text.lower().split() if w]
+                bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+                g = got[doc_id]
+                assert g.n_words == len(words)
+                assert g.n_distinct_words == len(set(words))
+                assert g.top_word_count == (max(Counter(words).values()) if words else 0)
+                assert g.n_bigrams == len(bigrams)
+                assert g.n_distinct_bigrams == len(set(bigrams))
