@@ -88,13 +88,18 @@ def corpus_clean(
     near_dup: str = "ngram",
     auto_sample_frac: float = 0.05,
     auto_pair_budget: float = 50_000_000.0,
+    repetition_gate: bool = False,
 ) -> DataFrame:
     """Corpus cleaning pipeline, one plan:
 
     1. language gate — keep predicted-English docs (stopword-marker
        heuristic, pure column exprs fused into the scan);
     2. quality gate — composite score >= 0.3 (length saturation,
-       punctuation excess, word-shape sanity);
+       punctuation excess, word-shape sanity); ``repetition_gate=True``
+       fuses the Gopher-style repetition filter (top-word > 1/5 or
+       duplicate-bigram > 3/10 drops the doc) into the same projection
+       — one more column expression on the existing scan, no extra
+       pass (off by default so the oracle replays stages 1-4 exactly);
     3. exact dedup — min doc_id per md5-of-normalized-text (semi-join
        against the winner set);
     4. near-dup removal — word-3-gram Jaccard >= 0.6 pairs via
@@ -140,6 +145,16 @@ def corpus_clean(
         "text",
         words_of(F.col("text")).alias("words"),
     )
+    # repetition_gate=True adds the Gopher-style repetition filter
+    # (text.repetition_struct) to the SAME projection — the token array
+    # is already materialized here, so the extra gate is one more fused
+    # column expression on the existing scan, not a second pass. Off by
+    # default: the oracle replays the 4-stage pipeline exactly.
+    rep_cols = []
+    if repetition_gate:
+        from hadoop_20_warehouse_fix_spark.functions.text import repetition_struct
+
+        rep_cols = [repetition_struct(F.col("words")).alias("rep")]
     counted = tokened.select(
         "doc_id",
         "text",
@@ -148,6 +163,7 @@ def corpus_clean(
         F.length("text").alias("n_chars"),
         F.length(F.regexp_replace("text", r"[\w\s]", "")).alias("n_punct"),
         md5_fingerprint(F.col("text")).alias("fp"),
+        *rep_cols,
     )
     scores = {lang: F.col("ls")[lang] for lang in LANG_PRIORITY}
     q = quality_from_parts(
@@ -160,8 +176,20 @@ def corpus_clean(
         q.alias("q"),
         F.col("n_words").cast("long").alias("n_tokens"),
         "fp",
+        *(["rep"] if repetition_gate else []),
     )
-    s1 = enriched.filter((F.col("pred") == "en") & (F.col("q") >= 0.3)).drop("pred")
+    keep = (F.col("pred") == "en") & (F.col("q") >= 0.3)
+    if repetition_gate:
+        # Integer cross-multiplication gate (float-tie-proof): drop docs
+        # whose top word exceeds 1/5 of tokens or whose duplicate-bigram
+        # fraction exceeds 3/10 — same thresholds as
+        # text_repetition_stats, asserted equal in tests.
+        r = F.col("rep")
+        keep = keep & ~(
+            (r["top_word_count"] * 5 > r["n_words"])
+            | ((r["n_bigrams"] - r["n_distinct_bigrams"]) * 10 > r["n_bigrams"] * 3)
+        )
+    s1 = enriched.filter(keep).drop("pred", *(["rep"] if repetition_gate else []))
     s2 = exact_dedup_rows(s1, "doc_id", F.col("fp")).drop("fp").persist()
     if near_dup == "auto":
         # Data-driven strategy pick (SCALING.md round 4's operating rule

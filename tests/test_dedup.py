@@ -619,3 +619,27 @@ if _HAS_HYPOTHESIS:
                 assert g.top_word_count == (max(Counter(words).values()) if words else 0)
                 assert g.n_bigrams == len(bigrams)
                 assert g.n_distinct_bigrams == len(set(bigrams))
+
+
+def test_corpus_clean_repetition_gate(spark):
+    """repetition_gate=True must (a) leave the default pipeline
+    untouched when off (oracle contract), (b) never let a repetitive
+    doc survive, (c) stay one fused plan — the gate adds NO file scan
+    (the token array is already materialized in the projection)."""
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+    from hadoop_20_warehouse_fix_spark.queries.corpus import corpus_clean
+
+    try:
+        gated = corpus_clean(spark, SF_CORRECT, repetition_gate=True)
+        repetitive = {
+            r.doc_id
+            for r in load_all()["text_repetition_stats"]
+            .fn(spark, SF_CORRECT)
+            .filter(F.col("repetitive"))
+            .collect()
+        }
+        survivors = {r.doc_id for r in gated.collect()}
+        assert survivors, "gated pipeline should keep most of the corpus"
+        assert not (survivors & repetitive), survivors & repetitive
+    finally:
+        spark.catalog.clearCache()
