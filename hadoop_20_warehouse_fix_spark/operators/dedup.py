@@ -329,16 +329,24 @@ def estimate_posting_pair_volume(
     sample, ONE scalar collected."""
     rows = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     if sample_frac < 1.0:
+        # Same md5-coin construction (and 1<<32 divisor) as
+        # sample_stratified / assign_split in sources/readers.py.
         coin = (
             F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast("double")
-            / F.lit(float(0xFFFFFFFF))
+            / F.lit(float(1 << 32))
         )
         rows = rows.filter(coin < sample_frac)
+    # df cast to double BEFORE the multiply: a near-universal shingle on
+    # a multi-billion-doc corpus pushes df*(df-1) past Long.MAX
+    # (sampled DF > ~3e9), and a silent long wraparound would
+    # UNDERESTIMATE pair volume in exactly the regime this probe exists
+    # to catch. The sum is double anyway; doubles lose only ulps here.
+    dff = F.col("df").cast("double")
     sampled_pairs = (
         shingle_rows(rows, "id", "text", n)
         .groupBy(F.xxhash64("sh").alias("shk"))
         .agg(F.count(F.lit(1)).alias("df"))
-        .agg(F.sum(F.col("df") * (F.col("df") - 1) / F.lit(2.0)).alias("pairs"))
+        .agg(F.sum(dff * (dff - 1) / F.lit(2.0)).alias("pairs"))
         .collect()[0]["pairs"]
     )
     return float(sampled_pairs or 0.0) / (sample_frac * sample_frac)

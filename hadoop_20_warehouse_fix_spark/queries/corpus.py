@@ -176,7 +176,7 @@ def corpus_clean(
         q.alias("q"),
         F.col("n_words").cast("long").alias("n_tokens"),
         "fp",
-        *(["rep"] if repetition_gate else []),
+        *(["rep"] if rep_cols else []),
     )
     keep = (F.col("pred") == "en") & (F.col("q") >= 0.3)
     if repetition_gate:
@@ -189,7 +189,8 @@ def corpus_clean(
             (r["top_word_count"] * 5 > r["n_words"])
             | ((r["n_bigrams"] - r["n_distinct_bigrams"]) * 10 > r["n_bigrams"] * 3)
         )
-    s1 = enriched.filter(keep).drop("pred", *(["rep"] if repetition_gate else []))
+    # drop() ignores absent columns, so "rep" needs no conditional.
+    s1 = enriched.filter(keep).drop("pred", "rep")
     s2 = exact_dedup_rows(s1, "doc_id", F.col("fp")).drop("fp").persist()
     if near_dup == "auto":
         # Data-driven strategy pick (SCALING.md round 4's operating rule
