@@ -401,3 +401,50 @@ def assign_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_name, expr)
+
+
+def mix_corpora(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str,
+    target_weights: dict[str, float],
+    key_col: str,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Deterministic corpus MIXING: downsample each source so the
+    retained ``weight_col`` mass (tokens, usually) hits the target
+    proportions — the "40% web, 30% books, 20% code, 10% wiki" recipe
+    every LLM training mix specifies. Returns ``(sampled_df, rates)``;
+    the rates are also the audit trail.
+
+    The solver maximizes total retained mass subject to the
+    proportions and per-source availability: the BINDING source (the
+    one whose availability/share ratio is smallest) is kept at rate
+    1.0 and every other source is thinned to match — no source is ever
+    oversampled (this op mixes by THINNING; upsampling/repeating is a
+    different, epoch-level decision). Sources absent from
+    ``target_weights`` get rate 0 (dropped); target entries with no
+    available mass are ignored and the remaining shares renormalized.
+
+    Physics: ONE bounded aggregation (|sources| rows collected — the
+    per-source mass), then a single scan-fused
+    :func:`stratified_sample` filter — deterministic md5 coin, zero
+    shuffle on the sampled pass, reruns and incremental loads keep the
+    SAME rows. Proportions are exact in expectation; realized mass
+    concentrates around target as 1/sqrt(rows-per-source) (the coin is
+    per-row, so per-row weight variance is averaged out at corpus
+    scale)."""
+    avail = {
+        r["s"]: float(r["w"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+        if r["w"] is not None and r["w"] > 0
+    }
+    shares = {s: w for s, w in target_weights.items() if w > 0 and s in avail}
+    if not shares:
+        return df.filter(F.lit(False)), {}
+    z = sum(shares.values())
+    shares = {s: w / z for s, w in shares.items()}
+    total = min(avail[s] / w for s, w in shares.items())
+    rates = {s: min(1.0, w * total / avail[s]) for s, w in shares.items()}
+    return stratified_sample(df, source_col, rates, key_col, default_rate=0.0), rates

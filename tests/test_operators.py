@@ -783,3 +783,40 @@ def test_range_fragment_join_matches_broadcast_form(spark):
             for r in range_fragment_join(fdf, bdf, "v", fragment_width=w).collect()
         }
         assert got == want, f"fragment_width={w} mismatch"
+
+
+def test_mix_corpora_hits_target_proportions(spark):
+    """mix_corpora: binding source kept whole (rate 1.0), others thinned
+    to the target ratio; deterministic across calls; absent sources
+    dropped. Token masses engineered so 'code' binds at a 20% share."""
+    from hadoop_20_warehouse_fix_spark.sources.readers import mix_corpora
+    from pyspark.sql import functions as F
+
+    rows = []
+    did = 0
+    # web: 8000 docs x 10 tokens = 80k; books: 3000 x 10 = 30k;
+    # code: 500 x 10 = 5k  (code/0.2 = 25k is the binding minimum)
+    for src, ndocs in (("web", 8000), ("books", 3000), ("code", 500), ("junk", 100)):
+        for _ in range(ndocs):
+            rows.append((did, src, 10))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    target = {"web": 0.5, "books": 0.3, "code": 0.2}
+    sampled, rates = mix_corpora(df, "source", "n_tokens", target, "doc_id")
+    # binding source: code availability 5k / share 0.2 => total 25k
+    assert rates["code"] == 1.0
+    assert abs(rates["web"] - (0.5 * 25000 / 80000)) < 1e-12
+    assert abs(rates["books"] - (0.3 * 25000 / 30000)) < 1e-12
+    got = {
+        r.source: r.w
+        for r in sampled.groupBy("source").agg(F.sum("n_tokens").alias("w")).collect()
+    }
+    assert "junk" not in got  # absent from targets => dropped
+    assert got["code"] == 5000  # binding source rides whole
+    # realized mass within 10% of target (md5 coin, ~1-4k docs/source)
+    for src, share in target.items():
+        assert abs(got[src] - share * 25000) / (share * 25000) < 0.10, (src, got)
+    # determinism: the same rows exactly, on a rerun
+    a = {r.doc_id for r in sampled.collect()}
+    b = {r.doc_id for r in mix_corpora(df, "source", "n_tokens", target, "doc_id")[0].collect()}
+    assert a == b
