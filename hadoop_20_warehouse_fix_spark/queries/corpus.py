@@ -322,3 +322,79 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard_id"),
     )
+
+
+def corpus_prepare_training_set(
+    spark: SparkSession,
+    sf_dir: str,
+    token_budget: int = 2000,
+    near_dup: str = "auto",
+    eval_modulus: int = 97,
+) -> DataFrame:
+    """CAPSTONE composition — the full LLM training-data prep flow as
+    one engine pipeline (pytest-covered function, intentionally NOT a
+    registered query: every stage below is already individually
+    oracle-gated, and the registry is held at 135 so driver sampling
+    accumulates):
+
+    1. clean: ``corpus_clean(near_dup=..., repetition_gate=True)`` —
+       language + quality + repetition gates, exact dedup, near-dup
+       removal with the data-driven strategy pick;
+    2. decontaminate: drop survivors sharing any word-4-gram with the
+       held-out eval slice (``doc_id % eval_modulus == 0``), which is
+       itself excluded from the training set — size the slice like a
+       real benchmark suite (bounded), not like a second corpus: the
+       testdata's tiny vocabulary means a large eval slice's 4-gram
+       dictionary covers the whole phrase space and decontaminates
+       everything (measured in SCALING.md round 4);
+    3. split: content-addressed train/val/test assignment
+       (``assign_split`` md5 coin — stable across reruns/engines);
+    4. pack: the train split packed into fixed-token-budget shards in
+       doc_id order via the distributed prefix sum (val/test carry
+       shard_id NULL — shards are a training-loader concept).
+
+    Output: (doc_id, n_tokens, quality, split, shard_id).
+
+    100 TB posture is inherited stage-by-stage (each documented at its
+    definition): scan-fused gates, bounded-collect strategy probe,
+    broadcast-or-shuffle eval overlap, row-local split coin, two-pass
+    prefix sum. End-to-end wall at the 100x-duplicated 500k-doc corpus
+    is measured in SCALING.md round 4 — including the 2.7x cost of
+    running it WITHOUT the two persists below, which is the JobControl
+    lesson in miniature: stage composition needs materialization
+    barriers wherever a stage's output has multiple lazy consumers
+    (decontaminate-clean consumes ``survivors`` twice, the split feeds
+    train + rest, and the prefix sum reads its input twice), or the
+    whole upstream dedup DAG re-evaluates per consumer. At 100 TB the
+    same barrier is Parquet between stages, as the reference's DAGs
+    materialized to HDFS by necessity."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
+    from hadoop_20_warehouse_fix_spark.operators.sort import prefix_sum
+    from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = corpus_clean(spark, sf_dir, near_dup=near_dup, repetition_gate=True)
+    evalset = docs.filter(F.col("doc_id") % eval_modulus == 0)
+    survivors = (
+        cleaned.filter(F.col("doc_id") % eval_modulus != 0)
+        .join(docs, "doc_id")
+        .persist()
+    )
+    decontaminated = decontaminate(
+        survivors, evalset, "doc_id", "text", n=4, mode="clean"
+    ).drop("text")
+    tagged = assign_split(decontaminated, "doc_id").persist()
+    train = prefix_sum(
+        tagged.filter(F.col("split") == "train"), "doc_id", "n_tokens",
+        out_name="cum_tokens",
+    ).select(
+        "doc_id", "n_tokens", "quality", "split",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(float(token_budget)))
+        .cast("long")
+        .alias("shard_id"),
+    )
+    rest = tagged.filter(F.col("split") != "train").select(
+        "doc_id", "n_tokens", "quality", "split",
+        F.lit(None).cast("long").alias("shard_id"),
+    )
+    return train.unionByName(rest)

@@ -643,3 +643,41 @@ def test_corpus_clean_repetition_gate(spark):
         assert not (survivors & repetitive), survivors & repetitive
     finally:
         spark.catalog.clearCache()
+
+
+def test_corpus_prepare_training_set_end_to_end(spark):
+    """Capstone pipeline invariants at test scale: non-empty; the eval
+    slice and every contaminated doc excluded; splits partition the
+    set; train shards respect the token budget at every boundary
+    (a shard's cumulative mass only exceeds the budget by less than
+    its last doc)."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
+    from hadoop_20_warehouse_fix_spark.queries.corpus import (
+        corpus_prepare_training_set,
+    )
+
+    try:
+        out = corpus_prepare_training_set(spark, SF_CORRECT, token_budget=500).collect()
+        assert out
+        assert all(r.doc_id % 97 != 0 for r in out)
+        assert {r.split for r in out} <= {"train", "val", "test"}
+        docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+        flagged = {
+            r.id
+            for r in decontaminate(
+                docs.filter(F.col("doc_id") % 97 != 0),
+                docs.filter(F.col("doc_id") % 97 == 0),
+                "doc_id", "text", n=4,
+            ).collect()
+        }
+        assert not ({r.doc_id for r in out} & flagged)
+        # shard packing: replay the sequential rule on the train split
+        train = sorted((r for r in out if r.split == "train"), key=lambda r: r.doc_id)
+        assert train and all(r.shard_id is not None for r in train)
+        cum = 0
+        for r in train:
+            assert r.shard_id == cum // 500
+            cum += r.n_tokens
+        assert all(r.shard_id is None for r in out if r.split != "train")
+    finally:
+        spark.catalog.clearCache()
