@@ -164,6 +164,32 @@ def prefix_sum(
     )
 
 
+def pack_by_budget(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    out_name: str = "shard_id",
+) -> DataFrame:
+    """Sequential greedy packing in ``order_col`` order: shard id =
+    exclusive prefix weight / ``budget`` — the deterministic
+    streaming-packing rule for fixed-token-budget training shards,
+    built on the distributed :func:`prefix_sum` (never a
+    single-partition global window). ONE shared implementation so the
+    registered query (corpus_pack_shards) and the capstone pipeline
+    (corpus_prepare_training_set) cannot silently diverge on boundary
+    semantics: a doc whose weight straddles a boundary belongs to the
+    shard its PREFIX started in (shards may exceed budget by less than
+    one doc, never undershoot-split a doc)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    cum = prefix_sum(df, order_col, weight_col, out_name="_cum")
+    return cum.withColumn(
+        out_name,
+        F.floor((F.col("_cum") - F.col(weight_col)) / F.lit(float(budget))).cast("long"),
+    ).drop("_cum")
+
+
 def zorder_value(cols: Sequence[Column | str], bits: int = 16) -> Column:
     """Z-order (Morton) key: interleave the low ``bits`` bits of each
     integer column — points close in ALL dimensions get close z-values,

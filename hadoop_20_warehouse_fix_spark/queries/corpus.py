@@ -307,20 +307,17 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> bounded offset collect + broadcast back), NOT a bare global-order
     window (which Spark executes on a single partition). The oracle
     recomputes the same running sum declaratively — proving the
-    distributed scan equals the sequential one."""
-    from hadoop_20_warehouse_fix_spark.operators.sort import prefix_sum
+    distributed scan equals the sequential one. The packing rule lives
+    in ONE place (operators.sort.pack_by_budget), shared with the
+    capstone pipeline."""
+    from hadoop_20_warehouse_fix_spark.operators.sort import pack_by_budget
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", ws_token_count(F.col("text")).cast("long").alias("n_tokens")
     )
-    cum = prefix_sum(toks, "doc_id", "n_tokens", out_name="cum_tokens")
-    return cum.select(
-        "doc_id",
-        "n_tokens",
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2000.0))
-        .cast("long")
-        .alias("shard_id"),
+    return pack_by_budget(toks, "doc_id", "n_tokens", budget=2000).select(
+        "doc_id", "n_tokens", "shard_id"
     )
 
 
@@ -359,7 +356,7 @@ def corpus_prepare_training_set(
     definition): scan-fused gates, bounded-collect strategy probe,
     broadcast-or-shuffle eval overlap, row-local split coin, two-pass
     prefix sum. End-to-end wall at the 100x-duplicated 500k-doc corpus
-    is measured in SCALING.md round 4 — including the 2.7x cost of
+    is measured in SCALING.md round 4 — including the 2.9x cost of
     running it WITHOUT the two persists below, which is the JobControl
     lesson in miniature: stage composition needs materialization
     barriers wherever a stage's output has multiple lazy consumers
@@ -369,9 +366,11 @@ def corpus_prepare_training_set(
     same barrier is Parquet between stages, as the reference's DAGs
     materialized to HDFS by necessity."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
-    from hadoop_20_warehouse_fix_spark.operators.sort import prefix_sum
+    from hadoop_20_warehouse_fix_spark.operators.sort import pack_by_budget
     from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
 
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     cleaned = corpus_clean(spark, sf_dir, near_dup=near_dup, repetition_gate=True)
     evalset = docs.filter(F.col("doc_id") % eval_modulus == 0)
@@ -384,15 +383,10 @@ def corpus_prepare_training_set(
         survivors, evalset, "doc_id", "text", n=4, mode="clean"
     ).drop("text")
     tagged = assign_split(decontaminated, "doc_id").persist()
-    train = prefix_sum(
+    train = pack_by_budget(
         tagged.filter(F.col("split") == "train"), "doc_id", "n_tokens",
-        out_name="cum_tokens",
-    ).select(
-        "doc_id", "n_tokens", "quality", "split",
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(float(token_budget)))
-        .cast("long")
-        .alias("shard_id"),
-    )
+        budget=token_budget,
+    ).select("doc_id", "n_tokens", "quality", "split", "shard_id")
     rest = tagged.filter(F.col("split") != "train").select(
         "doc_id", "n_tokens", "quality", "split",
         F.lit(None).cast("long").alias("shard_id"),

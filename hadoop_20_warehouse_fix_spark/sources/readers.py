@@ -340,6 +340,7 @@ def stratified_sample(
     rates: dict[str, float],
     key_col: str,
     default_rate: float = 0.0,
+    salt: str | None = None,
 ) -> DataFrame:
     """Deterministic stratified sampling — per-stratum keep rates with a
     content-addressed coin: row kept iff the first 8 hex chars of
@@ -348,6 +349,14 @@ def stratified_sample(
     a standard training-data step; determinism means reruns and
     incremental loads select the SAME rows (unlike rand()-based
     sampleBy), and md5 makes the selection reproducible in any engine.
+
+    ``salt``: namespace the coin (md5(salt || key)) when the SAME key
+    feeds more than one coin-based decision in a pipeline. Unsalted,
+    two decisions share one uniform variate and correlate perfectly —
+    e.g. sampling at rate r then assign_split'ing the survivors would
+    put EVERY survivor of a thinned stratum into 'train' (both tests
+    are ``coin < threshold`` on the same value). Default None keeps the
+    original coin (the registered query's oracle replays it).
 
     Lexicographic compare of fixed-width lowercase hex == numeric
     compare, so the whole filter is one codegen'd expression, pushed to
@@ -370,7 +379,12 @@ def stratified_sample(
         if expr is None
         else expr.otherwise(F.lit(hex_threshold(default_rate)))
     )
-    coin = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    keyed = (
+        F.col(key_col).cast("string")
+        if salt is None
+        else F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    )
+    coin = F.substring(F.md5(keyed), 1, 8)
     return df.filter(coin < thr)
 
 
@@ -425,14 +439,22 @@ def mix_corpora(
     ``target_weights`` get rate 0 (dropped); target entries with no
     available mass are ignored and the remaining shares renormalized.
 
-    Physics: ONE bounded aggregation (|sources| rows collected — the
-    per-source mass), then a single scan-fused
-    :func:`stratified_sample` filter — deterministic md5 coin, zero
-    shuffle on the sampled pass, reruns and incremental loads keep the
-    SAME rows. Proportions are exact in expectation; realized mass
-    concentrates around target as 1/sqrt(rows-per-source) (the coin is
-    per-row, so per-row weight variance is averaged out at corpus
-    scale)."""
+    Physics: ONE bounded aggregation (per-source mass — one collected
+    row per source), then a single scan-fused
+    :func:`stratified_sample` filter — deterministic md5 coin SALTED
+    with "mix:" so a downstream :func:`assign_split` on the same key
+    stays independent (unsalted, the two decisions would share one
+    uniform variate and every survivor of a thinned source would land
+    in 'train'), zero shuffle on the sampled pass, reruns and
+    incremental loads keep the SAME rows. Proportions are exact in
+    expectation; realized mass concentrates around target as
+    1/sqrt(rows-per-source) (the coin is per-row, so per-row weight
+    variance is averaged out at corpus scale).
+
+    ``df`` is consumed TWICE (the eager mass aggregation + the
+    returned lazy filter) — if it is a derived plan rather than a
+    table read, persist it first or the upstream DAG re-evaluates
+    (the capstone-pipeline lesson, measured 2.9x in SCALING.md)."""
     avail = {
         r["s"]: float(r["w"])
         for r in df.groupBy(F.col(source_col).alias("s"))
@@ -446,5 +468,17 @@ def mix_corpora(
     z = sum(shares.values())
     shares = {s: w / z for s, w in shares.items()}
     total = min(avail[s] / w for s, w in shares.items())
-    rates = {s: min(1.0, w * total / avail[s]) for s, w in shares.items()}
-    return stratified_sample(df, source_col, rates, key_col, default_rate=0.0), rates
+
+    def rate_of(s: str, w: float) -> float:
+        r = w * total / avail[s]
+        # The binding source's rate is 1.0 by construction but the FP
+        # round-trip (w * (avail/w) / avail) can land at 1 - 1ulp,
+        # which would drop coin=='ffffffff' rows from a source the
+        # contract says rides whole. Snap the epsilon band to exact.
+        return 1.0 if r >= 1.0 - 1e-9 else r
+
+    rates = {s: rate_of(s, w) for s, w in shares.items()}
+    sampled = stratified_sample(
+        df, source_col, rates, key_col, default_rate=0.0, salt="mix:"
+    )
+    return sampled, rates

@@ -820,3 +820,33 @@ def test_mix_corpora_hits_target_proportions(spark):
     a = {r.doc_id for r in sampled.collect()}
     b = {r.doc_id for r in mix_corpora(df, "source", "n_tokens", target, "doc_id")[0].collect()}
     assert a == b
+
+
+def test_mix_then_split_coins_are_independent(spark):
+    """Regression: mix_corpora's coin is salted, so a downstream
+    assign_split on the SAME key must still produce val/test rows among
+    the survivors of a thinned source. (Unsalted, both decisions share
+    one uniform variate: every survivor of a source thinned to rate <=
+    0.98 would satisfy coin < 0.98 and land in 'train'.)"""
+    from hadoop_20_warehouse_fix_spark.sources.readers import assign_split, mix_corpora
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big" if i % 4 else "small", 10) for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    sampled, rates = mix_corpora(
+        df, "source", "n_tokens", {"big": 0.5, "small": 0.5}, "doc_id"
+    )
+    assert rates["small"] == 1.0 and rates["big"] < 0.5  # big thinned hard
+    split_counts = {
+        (r.source, r.split): r.n
+        for r in assign_split(sampled, "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # the thinned source must still see val/test assignments (~1% each
+    # of ~1000 survivors; P(zero in both) is astronomically small only
+    # if coins are independent — exactly what the salt guarantees)
+    assert any(k == ("big", "val") or k == ("big", "test") for k in split_counts), (
+        split_counts
+    )
