@@ -327,6 +327,7 @@ def corpus_prepare_training_set(
     token_budget: int = 2000,
     near_dup: str = "auto",
     eval_modulus: int = 97,
+    target_mix: dict[str, float] | None = None,
 ) -> DataFrame:
     """CAPSTONE composition — the full LLM training-data prep flow as
     one engine pipeline (pytest-covered function, intentionally NOT a
@@ -344,9 +345,13 @@ def corpus_prepare_training_set(
        testdata's tiny vocabulary means a large eval slice's 4-gram
        dictionary covers the whole phrase space and decontaminates
        everything (measured in SCALING.md round 4);
-    3. split: content-addressed train/val/test assignment
+    3. mix (optional, ``target_mix={"src0": 0.4, ...}``): thin each
+       source to the target token proportions (``mix_corpora`` — the
+       binding source rides whole; its coin is salted so step 4's
+       split stays independent);
+    4. split: content-addressed train/val/test assignment
        (``assign_split`` md5 coin — stable across reruns/engines);
-    4. pack: the train split packed into fixed-token-budget shards in
+    5. pack: the train split packed into fixed-token-budget shards in
        doc_id order via the distributed prefix sum (val/test carry
        shard_id NULL — shards are a training-loader concept).
 
@@ -371,7 +376,8 @@ def corpus_prepare_training_set(
 
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cols = ["doc_id", "text"] + (["source"] if target_mix else [])
+    docs = load_table(spark, sf_dir, "documents").select(*cols)
     cleaned = corpus_clean(spark, sf_dir, near_dup=near_dup, repetition_gate=True)
     evalset = docs.filter(F.col("doc_id") % eval_modulus == 0)
     survivors = (
@@ -382,6 +388,16 @@ def corpus_prepare_training_set(
     decontaminated = decontaminate(
         survivors, evalset, "doc_id", "text", n=4, mode="clean"
     ).drop("text")
+    if target_mix:
+        from hadoop_20_warehouse_fix_spark.sources.readers import mix_corpora
+
+        # mix_corpora consumes its input twice (mass aggregation +
+        # filter) — barrier first, per its docstring.
+        decontaminated = decontaminated.persist()
+        decontaminated, _rates = mix_corpora(
+            decontaminated, "source", "n_tokens", target_mix, "doc_id"
+        )
+        decontaminated = decontaminated.drop("source")
     tagged = assign_split(decontaminated, "doc_id").persist()
     train = pack_by_budget(
         tagged.filter(F.col("split") == "train"), "doc_id", "n_tokens",

@@ -681,3 +681,36 @@ def test_corpus_prepare_training_set_end_to_end(spark):
         assert all(r.shard_id is None for r in out if r.split != "train")
     finally:
         spark.catalog.clearCache()
+
+
+def test_corpus_prepare_training_set_with_mix(spark):
+    """Capstone with the optional mixing stage: output schema unchanged,
+    still non-empty, and the retained per-source token mass tracks the
+    requested proportions for the sources named in the mix (verified by
+    joining survivors back to the documents table)."""
+    from hadoop_20_warehouse_fix_spark.queries.corpus import (
+        corpus_prepare_training_set,
+    )
+
+    try:
+        mix = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+        out = corpus_prepare_training_set(spark, SF_CORRECT, target_mix=mix)
+        docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "source")
+        by_src = {
+            r.source: r.w
+            for r in out.join(docs, "doc_id")
+            .groupBy("source")
+            .agg(F.sum("n_tokens").alias("w"))
+            .collect()
+        }
+        assert set(by_src) <= set(mix), by_src  # unnamed sources dropped
+        assert by_src, "mixed pipeline should retain documents"
+        total = sum(by_src.values())
+        # loose tolerance: tiny corpus (~25 docs/source pre-gates), the
+        # binding source rides whole and others thin toward the target
+        for s, share in mix.items():
+            if s in by_src:
+                assert 0.0 < by_src[s] / total < min(1.0, share + 0.35), (s, by_src)
+        assert set(out.columns) == {"doc_id", "n_tokens", "quality", "split", "shard_id"}
+    finally:
+        spark.catalog.clearCache()
