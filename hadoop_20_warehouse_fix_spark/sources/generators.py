@@ -140,6 +140,10 @@ def sort_validate(
         (F.input_file_name() if file_order else F.spark_partition_id()).alias("_b"),
     )
     bounds = bounds_tagged.groupBy("_b").agg(F.min("_k").alias("_lo"), F.max("_k").alias("_hi"))
+    # Unpartitioned window is SAFE here (Spark's WindowExec warning
+    # notwithstanding): `bounds` is one row per file/partition — P rows,
+    # bounded by layout, not by data volume. Same class as prefix_sum's
+    # P-row offset scan.
     wb = Window.orderBy("_b")
     cross_violations = (
         bounds.withColumn("_prev_hi", F.lag("_hi").over(wb))
