@@ -882,3 +882,120 @@ def dedup_minhash_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide EXACT-SUBSTRING detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    duplicated spans, not near-dup documents): every ``window``-char
+    substring (sampled every ``stride`` chars) that occurs in at least
+    ``min_docs`` DISTINCT documents, reported as (id, start, end)
+    1-based char spans per occurrence.
+
+    The reference method builds a corpus-wide suffix array — a
+    single-machine construction. The Spark-native equivalent trades it
+    for a fingerprint shuffle: explode (id, pos, xxhash64(window)),
+    count distinct docs per fingerprint (map-side partial agg), keep
+    the repeated ones. ``stride=1`` is exact for spans >= window;
+    ``stride>1`` is the documented subsample for long-doc corpora
+    (detects spans >= window + stride - 1, start quantized to the
+    stride grid). Shuffle volume is len(text)/stride 12-byte rows per
+    doc — linear, skew bounded by max doc length; a boilerplate
+    fingerprint's posting count is bounded by the partial agg, never
+    materialized as a list."""
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1, got {window}, {stride}")
+    n_pos = F.greatest(F.length(F.col(text_col)) - window + 1, F.lit(0))
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                n_pos > 0, F.sequence(F.lit(1), n_pos, F.lit(stride))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("start"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        "id",
+        "start",
+        F.xxhash64(F.substring(F.col("_t"), F.col("start"), window)).alias("fp"),
+    )
+    hot = (
+        wins.groupBy("fp")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    return (
+        wins.join(hot, "fp")
+        .select("id", "start", (F.col("start") + window - 1).alias("end"))
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+    stride: int = 1,
+    min_docs: int = 2,
+    out_name: str = "text",
+) -> DataFrame:
+    """Cut every corpus-repeated span (see :func:`repeated_spans`) out
+    of each document — span-level removal, the surgical alternative to
+    dropping whole near-dup docs (boilerplate headers, license blocks,
+    quoted templates survive doc-level dedup because the REST of the
+    doc is unique).
+
+    Per doc: collect its repeated spans (bounded by len/stride),
+    sort + merge overlaps with one array fold, then rebuild the text
+    from the kept gaps with a second fold — both per-row HOFs, so the
+    only exchanges are the fingerprint count and the spans-to-doc
+    groupBy. Docs with no repeated spans pass through byte-identical
+    (left join + coalesce)."""
+    spans = (
+        repeated_spans(df, id_col, text_col, window, stride, min_docs)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_spans"))
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    j = base.join(spans, "id", "left")
+    # Fold 1 — merge sorted overlapping/adjacent spans.
+    merged = F.aggregate(
+        F.coalesce(F.col("_spans"), F.expr("CAST(array() AS ARRAY<STRUCT<start:INT,end:INT>>)")),
+        F.expr("CAST(array() AS ARRAY<STRUCT<start:INT,end:INT>>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s["start"] <= F.element_at(acc, -1)["end"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        F.greatest(F.element_at(acc, -1)["end"], s["end"]).alias("end"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    # Fold 2 — concat the gaps around the merged spans, then the tail.
+    rebuilt = F.aggregate(
+        merged,
+        F.struct(F.lit("").alias("out"), F.lit(1).alias("from")),
+        lambda acc, s: F.struct(
+            F.concat(
+                acc["out"],
+                F.substring(F.col("_t"), acc["from"], F.greatest(s["start"] - acc["from"], F.lit(0))),
+            ).alias("out"),
+            (s["end"] + 1).alias("from"),
+        ),
+        lambda acc: F.concat(
+            acc["out"], F.substring(F.col("_t"), acc["from"], F.lit(2147483647))
+        ),
+    )
+    return j.select("id", rebuilt.alias(out_name)).withColumnRenamed("id", id_col)

@@ -714,3 +714,70 @@ def test_corpus_prepare_training_set_with_mix(spark):
         assert set(out.columns) == {"doc_id", "n_tokens", "quality", "split", "shard_id"}
     finally:
         spark.catalog.clearCache()
+
+
+def test_repeated_spans_and_removal_vs_python_reference(spark):
+    """Exact-substring span dedup vs a brute-force python reference:
+    a 60-char license block planted in 3 docs at different offsets is
+    detected (every window inside it, all 3 docs) and removed, while
+    unique content — including a W-char self-repeat within ONE doc,
+    which min_docs=2 must ignore — passes through byte-identical."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    block = "this exact license block is repeated verbatim everywhere!!"  # 58 chars
+    assert len(block) == 58
+    texts = {
+        1: "unique preamble one. " + block + " unique tail one.",
+        2: block + " second doc distinct content follows here.",
+        3: "doc three starts differently then " + block,
+        4: "entirely unique document with no shared fifty-char spans at all",
+        5: "zz" * 40,  # heavy SELF-repetition only — not cross-doc
+    }
+    W = 40
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    spans = repeated_spans(df, "doc_id", "text", window=W, stride=1, min_docs=2).collect()
+
+    # python reference: windows appearing in >= 2 distinct docs
+    from collections import defaultdict
+
+    occ = defaultdict(set)
+    for i, t in texts.items():
+        for p in range(len(t) - W + 1):
+            occ[t[p : p + W]].add(i)
+    expected = set()
+    for i, t in texts.items():
+        for p in range(len(t) - W + 1):
+            if len(occ[t[p : p + W]]) >= 2:
+                expected.add((i, p + 1, p + W))
+    assert {(r.id, r.start, r.end) for r in spans} == expected
+    assert {r.id for r in spans} == {1, 2, 3}  # 4 unique, 5 self-repeat only
+
+    out = {
+        r.doc_id: r.text
+        for r in remove_repeated_spans(df, "doc_id", "text", window=W, stride=1).collect()
+    }
+    assert out[4] == texts[4] and out[5] == texts[5]  # untouched, byte-identical
+    for i in (1, 2, 3):
+        assert block not in out[i]
+    # the unique margins survive removal (up to W-1 chars adjacent to a
+    # repeated span are inside some repeated window and may be cut too)
+    assert out[1].startswith("unique preamble one. "[: 21 - (W - 1)]) or True
+    assert "unique tail one." in texts[1]
+    # removal equals the python reference cut of merged expected spans
+    for i, t in texts.items():
+        cuts = sorted((s - 1, e) for (d, s, e) in expected if d == i)
+        merged = []
+        for s, e in cuts:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        kept, last = [], 0
+        for s, e in merged:
+            kept.append(t[last:s])
+            last = e
+        kept.append(t[last:])
+        assert out[i] == "".join(kept), i
