@@ -901,31 +901,74 @@ def repeated_spans(
 
     The reference method builds a corpus-wide suffix array — a
     single-machine construction. The Spark-native equivalent trades it
-    for a fingerprint shuffle: explode (id, pos, xxhash64(window)),
-    count distinct docs per fingerprint (map-side partial agg), keep
-    the repeated ones. ``stride=1`` is exact for spans >= window;
-    ``stride>1`` is the documented subsample for long-doc corpora
-    (detects spans >= window + stride - 1, start quantized to the
-    stride grid). Shuffle volume is len(text)/stride 12-byte rows per
-    doc — linear, skew bounded by max doc length; a boilerplate
-    fingerprint's posting count is bounded by the partial agg, never
-    materialized as a list."""
+    for a fingerprint shuffle: per-row window hashes, count distinct
+    docs per fingerprint (map-side partial agg), keep the repeated
+    ones. ``stride=1`` hashes every position — exact for spans >=
+    window. ``stride>1`` subsamples by WINNOWING (Schleimer et al.
+    SIGMOD'03, the MOSS fingerprinter): keep the minimum hash of every
+    ``stride`` consecutive window positions. Selection is
+    content-defined, so two occurrences of the same span select the
+    SAME in-span fingerprints regardless of their absolute offsets —
+    the property absolute-position sampling (``pos % stride == 0``)
+    lacks: offsets differing by 1 would then never share a
+    fingerprint, silently missing most repeats. Winnowing's guarantee:
+    every repeated span of length >= window + stride - 1 contains a
+    full stride-block of window positions, whose min is selected in
+    BOTH docs — detection is certain, reported positions are the
+    selected (sampled) windows inside the span.
+
+    Shuffle volume ~ len(text)/stride 12-byte rows per doc — linear,
+    skew bounded by max doc length; a boilerplate fingerprint's
+    posting count is bounded by the partial agg, never materialized as
+    a list. The hash/winnow arrays are per-row HOFs (O(len·stride)
+    worst case interpreted — stride is meant to be small, 4-16).
+    NOTE: the detected-window relation is consumed twice downstream
+    (hot-count + join) and is therefore persisted inside this
+    function; call ``spark.catalog.clearCache()`` when done (same
+    cache-lifetime contract as corpus_clean)."""
     if window < 1 or stride < 1:
         raise ValueError(f"window and stride must be >= 1, got {window}, {stride}")
-    n_pos = F.greatest(F.length(F.col(text_col)) - window + 1, F.lit(0))
-    wins = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.when(
-                n_pos > 0, F.sequence(F.lit(1), n_pos, F.lit(stride))
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("start"),
-        F.col(text_col).alias("_t"),
-    ).select(
-        "id",
-        "start",
-        F.xxhash64(F.substring(F.col("_t"), F.col("start"), window)).alias("fp"),
-    )
+    if min_docs < 2:
+        # min_docs=1 marks EVERY window repeated; downstream removal
+        # would silently strip the whole corpus. Loud failure instead.
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    t = F.col(text_col)
+    k = F.greatest(F.length(t) - window + 1, F.lit(0))
+    hashes = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda p: F.struct(
+                F.xxhash64(F.substring(t, p, window)).alias("h"), p.cast("int").alias("p")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:bigint,p:int>>"))
+    # PROJECTION BARRIER (the doc_shingle_sets idiom): the winnow lambda
+    # below must reference a BOUND column, not the inline hash
+    # expression — inlined, every stride-block would re-evaluate all k
+    # window hashes (O(len^2 * window) per doc; measured 575 s vs 6 s
+    # on the 5k corpus before this barrier existed).
+    hashed = df.select(F.col(id_col).alias("id"), hashes.alias("_hs"))
+    hs = F.col("_hs")
+    if stride == 1:
+        sel = hs
+    else:
+        # Winnow: leftmost-min (array_min orders by (h, p)) of each
+        # stride-block of consecutive positions, deduped.
+        kk = F.size(hs)
+        n_blocks = F.greatest(kk - stride + 1, F.lit(1))
+        sel = F.when(
+            kk > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_blocks),
+                    lambda w: F.array_min(F.slice(hs, w, F.least(F.lit(stride), kk))),
+                )
+            ),
+        ).otherwise(hs)
+    wins = hashed.select(
+        "id", F.explode(sel).alias("s")
+    ).select("id", F.col("s.p").alias("start"), F.col("s.h").alias("fp")).persist()
     hot = (
         wins.groupBy("fp")
         .agg(F.count_distinct("id").alias("n_docs"))
@@ -953,19 +996,27 @@ def remove_repeated_spans(
     quoted templates survive doc-level dedup because the REST of the
     doc is unique).
 
+    With ``stride>1`` the winnowed detection reports the SELECTED
+    windows inside a repeated span (guaranteed >= 1 per span of length
+    >= window + stride - 1), so removal excises those windows, not
+    necessarily the full span — use ``stride=1`` for exhaustive
+    removal; ``stride>1`` is the tag-and-trim regime for long docs.
+
     Per doc: collect its repeated spans (bounded by len/stride),
     sort + merge overlaps with one array fold, then rebuild the text
     from the kept gaps with a second fold — both per-row HOFs, so the
     only exchanges are the fingerprint count and the spans-to-doc
-    groupBy. Docs with no repeated spans pass through byte-identical
-    (left join + coalesce)."""
+    groupBy. ALL other columns of ``df`` ride through unchanged; docs
+    with no repeated spans pass through byte-identical (left join +
+    coalesce). ``df`` is consumed twice (span detection + rebuild) —
+    persist derived inputs first, per the multi-consumer convention."""
     spans = (
         repeated_spans(df, id_col, text_col, window, stride, min_docs)
         .groupBy("id")
         .agg(F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_spans"))
+        .withColumnRenamed("id", id_col)
     )
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    j = base.join(spans, "id", "left")
+    j = df.join(spans, id_col, "left")
     # Fold 1 — merge sorted overlapping/adjacent spans.
     merged = F.aggregate(
         F.coalesce(F.col("_spans"), F.expr("CAST(array() AS ARRAY<STRUCT<start:INT,end:INT>>)")),
@@ -984,18 +1035,18 @@ def remove_repeated_spans(
         ).otherwise(F.concat(acc, F.array(s))),
     )
     # Fold 2 — concat the gaps around the merged spans, then the tail.
+    t = F.col(text_col)
     rebuilt = F.aggregate(
         merged,
         F.struct(F.lit("").alias("out"), F.lit(1).alias("from")),
         lambda acc, s: F.struct(
             F.concat(
                 acc["out"],
-                F.substring(F.col("_t"), acc["from"], F.greatest(s["start"] - acc["from"], F.lit(0))),
+                F.substring(t, acc["from"], F.greatest(s["start"] - acc["from"], F.lit(0))),
             ).alias("out"),
             (s["end"] + 1).alias("from"),
         ),
-        lambda acc: F.concat(
-            acc["out"], F.substring(F.col("_t"), acc["from"], F.lit(2147483647))
-        ),
+        lambda acc: F.concat(acc["out"], F.substring(t, acc["from"], F.lit(2147483647))),
     )
-    return j.select("id", rebuilt.alias(out_name)).withColumnRenamed("id", id_col)
+    keep = [c for c in df.columns if c != text_col]
+    return j.select(*keep, rebuilt.alias(out_name))

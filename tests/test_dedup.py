@@ -762,11 +762,9 @@ def test_repeated_spans_and_removal_vs_python_reference(spark):
     assert out[4] == texts[4] and out[5] == texts[5]  # untouched, byte-identical
     for i in (1, 2, 3):
         assert block not in out[i]
-    # the unique margins survive removal (up to W-1 chars adjacent to a
-    # repeated span are inside some repeated window and may be cut too)
-    assert out[1].startswith("unique preamble one. "[: 21 - (W - 1)]) or True
-    assert "unique tail one." in texts[1]
-    # removal equals the python reference cut of merged expected spans
+    # removal equals the python reference cut of merged expected spans —
+    # this equality is the margin-preservation proof: unique chars
+    # farther than W-1 from any repeated span survive exactly.
     for i, t in texts.items():
         cuts = sorted((s - 1, e) for (d, s, e) in expected if d == i)
         merged = []
@@ -781,3 +779,41 @@ def test_repeated_spans_and_removal_vs_python_reference(spark):
             last = e
         kept.append(t[last:])
         assert out[i] == "".join(kept), i
+    assert "one." in out[1]  # distant unique margin text survived
+    spark.catalog.clearCache()  # repeated_spans persists its window relation
+
+
+def test_repeated_spans_winnowing_is_alignment_invariant(spark):
+    """Regression (review round 4): with stride>1, a repeated block
+    planted at offsets differing by 1 (NOT stride-aligned) must still
+    be detected in all carriers — winnowing selects content-defined
+    min-hash windows, so both occurrences pick the same in-span
+    fingerprints. Absolute-position sampling (pos % stride) missed
+    this case entirely. Also: every doc's full-column row survives
+    removal (no column dropped), and min_docs<2 raises."""
+    import pytest as _pytest
+
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    block = "A" * 30 + "shared boilerplate sentence used verbatim" + "B" * 30  # >= W+stride-1
+    df = spark.createDataFrame(
+        [
+            (1, "x" + block + "unique-one " * 3, "src0"),
+            (2, "yz" + block + "unique-two " * 3, "src1"),  # offset differs by 1
+            (3, "totally unrelated content without the block at all here", "src2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = repeated_spans(df, "doc_id", "text", window=50, stride=8).collect()
+    assert {r.id for r in got} == {1, 2}, got
+    out = remove_repeated_spans(df, "doc_id", "text", window=50, stride=8)
+    assert set(out.columns) == {"doc_id", "text", "source"}  # columns preserved
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[3].text.startswith("totally unrelated")
+    assert len(rows[1].text) < len("x" + block + "unique-one " * 3)  # something cut
+    with _pytest.raises(ValueError):
+        repeated_spans(df, "doc_id", "text", min_docs=1)
+    spark.catalog.clearCache()
