@@ -891,6 +891,7 @@ def repeated_spans(
     window: int = 50,
     stride: int = 1,
     min_docs: int = 2,
+    handles: list | None = None,
 ) -> DataFrame:
     """Corpus-wide EXACT-SUBSTRING detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better": exact
@@ -924,8 +925,11 @@ def repeated_spans(
     worst case interpreted — stride is meant to be small, 4-16).
     NOTE: the detected-window relation is consumed twice downstream
     (hot-count + join) and is therefore persisted inside this
-    function; call ``spark.catalog.clearCache()`` when done (same
-    cache-lifetime contract as corpus_clean)."""
+    function. Pass ``handles`` (a list) to receive the persisted
+    DataFrame for a TARGETED ``.unpersist()`` once the result has
+    materialized — long-running sessions should prefer that over the
+    ``spark.catalog.clearCache()`` fallback, which nukes every cache
+    in the session (same contract now offered by the capstone)."""
     if window < 1 or stride < 1:
         raise ValueError(f"window and stride must be >= 1, got {window}, {stride}")
     if min_docs < 2:
@@ -969,6 +973,8 @@ def repeated_spans(
     wins = hashed.select(
         "id", F.explode(sel).alias("s")
     ).select("id", F.col("s.p").alias("start"), F.col("s.h").alias("fp")).persist()
+    if handles is not None:
+        handles.append(wins)
     hot = (
         wins.groupBy("fp")
         .agg(F.count_distinct("id").alias("n_docs"))
@@ -977,7 +983,11 @@ def repeated_spans(
     )
     return (
         wins.join(hot, "fp")
-        .select("id", "start", (F.col("start") + window - 1).alias("end"))
+        .select(
+            F.col("id").alias(id_col),
+            "start",
+            (F.col("start") + window - 1).alias("end"),
+        )
     )
 
 
@@ -988,7 +998,8 @@ def remove_repeated_spans(
     window: int = 50,
     stride: int = 1,
     min_docs: int = 2,
-    out_name: str = "text",
+    out_name: str | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """Cut every corpus-repeated span (see :func:`repeated_spans`) out
     of each document — span-level removal, the surgical alternative to
@@ -1009,12 +1020,21 @@ def remove_repeated_spans(
     groupBy. ALL other columns of ``df`` ride through unchanged; docs
     with no repeated spans pass through byte-identical (left join +
     coalesce). ``df`` is consumed twice (span detection + rebuild) —
-    persist derived inputs first, per the multi-consumer convention."""
+    persist derived inputs first, per the multi-consumer convention.
+
+    ``out_name`` defaults to ``text_col`` (rebuilt text replaces the
+    original in place); naming it onto an existing OTHER column would
+    silently produce duplicate column names, so that collision raises."""
+    if out_name is None:
+        out_name = text_col
+    elif out_name != text_col and out_name in df.columns:
+        raise ValueError(
+            f"out_name {out_name!r} collides with a preserved column of df"
+        )
     spans = (
-        repeated_spans(df, id_col, text_col, window, stride, min_docs)
-        .groupBy("id")
+        repeated_spans(df, id_col, text_col, window, stride, min_docs, handles=handles)
+        .groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_spans"))
-        .withColumnRenamed("id", id_col)
     )
     j = df.join(spans, id_col, "left")
     # Fold 1 — merge sorted overlapping/adjacent spans.

@@ -31,26 +31,54 @@ def total_order_sort(df: DataFrame, cols: Sequence[Column | str], num_partitions
     return df.orderBy(*cols)
 
 
-def with_global_rank(df: DataFrame, cols: Sequence[Column | str], rank_name: str = "rank") -> DataFrame:
+# Measured single-window vs distributed-offset crossover (SCALING.md
+# round 4): the single global window is ~1.4x faster at 600k rows (the
+# distributed form pays persist + a P-row collect + a broadcast join),
+# the distributed form is 1.6x ahead at 2.4M and 1.9x at 6M — and the
+# single task's serial O(n log n) keeps growing while the distributed
+# critical path is one partition. The sampler-picks-the-partitioner
+# idea is the reference's InputSampler (``M/lib/InputSampler.java:101``:
+# probe the data, then choose the partitioning).
+GLOBAL_RANK_CROSSOVER_ROWS = 2_400_000
+
+
+def with_global_rank(
+    df: DataFrame,
+    cols: Sequence[Column | str],
+    rank_name: str = "rank",
+    form: str = "auto",
+    crossover_rows: int = GLOBAL_RANK_CROSSOVER_ROWS,
+) -> DataFrame:
     """Attach a 1-based global rank in sort order — turns ordering into
     checkable data (the SortValidator idea: prove global order by
     content, ``SortValidator.java:93-97``).
 
-    DISTRIBUTED form (the TotalOrderPartitioner + per-partition-offset
-    shape): range-partition on the sort key, row_number WITHIN each
-    partition in parallel, collect one row count per partition (P rows
-    — bounded by cluster size, not data size), prefix-scan driver-side,
-    broadcast the offsets back. A bare ``row_number().over(orderBy)``
-    drags every row onto ONE task — Spark warns, and at 100 TB it is
-    the job. Requires ``cols`` to order rows uniquely for a
-    deterministic rank (true for every caller; ties would make the
-    rank partitioning-dependent, as any global row_number's tie order
-    is). Measured (SCALING.md round 4): at 600k rows the single-window
-    form is ~1.4x FASTER (this form pays persist + a P-row collect +
-    a broadcast join), but the crossover sits below 2.4M rows — 1.6x
-    ahead there, 1.9x at 6M, and the single task's serial O(n log n)
-    keeps growing while this form's critical path is one partition.
-    The scale-correct form wins the default; identical output."""
+    ``form``:
+    - ``"single"`` — one ``row_number().over(orderBy)`` window. Every
+      row flows through ONE task (Spark warns); cheapest below the
+      measured crossover, the job-killer above it.
+    - ``"distributed"`` — the TotalOrderPartitioner +
+      per-partition-offset shape: range-partition on the sort key,
+      row_number WITHIN each partition in parallel, collect one row
+      count per partition (P rows — bounded by cluster size, not data
+      size), prefix-scan driver-side, broadcast the offsets back.
+      Scale-safe; pays a persist + P-row collect + broadcast join.
+    - ``"auto"`` (default) — probe ``df.count()`` (one parallel
+      count-aggregate over the already-needed upstream plan — a scalar,
+      never rows, to the driver) and pick by ``crossover_rows``. The
+      InputSampler move: measure, then partition.
+
+    Output is IDENTICAL across forms (asserted in tests): ``cols`` must
+    order rows uniquely for a deterministic rank (true for every
+    caller; ties would make the rank partitioning-dependent, as any
+    global row_number's tie order is)."""
+    if form not in ("auto", "single", "distributed"):
+        raise ValueError(f"form must be 'auto', 'single', or 'distributed', got {form!r}")
+    if form == "auto":
+        form = "single" if df.count() < crossover_rows else "distributed"
+    if form == "single":
+        w = Window.orderBy(*cols)
+        return df.withColumn(rank_name, F.row_number().over(w))
     part = df.repartitionByRange(*cols).withColumn("_pid", F.spark_partition_id()).persist()
     w = Window.partitionBy("_pid").orderBy(*cols)
     local = part.withColumn("_rn", F.row_number().over(w))
@@ -184,10 +212,17 @@ def pack_by_budget(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     cum = prefix_sum(df, order_col, weight_col, out_name="_cum")
-    return cum.withColumn(
-        out_name,
-        F.floor((F.col("_cum") - F.col(weight_col)) / F.lit(float(budget))).cast("long"),
-    ).drop("_cum")
+    # Integer `div`, not float division: floor(x / float(budget)) is
+    # exact only while the cumulative weight stays below 2^53 — beyond
+    # that, double rounding silently drifts shard boundaries on extreme
+    # corpora even though both operands are integral. Both operands are
+    # non-negative longs, so `div` (truncate toward zero) == floor,
+    # preserving the prefix-start boundary semantics exactly.
+    return (
+        cum.withColumn("_excl", (F.col("_cum") - F.col(weight_col)).cast("long"))
+        .withColumn(out_name, F.expr(f"_excl div CAST({int(budget)} AS BIGINT)"))
+        .drop("_cum", "_excl")
+    )
 
 
 def zorder_value(cols: Sequence[Column | str], bits: int = 16) -> Column:

@@ -208,6 +208,14 @@ def corpus_clean(
             s2.select("doc_id", "text"), "doc_id", "text", n=3,
             sample_frac=auto_sample_frac, pair_budget=auto_pair_budget,
         )
+    if near_dup not in ("ngram", "lsh"):
+        # Loud failure, not a silent default: a typo ('Auto', 'minhash')
+        # falling through to the exact ngram path would quietly select
+        # the DF^2-vulnerable strategy at web scale — the exact failure
+        # mode the auto probe exists to prevent.
+        raise ValueError(
+            f"near_dup must be 'ngram', 'lsh', or 'auto', got {near_dup!r}"
+        )
     if near_dup == "lsh":
         # The documented swap past the DF^2 regime: LSH banding emits
         # candidates from (band, hash) equality joins — no posting-list

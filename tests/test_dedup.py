@@ -752,8 +752,8 @@ def test_repeated_spans_and_removal_vs_python_reference(spark):
         for p in range(len(t) - W + 1):
             if len(occ[t[p : p + W]]) >= 2:
                 expected.add((i, p + 1, p + W))
-    assert {(r.id, r.start, r.end) for r in spans} == expected
-    assert {r.id for r in spans} == {1, 2, 3}  # 4 unique, 5 self-repeat only
+    assert {(r.doc_id, r.start, r.end) for r in spans} == expected
+    assert {r.doc_id for r in spans} == {1, 2, 3}  # 4 unique, 5 self-repeat only
 
     out = {
         r.doc_id: r.text
@@ -808,7 +808,7 @@ def test_repeated_spans_winnowing_is_alignment_invariant(spark):
         ["doc_id", "text", "source"],
     )
     got = repeated_spans(df, "doc_id", "text", window=50, stride=8).collect()
-    assert {r.id for r in got} == {1, 2}, got
+    assert {r.doc_id for r in got} == {1, 2}, got
     out = remove_repeated_spans(df, "doc_id", "text", window=50, stride=8)
     assert set(out.columns) == {"doc_id", "text", "source"}  # columns preserved
     rows = {r.doc_id: r for r in out.collect()}

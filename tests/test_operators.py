@@ -850,3 +850,37 @@ def test_mix_then_split_coins_are_independent(spark):
     assert any(k == ("big", "val") or k == ("big", "test") for k in split_counts), (
         split_counts
     )
+
+
+def test_with_global_rank_auto_selects_form_and_forms_agree(spark):
+    """InputSampler-style auto selection (round-5 brief #1): below the
+    measured crossover the cheap single-window form runs; above it the
+    scale-safe per-partition-offset form engages (visible as the
+    offsets BroadcastHashJoin in the plan). Output is identical either
+    way — the strategy choice is a physical detail, never a semantic
+    one."""
+    import pytest as _pytest
+
+    from hadoop_20_warehouse_fix_spark.operators.sort import with_global_rank
+    from hadoop_20_warehouse_fix_spark.plans.inspect import plan_summary
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 4999).alias("k"), F.col("id")
+    )
+    single = with_global_rank(df, ["k", "id"], form="single")
+    dist = with_global_rank(df, ["k", "id"], form="distributed")
+    key = lambda r: (r.k, r.id, r.rank)  # noqa: E731
+    assert sorted(map(key, single.collect())) == sorted(map(key, dist.collect()))
+
+    # auto below the default 2.4M crossover -> single window (no join)
+    auto_small = with_global_rank(df, ["k", "id"], form="auto")
+    assert plan_summary(auto_small).num_broadcast_joins == 0
+    # auto above a forced crossover -> distributed offsets (one
+    # BroadcastHashJoin shipping the P-row offset relation)
+    auto_big = with_global_rank(df, ["k", "id"], form="auto", crossover_rows=1000)
+    assert plan_summary(auto_big).num_broadcast_joins == 1
+    assert sorted(map(key, auto_big.collect())) == sorted(map(key, single.collect()))
+
+    with _pytest.raises(ValueError):
+        with_global_rank(df, ["k", "id"], form="bogus")
+    spark.catalog.clearCache()  # distributed form persists its input
