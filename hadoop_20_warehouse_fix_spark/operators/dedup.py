@@ -458,6 +458,36 @@ def minhash_signatures(
     return base.groupBy("id").agg(*mins)
 
 
+def banded_signature_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 60,
+    bands: int = 20,
+) -> DataFrame:
+    """LSH banding rows (id, band, bh): the signature's ``num_hashes``
+    min-hashes grouped into ``bands`` bands of ``num_hashes//bands``
+    rows, each band summarized by one 64-bit hash. ONE definition shared
+    by the self-join pair generator (:func:`minhash_lsh_pairs`), the
+    star-edge builder (:func:`minhash_bucket_edges`) and the persisted
+    incremental state (:func:`minhash_state_write` /
+    :func:`minhash_lsh_pairs_incremental`) — the banding function IS
+    the state format, so the definitions must not diverge."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", "bb.band", "bb.bh"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -474,18 +504,7 @@ def minhash_lsh_pairs(
 
     This is the 100 TB path: no all-pairs, no shingle-DF blowup —
     candidates come from equality joins on (band, band_hash)."""
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", "bb.band", "bb.bh"
-    )
+    banded = banded_signature_rows(df, id_col, text_col, n, num_hashes, bands)
     cand = (
         banded.alias("a")
         .join(
@@ -661,6 +680,163 @@ def ngram_jaccard_pairs_cross(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def hashed_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, n_sh, shs: array<bigint>) — each doc's distinct word-n-gram
+    set as 8-byte xxhash64 values. Distinct-set Jaccard over the hashed
+    sets equals Jaccard over the string sets up to 64-bit collisions
+    (the same 2^-64 regime every hashed-shingle path here accepts), at
+    ~1/8 the bytes of the median shingle string — this is the form the
+    persisted dedup state stores."""
+    return doc_shingle_sets(df, id_col, text_col, n).select(
+        "id",
+        F.size("shs").alias("n_sh"),
+        F.transform("shs", lambda s: F.xxhash64(s)).alias("shs"),
+    )
+
+
+def minhash_state_write(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_name: str,
+    n: int = 3,
+    num_hashes: int = 60,
+    bands: int = 20,
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Materialize the corpus's LSH dedup state as probe-able bucketed
+    tables, so a daily ingest batch deduplicates against 100 TB WITHOUT
+    rescanning it (round-5 brief #4; reference model: MapFile as
+    persisted probe-able state,
+    ``/root/reference/src/core/org/apache/hadoop/io/MapFile.java:521``).
+
+    Three tables:
+    - ``{state_name}_bands`` (id, band, bh), bucketed+sorted by
+      (band, bh): the candidate-probe side — the incremental join on
+      (band, bh) reads buckets in place, shuffling ONLY the batch;
+    - ``{state_name}_shingles`` (id, n_sh, shs), bucketed by id: the
+      exact-verify side — only candidate ids are fetched;
+    - ``{state_name}_meta``: one row pinning (n, num_hashes, bands).
+      The banding function IS the state format; probing with different
+      parameters silently collapses recall, so the probe validates and
+      raises on mismatch instead.
+
+    Size: bands table = docs × bands × ~24 B; shingles table ≈ corpus
+    token count × 8 B — an order under the corpus bytes, and the ONLY
+    thing the next ingest reads."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+
+    spark = df.sparkSession
+    write_bucketed(
+        banded_signature_rows(df, id_col, text_col, n, num_hashes, bands),
+        f"{state_name}_bands",
+        ["band", "bh"],
+        num_buckets,
+        path=f"{path}/bands" if path else None,
+    )
+    write_bucketed(
+        hashed_shingle_sets(df, id_col, text_col, n),
+        f"{state_name}_shingles",
+        ["id"],
+        num_buckets,
+        path=f"{path}/shingles" if path else None,
+    )
+    meta = spark.createDataFrame(
+        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_meta")
+    w = meta.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", f"{path}/meta")
+    w.saveAsTable(f"{state_name}_meta")
+
+
+def minhash_state_append(
+    new_df: DataFrame, id_col: str, text_col: str, state_name: str
+) -> None:
+    """Fold an ingested batch INTO the persisted state (run AFTER the
+    batch's pairs have been materialized — the probe's lazy plan lists
+    state files at execution time, so appending first would let the
+    batch match itself). Appends bucketed files; readers merge
+    per-bucket, no rewrite of the existing 100 TB state."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+
+    spark = new_df.sparkSession
+    m = spark.table(f"{state_name}_meta").collect()[0]
+    write_bucketed(
+        banded_signature_rows(new_df, id_col, text_col, m.n, m.num_hashes, m.bands),
+        f"{state_name}_bands",
+        ["band", "bh"],
+        mode="append",
+    )
+    write_bucketed(
+        hashed_shingle_sets(new_df, id_col, text_col, m.n),
+        f"{state_name}_shingles",
+        ["id"],
+        mode="append",
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_name: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest near-dup pairs: every new doc within
+    ``threshold`` Jaccard of an EXISTING corpus doc, probing the
+    persisted state (:func:`minhash_state_write`) instead of rescanning
+    the corpus. Semantics ≡ the cross-corpus slice of a full
+    ``minhash_lsh_pairs`` rerun on corpus ∪ batch (pytest-pinned):
+    candidates from (band, bh) equality against the bucketed bands
+    table, exact Jaccard verify against the bucketed shingles table.
+
+    Output: (id_a = corpus doc, id_b = new doc, jaccard).
+
+    100 TB physics: the bands table is read bucket-aligned (no corpus
+    shuffle — only the batch's band rows exchange); the verify join
+    fetches shingle sets for CANDIDATE corpus ids only, again bucket-
+    aligned on id. Per-ingest cost scales with the batch + its
+    collision neighborhood, never with the corpus."""
+    spark = new_df.sparkSession
+    m = spark.table(f"{state_name}_meta").collect()[0]
+    corpus_bands = spark.table(f"{state_name}_bands")
+    corpus_sh = spark.table(f"{state_name}_shingles")
+    new_bands = banded_signature_rows(
+        new_df, id_col, text_col, m.n, m.num_hashes, m.bands
+    )
+    cand = (
+        corpus_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    new_sh = hashed_shingle_sets(new_df, id_col, text_col, m.n)
+    verified = (
+        cand.join(
+            corpus_sh.select(
+                F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), F.col("shs").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            new_sh.select(
+                F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), F.col("shs").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def connected_components(
@@ -840,18 +1016,7 @@ def minhash_bucket_edges(
     49 near-clones, pair enumeration is TH(cluster^2) BY CONTRACT
     (measured in SCALING.md: the x50 tiled corpus GC-kills the pairwise
     join) while the star graph stays linear in corpus size."""
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", "bb.band", "bb.bh"
-    )
+    banded = banded_signature_rows(df, id_col, text_col, n, num_hashes, bands)
     hubs = banded.groupBy("band", "bh").agg(F.min("id").alias("id_a"))
     return (
         banded.join(hubs, ["band", "bh"])
@@ -884,6 +1049,77 @@ def dedup_minhash_survivors(
     return df.join(dropped, id_col, "left_anti")
 
 
+def _karp_rabin_window_hashes(window: int):
+    """Factory: Arrow-batched Karp-Rabin window fingerprints — for each
+    document, the polynomial hash (mod 2^64) of EVERY ``window``-char
+    substring, as ``array<bigint>`` indexed by 0-based start position.
+
+    O(len) per document (the round-4 expression path re-hashed each
+    window from scratch — O(len·window) character work, a ~window×
+    constant at window=50). The linear form needs a prefix scan, which
+    Spark's higher-order functions cannot express in O(len) (an
+    ``aggregate`` that appends to an array copies it per step —
+    O(len²)), so this is the sanctioned Pandas-UDF escape: numpy-
+    vectorized per doc, Arrow-batched, never per-row Python.
+
+    Math: with odd base B (invertible mod 2^64 — uint64 arithmetic
+    wraps to exactly the modulus for free), weighted prefix sums
+    S[i] = Σ_{j<=i} c[j]·B^(L-1-j) give the window hash at p as
+    (S[p+w-1] - S[p-1])·B^-(L-w-p): three vectorized passes
+    (codepoints via utf-32, cumsum, one multiply). Same-substring ⇒
+    same-hash holds exactly (detection stays exact); cross-substring
+    collisions are the identical 2^-64 regime as the xxhash64 path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    base_int = 0x9E3779B97F4A7C15  # odd 64-bit (golden-ratio constant)
+    inv_int = pow(base_int, -1, 1 << 64)
+    # power tables grow lazily per python worker and amortize across
+    # batches (closure state survives for the executor's lifetime)
+    state: dict[str, "np.ndarray"] = {}
+
+    def _powers(n: int) -> tuple["np.ndarray", "np.ndarray"]:
+        pw = state.get("pw")
+        if pw is None or len(pw) < n + 1:
+            size = max(n + 1, 4096)
+            with np.errstate(over="ignore"):
+                pw = np.empty(size, dtype=np.uint64)
+                ipw = np.empty(size, dtype=np.uint64)
+                pw[0] = ipw[0] = 1
+                np.cumprod(np.full(size - 1, base_int, dtype=np.uint64), out=pw[1:])
+                np.cumprod(np.full(size - 1, inv_int, dtype=np.uint64), out=ipw[1:])
+            state["pw"], state["ipw"] = pw, ipw
+        return state["pw"], state["ipw"]
+
+    # No type-hint signature: `from __future__ import annotations`
+    # stringifies hints and the local `pd` alias can't be resolved by
+    # pyspark's hint inspector — the explicit returnType carries it.
+    def _rk(texts):
+        empty = np.array([], dtype=np.int64)
+        out = []
+        for s in texts:
+            if s is None:
+                out.append(empty)
+                continue
+            length = len(s)
+            k = length - window + 1
+            if k <= 0:
+                out.append(empty)
+                continue
+            pw, ipw = _powers(length)
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+            with np.errstate(over="ignore"):
+                prefix = np.cumsum(codes * pw[length - 1 :: -1])
+                diff = prefix[window - 1 :].copy()
+                diff[1:] -= prefix[: k - 1]
+                hashes = diff * ipw[length - window :: -1][:k]
+            out.append(hashes.view(np.int64))
+        return pd.Series(out)
+
+    return pandas_udf(_rk, returnType="array<bigint>")
+
+
 def repeated_spans(
     df: DataFrame,
     id_col: str,
@@ -892,6 +1128,7 @@ def repeated_spans(
     stride: int = 1,
     min_docs: int = 2,
     handles: list | None = None,
+    hash_impl: str = "rolling",
 ) -> DataFrame:
     """Corpus-wide EXACT-SUBSTRING detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better": exact
@@ -921,8 +1158,14 @@ def repeated_spans(
     Shuffle volume ~ len(text)/stride 12-byte rows per doc — linear,
     skew bounded by max doc length; a boilerplate fingerprint's
     posting count is bounded by the partial agg, never materialized as
-    a list. The hash/winnow arrays are per-row HOFs (O(len·stride)
-    worst case interpreted — stride is meant to be small, 4-16).
+    a list. ``hash_impl="rolling"`` (default) computes the fingerprint
+    pass with an O(len) Karp-Rabin prefix hash (Arrow-batched numpy —
+    see :func:`_karp_rabin_window_hashes`); ``"expr"`` keeps the pure
+    JVM-expression form (O(len·window), zero Python). Both are exact
+    (same-substring ⇒ same-fingerprint); span outputs are identical
+    (asserted in tests). The winnow arrays are per-row HOFs
+    (O(len·stride) worst case interpreted — stride is meant to be
+    small, 4-16).
     NOTE: the detected-window relation is consumed twice downstream
     (hot-count + join) and is therefore persisted inside this
     function. Pass ``handles`` (a list) to receive the persisted
@@ -937,16 +1180,31 @@ def repeated_spans(
         # would silently strip the whole corpus. Loud failure instead.
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     t = F.col(text_col)
-    k = F.greatest(F.length(t) - window + 1, F.lit(0))
-    hashes = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda p: F.struct(
-                F.xxhash64(F.substring(t, p, window)).alias("h"), p.cast("int").alias("p")
+    if hash_impl == "rolling":
+        # O(len) Karp-Rabin fingerprint pass (round-5 brief #2): the
+        # Arrow-batched prefix-hash UDF returns one bigint per window
+        # position; the transform zips positions on JVM-side (its array
+        # child evaluates once per row — no re-evaluation hazard).
+        rk = _karp_rabin_window_hashes(window)
+        hashes = F.transform(
+            rk(t),
+            lambda h, i: F.struct(h.alias("h"), (i + 1).cast("int").alias("p")),
+        )
+    elif hash_impl == "expr":
+        # Pure-expression fallback — zero Python, engine-replayable, but
+        # O(len·window) character work (each window hashed from scratch).
+        k = F.greatest(F.length(t) - window + 1, F.lit(0))
+        hashes = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda p: F.struct(
+                    F.xxhash64(F.substring(t, p, window)).alias("h"), p.cast("int").alias("p")
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<h:bigint,p:int>>"))
+        ).otherwise(F.array().cast("array<struct<h:bigint,p:int>>"))
+    else:
+        raise ValueError(f"hash_impl must be 'rolling' or 'expr', got {hash_impl!r}")
     # PROJECTION BARRIER (the doc_shingle_sets idiom): the winnow lambda
     # below must reference a BOUND column, not the inline hash
     # expression — inlined, every stride-block would re-evaluate all k
@@ -1000,6 +1258,7 @@ def remove_repeated_spans(
     min_docs: int = 2,
     out_name: str | None = None,
     handles: list | None = None,
+    hash_impl: str = "rolling",
 ) -> DataFrame:
     """Cut every corpus-repeated span (see :func:`repeated_spans`) out
     of each document — span-level removal, the surgical alternative to
@@ -1032,7 +1291,10 @@ def remove_repeated_spans(
             f"out_name {out_name!r} collides with a preserved column of df"
         )
     spans = (
-        repeated_spans(df, id_col, text_col, window, stride, min_docs, handles=handles)
+        repeated_spans(
+            df, id_col, text_col, window, stride, min_docs,
+            handles=handles, hash_impl=hash_impl,
+        )
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_spans"))
     )

@@ -336,6 +336,10 @@ def corpus_prepare_training_set(
     near_dup: str = "auto",
     eval_modulus: int = 97,
     target_mix: dict[str, float] | None = None,
+    span_dedup: bool = False,
+    span_window: int = 50,
+    span_stride: int = 1,
+    handles: list | None = None,
 ) -> DataFrame:
     """CAPSTONE composition — the full LLM training-data prep flow as
     one engine pipeline (pytest-covered function, intentionally NOT a
@@ -346,6 +350,17 @@ def corpus_prepare_training_set(
     1. clean: ``corpus_clean(near_dup=..., repetition_gate=True)`` —
        language + quality + repetition gates, exact dedup, near-dup
        removal with the data-driven strategy pick;
+    1b. span dedup (optional, ``span_dedup=True``): cut corpus-repeated
+       EXACT spans out of the surviving docs (``remove_repeated_spans``
+       — Lee et al. 2022 cut *spans*, not docs, precisely in the
+       post-dedup corpus: boilerplate headers and license blocks
+       survive doc-level dedup because the REST of each doc is
+       unique). ``n_tokens`` is recomputed from the rebuilt text so
+       mixing and packing budget the tokens a trainer will actually
+       see; ``quality`` keeps the clean-stage score (scored on the
+       doc as ingested). The span pass consumes its input twice and
+       its output feeds two decontaminate consumers — both seams are
+       persist-barriered;
     2. decontaminate: drop survivors sharing any word-4-gram with the
        held-out eval slice (``doc_id % eval_modulus == 0``), which is
        itself excluded from the training set — size the slice like a
@@ -377,7 +392,12 @@ def corpus_prepare_training_set(
     train + rest, and the prefix sum reads its input twice), or the
     whole upstream dedup DAG re-evaluates per consumer. At 100 TB the
     same barrier is Parquet between stages, as the reference's DAGs
-    materialized to HDFS by necessity."""
+    materialized to HDFS by necessity.
+
+    Cache lifetime: pass ``handles`` (a list) to receive every
+    persisted intermediate for targeted ``.unpersist()`` after the
+    returned plan materializes; without it the fallback remains
+    ``spark.catalog.clearCache()``."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
     from hadoop_20_warehouse_fix_spark.operators.sort import pack_by_budget
     from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
@@ -393,6 +413,21 @@ def corpus_prepare_training_set(
         .join(docs, "doc_id")
         .persist()
     )
+    if handles is not None:
+        handles.append(survivors)
+    if span_dedup:
+        from hadoop_20_warehouse_fix_spark.operators.dedup import (
+            remove_repeated_spans,
+        )
+
+        survivors = remove_repeated_spans(
+            survivors, "doc_id", "text",
+            window=span_window, stride=span_stride, handles=handles,
+        ).withColumn(
+            "n_tokens", ws_token_count(F.col("text")).cast("long")
+        ).persist()
+        if handles is not None:
+            handles.append(survivors)
     decontaminated = decontaminate(
         survivors, evalset, "doc_id", "text", n=4, mode="clean"
     ).drop("text")
@@ -402,11 +437,15 @@ def corpus_prepare_training_set(
         # mix_corpora consumes its input twice (mass aggregation +
         # filter) — barrier first, per its docstring.
         decontaminated = decontaminated.persist()
+        if handles is not None:
+            handles.append(decontaminated)
         decontaminated, _rates = mix_corpora(
             decontaminated, "source", "n_tokens", target_mix, "doc_id"
         )
         decontaminated = decontaminated.drop("source")
     tagged = assign_split(decontaminated, "doc_id").persist()
+    if handles is not None:
+        handles.append(tagged)
     train = pack_by_budget(
         tagged.filter(F.col("split") == "train"), "doc_id", "n_tokens",
         budget=token_budget,

@@ -149,6 +149,7 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     path: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """CompositeInputFormat's physics: co-partitioned co-sorted layout so
     same-bucketed tables sort-merge-join with NO shuffle
@@ -156,14 +157,20 @@ def write_bucketed(
     catalog table (bucketing metadata lives in the metastore); pass
     ``path`` to make it EXTERNAL — overwrite then survives a stale
     on-disk location from a previous session, which a managed table
-    refuses (LOCATION_ALREADY_EXISTS against a fresh catalog)."""
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
+    refuses (LOCATION_ALREADY_EXISTS against a fresh catalog).
+
+    ``mode="append"`` adds new bucket files to an EXISTING table (each
+    append writes its own bucketed file set; readers merge per-bucket) —
+    the incremental-state update path (MapFile-style probe-able state,
+    ``/root/reference/src/core/org/apache/hadoop/io/MapFile.java:521``)."""
+    if mode == "overwrite":
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
     writer = (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))
         .format("parquet")
     )
-    if path is not None:
+    if path is not None and mode == "overwrite":
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)

@@ -3,6 +3,7 @@ exact variant (recall/precision), SimHash invariants."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_fix_spark.catalog import load_table
@@ -716,7 +717,8 @@ def test_corpus_prepare_training_set_with_mix(spark):
         spark.catalog.clearCache()
 
 
-def test_repeated_spans_and_removal_vs_python_reference(spark):
+@pytest.mark.parametrize("hash_impl", ["rolling", "expr"])
+def test_repeated_spans_and_removal_vs_python_reference(spark, hash_impl):
     """Exact-substring span dedup vs a brute-force python reference:
     a 60-char license block planted in 3 docs at different offsets is
     detected (every window inside it, all 3 docs) and removed, while
@@ -738,7 +740,9 @@ def test_repeated_spans_and_removal_vs_python_reference(spark):
     }
     W = 40
     df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
-    spans = repeated_spans(df, "doc_id", "text", window=W, stride=1, min_docs=2).collect()
+    spans = repeated_spans(
+        df, "doc_id", "text", window=W, stride=1, min_docs=2, hash_impl=hash_impl
+    ).collect()
 
     # python reference: windows appearing in >= 2 distinct docs
     from collections import defaultdict
@@ -757,7 +761,9 @@ def test_repeated_spans_and_removal_vs_python_reference(spark):
 
     out = {
         r.doc_id: r.text
-        for r in remove_repeated_spans(df, "doc_id", "text", window=W, stride=1).collect()
+        for r in remove_repeated_spans(
+            df, "doc_id", "text", window=W, stride=1, hash_impl=hash_impl
+        ).collect()
     }
     assert out[4] == texts[4] and out[5] == texts[5]  # untouched, byte-identical
     for i in (1, 2, 3):
@@ -817,3 +823,141 @@ def test_repeated_spans_winnowing_is_alignment_invariant(spark):
     with _pytest.raises(ValueError):
         repeated_spans(df, "doc_id", "text", min_docs=1)
     spark.catalog.clearCache()
+
+
+def test_capstone_span_dedup_removes_planted_cross_doc_block(spark, tmp_path):
+    """Round-5 brief #3: span_dedup=True in the capstone cuts a planted
+    cross-doc license block end-to-end — the carriers' n_tokens shrink
+    by the block's token mass vs the span_dedup=False run, untouched
+    unique docs keep identical n_tokens, and every persisted
+    intermediate is exposed via handles for targeted unpersist."""
+    from hadoop_20_warehouse_fix_spark.queries.corpus import (
+        corpus_prepare_training_set,
+    )
+
+    block = (
+        "this is the exact shared license block and it is repeated "
+        "verbatim in every carrier document of the corpus"
+    )
+    assert len(block) > 60
+    fill = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu anchor basket candle dome",
+    ]
+    stop = "it is a good day to read and the work of people in town "
+    rows = []
+    for i in range(1, 30):
+        body = stop + fill[i % 3] + f" marker{i} " + stop + f" tail{i} ends here"
+        if i in (1, 2, 3):
+            # different offsets: prefix grows with i (alignment-invariance)
+            body = stop + ("x" * i) + " " + block + " " + fill[i % 3] + f" marker{i}"
+        rows.append((i, body, "en", f"src{i % 3}", len(body)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    try:
+        base = {
+            r.doc_id: r.n_tokens
+            for r in corpus_prepare_training_set(
+                spark, sf_dir, token_budget=100, near_dup="ngram"
+            ).collect()
+        }
+        handles: list = []
+        cut = {
+            r.doc_id: r.n_tokens
+            for r in corpus_prepare_training_set(
+                spark, sf_dir, token_budget=100, near_dup="ngram",
+                span_dedup=True, handles=handles,
+            ).collect()
+        }
+        carriers = {1, 2, 3} & set(base) & set(cut)
+        assert carriers, (sorted(base), sorted(cut))
+        for i in carriers:
+            # block mass gone (the whole block is > window chars, so
+            # every carrier loses at least the block's tokens)
+            assert cut[i] <= base[i] - len(block.split()) + 2, (i, base[i], cut[i])
+        for i in set(base) & set(cut) - {1, 2, 3}:
+            assert cut[i] == base[i], i  # unique docs untouched
+        assert handles, "capstone must expose its persisted intermediates"
+        for h in handles:
+            h.unpersist()
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_minhash_incremental_state_equals_full_rerun(spark, tmp_path):
+    """Round-5 brief #4: probing the persisted bucketed LSH state with
+    an ingest batch yields EXACTLY the cross-corpus slice of a full
+    minhash_lsh_pairs rerun on corpus ∪ batch — same pairs, same
+    jaccard values. Then appending the batch into the state makes a
+    second batch's dupes-of-the-first-batch visible without any corpus
+    recompute. Parameter mismatch against the state raises loudly."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        minhash_state_append,
+        minhash_state_write,
+    )
+
+    corpus = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 400)
+    )
+    # batch: near-copies of corpus docs (guaranteed cross pairs) + the
+    # next id range of genuinely new docs
+    batch = (
+        corpus.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail token")).alias("text"),
+        )
+        .unionByName(
+            load_table(spark, SF_CORRECT, "documents")
+            .select("doc_id", "text")
+            .filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 420))
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+    )
+    state = "mh_state_t5"
+    try:
+        full = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(
+                corpus.unionByName(batch), "doc_id", "text", threshold=0.5
+            ).collect()
+            # cross slice only: batch ids are all >= 100000, corpus below,
+            # and minhash_lsh_pairs orients id_a < id_b
+            if r.id_a < 100000 <= r.id_b
+        }
+        assert full, "planted near-copies must produce cross pairs"
+
+        minhash_state_write(
+            corpus, "doc_id", "text", state, path=str(tmp_path / "state")
+        )
+        inc = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs_incremental(
+                batch, "doc_id", "text", state, threshold=0.5
+            ).collect()
+        }
+        assert inc == full
+
+        # fold the batch in; a second batch duplicating a FIRST-BATCH doc
+        # must now match it (id_a in the 100k range) with no corpus rescan
+        minhash_state_append(batch, "doc_id", "text", state)
+        batch2 = batch.filter(F.col("doc_id") == 100005).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        inc2 = minhash_lsh_pairs_incremental(
+            batch2, "doc_id", "text", state, threshold=0.5
+        ).collect()
+        assert any(r.id_a == 100005 and r.id_b == 200005 for r in inc2), inc2
+    finally:
+        for t in (f"{state}_bands", f"{state}_shingles", f"{state}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.catalog.clearCache()
