@@ -719,10 +719,15 @@ def minhash_state_write(
       (band, bh) reads buckets in place, shuffling ONLY the batch;
     - ``{state_name}_shingles`` (id, n_sh, shs), bucketed by id: the
       exact-verify side — only candidate ids are fetched;
-    - ``{state_name}_meta``: one row pinning (n, num_hashes, bands).
-      The banding function IS the state format; probing with different
-      parameters silently collapses recall, so the probe validates and
-      raises on mismatch instead.
+    - ``{state_name}_meta``: one row pinning (n, num_hashes, bands,
+      num_buckets). The banding function IS the state format; probing
+      with different parameters would silently collapse recall, so the
+      probe and the append take NO shingle/banding parameters at all —
+      they read them from the meta row (mismatch is impossible by
+      construction, not detected-and-raised). num_buckets rides along
+      because Spark refuses a bucket-spec-mismatched append: without it
+      a state written at any non-default bucket count could never be
+      appended.
 
     Size: bands table = docs × bands × ~24 B; shingles table ≈ corpus
     token count × 8 B — an order under the corpus bytes, and the ONLY
@@ -745,7 +750,8 @@ def minhash_state_write(
         path=f"{path}/shingles" if path else None,
     )
     meta = spark.createDataFrame(
-        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+        [(n, num_hashes, bands, num_buckets)],
+        "n int, num_hashes int, bands int, num_buckets int",
     )
     spark.sql(f"DROP TABLE IF EXISTS {state_name}_meta")
     w = meta.write.mode("overwrite").format("parquet")
@@ -766,16 +772,22 @@ def minhash_state_append(
 
     spark = new_df.sparkSession
     m = spark.table(f"{state_name}_meta").collect()[0]
+    # num_buckets comes from the meta row, like every other state
+    # parameter: Spark raises on a bucket-spec mismatch at append, so a
+    # state written with a non-default bucket count would otherwise be
+    # permanently un-appendable.
     write_bucketed(
         banded_signature_rows(new_df, id_col, text_col, m.n, m.num_hashes, m.bands),
         f"{state_name}_bands",
         ["band", "bh"],
+        num_buckets=m.num_buckets,
         mode="append",
     )
     write_bucketed(
         hashed_shingle_sets(new_df, id_col, text_col, m.n),
         f"{state_name}_shingles",
         ["id"],
+        num_buckets=m.num_buckets,
         mode="append",
     )
 
@@ -839,11 +851,124 @@ def minhash_lsh_pairs_incremental(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    public): O(log^2 n) rounds on ANY graph shape, vs min-label
+    propagation's O(diameter) — the rule for long-chain / general edge
+    lists where a quasi-clique assumption doesn't hold.
+
+    Each operation is one window-min + filter over the edge list
+    (single hash exchange per op — the same physical shape as one
+    min-label round), edges kept oriented (big, small):
+    - large-star: per node u, connect every LARGER neighbor to
+      m = min(Γ(u) ∪ {u}) — splits high-degree hubs;
+    - small-star: per node u over its smaller neighbors, connect u and
+      every non-min neighbor to the min — contracts toward the root.
+
+    Fixed point: the edge list stops changing; every non-root node then
+    points directly at its component minimum. Change detection compares
+    (count, xor of per-edge hashes) across rounds — edge lists are
+    DISTINCT sets, so the xor is a set checksum; a false fixed point
+    needs a simultaneous 2^-64 collision (the regime every hashed path
+    here documents and accepts)."""
+    from pyspark.sql import Window
+
+    E = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        E.select(F.col("u").alias("id"))
+        .unionByName(E.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    def checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("aggregate(collect_list(xxhash64(u, v)), 0L, (a, x) -> a ^ x)"),
+                F.lit(0),
+            ).alias("x"),
+        ).collect()[0]
+        return int(row.n), int(row.x)
+
+    prev = checksum(E)
+    converged = False
+    for it in range(max_iter):
+        # large-star over the SYMMETRIC view: every endpoint's full
+        # neighborhood, larger neighbors re-pointed at the local min.
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        wl = Window.partitionBy("u")
+        ls = (
+            sym.withColumn("m", F.least(F.min("v").over(wl), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the (big, small) orientation.
+        ws = Window.partitionBy("u")
+        with_min = ls.withColumn("m", F.min("v").over(ws))
+        new_e = (
+            with_min.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(with_min.select("u", F.col("m").alias("v")))
+            .distinct()
+            .persist()
+        )
+        # Lineage hygiene: same iterative-plan truncation as min-label.
+        if (it + 1) % 5 == 0:
+            cp = new_e.localCheckpoint(eager=True)
+            new_e.unpersist()
+            new_e = cp
+        cur = checksum(new_e)
+        E.unpersist()
+        E = new_e
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(rule='star') hit max_iter={max_iter} without "
+            "a fixed point; labels may be non-canonical — raise max_iter "
+            "(O(log^2 n) rounds suffice for any graph)",
+            stacklevel=3,
+        )
+    # At the fixed point every non-root u carries exactly the edge
+    # (u, root); min-agg anyway so an unconverged state degrades to the
+    # best label seen rather than duplicating nodes.
+    final = E.groupBy("u").agg(F.min("v").alias("label"))
+    # E and nodes stay persisted: the returned LAZY plan reads both, and
+    # dropping E's cache here would force a recompute through every
+    # round's lineage. Same cache-lifetime contract as the min-label
+    # rule (caller unpersists / clearCache after materializing).
+    return (
+        nodes.join(final, nodes["id"] == final["u"], "left")
+        .select(nodes["id"], F.coalesce(F.col("label"), nodes["id"]).alias("cluster_id"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    rule: str = "min_label",
 ) -> DataFrame:
     """Connected components over a near-dup pair list — the clustering
     step after pair generation (minhash/simhash/ngram): every doc in a
@@ -861,13 +986,21 @@ def connected_components(
     by the node count and can neither overflow nor false-converge.)
     Rounds needed = component diameter; near-dup components are dense
     quasi-cliques (diameter 2-4), so this terminates in a handful of
-    rounds. For adversarial long-chain graphs at 100 TB, swap the
-    update rule for alternating large-star/small-star (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14 — public) —
-    O(log^2 n) rounds with the same join/agg physical shape.
+    rounds. For adversarial long-chain / general edge lists, pass
+    ``rule="star"``: alternating large-star/small-star (Kiveris et al.,
+    SoCC'14 — public), O(log^2 n) rounds with the same window+filter
+    physical shape per round (:func:`_connected_components_star`,
+    round-5 brief #4 — now code, not documentation; equality with
+    min-label is pytest-pinned on random graphs, and a 60-node path
+    that exhausts min-label's default round cap converges in ~6 star
+    rounds).
 
     Returns (id, cluster_id) for every node that appears in ``edges``;
     callers left-join and coalesce to give singletons their own id."""
+    if rule not in ("min_label", "star"):
+        raise ValueError(f"rule must be 'min_label' or 'star', got {rule!r}")
+    if rule == "star":
+        return _connected_components_star(edges, src, dst, max_iter)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -963,19 +1096,40 @@ def remove_boilerplate_lines(
     text_col: str,
     min_docs: int = 3,
     out_name: str = "text",
+    strategy: str = "auto",
+    broadcast_max_lines: int = 2_000_000,
 ) -> DataFrame:
     """Cross-document boilerplate removal: a line that appears in >=
     ``min_docs`` DISTINCT documents is boilerplate (headers, footers,
     cookie banners) and is dropped from every document; line order
     otherwise preserved.
 
-    Physical form: distinct (doc, line) rows -> line document-frequency
-    -> broadcast-able boilerplate set -> per-row array filter. The DF
-    aggregation shuffles one row per distinct (doc, line) — bounded by
-    corpus vocabulary of lines, not corpus size; the rewrite itself is
-    scan-fused. At 100 TB the boilerplate set can exceed broadcast
-    limits — swap the array_contains against a left-anti join on
-    exploded lines (same semantics, one extra shuffle)."""
+    Two physical forms, identical semantics (equality pytest-pinned):
+
+    - ``strategy="broadcast"``: distinct (doc, line) rows -> line
+      document-frequency -> one collected boilerplate ARRAY broadcast
+      to a per-row array filter. The DF aggregation shuffles one row
+      per distinct (doc, line) — bounded by corpus line vocabulary —
+      and the rewrite is scan-fused. Dies when the boilerplate set
+      outgrows driver/broadcast memory.
+    - ``strategy="anti"``: posexplode every doc's lines, LEFT ANTI join
+      against the boilerplate relation on the line value, reassemble in
+      position order per doc. The corpus's line rows shuffle (join +
+      per-doc regroup — two exchanges the broadcast form avoids), but
+      NOTHING is ever collected: the boilerplate side stays distributed,
+      so an arbitrarily large boilerplate set (adversarial or just
+      100 TB-diverse) cannot kill the driver.
+    - ``strategy="auto"`` (default): count the boilerplate lines (one
+      scalar — the probe idiom of ``choose_near_dup_strategy``) and
+      pick broadcast below ``broadcast_max_lines``, anti past it.
+
+    A document whose every line is boilerplate survives as empty text
+    in BOTH forms (the anti form left-joins the reassembly back to the
+    corpus ids — an all-lines-removed doc must not vanish)."""
+    if strategy not in ("auto", "broadcast", "anti"):
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast', or 'anti', got {strategy!r}"
+        )
     lines_rows = df.select(
         F.col(id_col).alias("_id"), F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line")
     )
@@ -985,15 +1139,41 @@ def remove_boilerplate_lines(
         .filter(F.col("df") >= min_docs)
         .select("line")
     )
-    boiler_arr = boiler.agg(F.sort_array(F.collect_list("line")).alias("bl"))
-    out = df.crossJoin(F.broadcast(boiler_arr)).select(
-        F.col(id_col),
-        F.array_join(
-            F.filter(F.split(F.col(text_col), "\n"), lambda x: ~F.array_contains(F.col("bl"), x)),
-            "\n",
-        ).alias(out_name),
+    if strategy == "auto":
+        # One scalar to the driver; the boilerplate relation is consumed
+        # again by whichever branch wins, so pin it across both actions.
+        boiler = boiler.persist()
+        strategy = "broadcast" if boiler.count() <= broadcast_max_lines else "anti"
+    if strategy == "broadcast":
+        boiler_arr = boiler.agg(F.sort_array(F.collect_list("line")).alias("bl"))
+        return df.crossJoin(F.broadcast(boiler_arr)).select(
+            F.col(id_col),
+            F.array_join(
+                F.filter(F.split(F.col(text_col), "\n"), lambda x: ~F.array_contains(F.col("bl"), x)),
+                "\n",
+            ).alias(out_name),
+        )
+    # anti: position-tagged explode -> distributed anti join -> ordered
+    # reassembly -> left join back so all-boilerplate docs keep a row.
+    pos_lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "line"),
     )
-    return out
+    kept = pos_lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_rebuilt")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .select(F.col(id_col), F.coalesce(F.col("_rebuilt"), F.lit("")).alias(out_name))
+    )
 
 
 def minhash_bucket_edges(
@@ -1067,8 +1247,21 @@ def _karp_rabin_window_hashes(window: int):
     S[i] = Σ_{j<=i} c[j]·B^(L-1-j) give the window hash at p as
     (S[p+w-1] - S[p-1])·B^-(L-w-p): three vectorized passes
     (codepoints via utf-32, cumsum, one multiply). Same-substring ⇒
-    same-hash holds exactly (detection stays exact); cross-substring
-    collisions are the identical 2^-64 regime as the xxhash64 path."""
+    same-hash holds exactly, so detection RECALL is exact for any
+    hash quality.
+
+    Collision caveat (round-5 review): polynomial hashing mod a power
+    of two has algebraic structure — Thue–Morse-style difference
+    polynomials are divisible by large powers of 2 for EVERY base, so
+    structured/adversarial text can hit cross-substring collisions far
+    more easily than the generic 2^-64 estimate suggests (a 1024-char
+    pair built from Prouhet–Thue–Morse signs collides by construction;
+    pinned in tests). This is why :func:`repeated_spans` verifies
+    candidate windows against their actual substring bytes by default
+    (``verify=True``) — a collision then costs wasted verify work, not
+    silently deleted unique text. Operators that disable verification
+    on untrusted corpora should use ``hash_impl='expr'`` (xxhash64 —
+    no known structural anti-tests)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1129,6 +1322,7 @@ def repeated_spans(
     min_docs: int = 2,
     handles: list | None = None,
     hash_impl: str = "rolling",
+    verify: bool = True,
 ) -> DataFrame:
     """Corpus-wide EXACT-SUBSTRING detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better": exact
@@ -1161,11 +1355,26 @@ def repeated_spans(
     a list. ``hash_impl="rolling"`` (default) computes the fingerprint
     pass with an O(len) Karp-Rabin prefix hash (Arrow-batched numpy —
     see :func:`_karp_rabin_window_hashes`); ``"expr"`` keeps the pure
-    JVM-expression form (O(len·window), zero Python). Both are exact
-    (same-substring ⇒ same-fingerprint); span outputs are identical
-    (asserted in tests). The winnow arrays are per-row HOFs
+    JVM-expression form (O(len·window), zero Python). Both have exact
+    RECALL (same-substring ⇒ same-fingerprint); span outputs are
+    identical (asserted in tests). The winnow arrays are per-row HOFs
     (O(len·stride) worst case interpreted — stride is meant to be
     small, 4-16).
+
+    ``verify=True`` (default) re-checks every candidate window against
+    its ACTUAL substring bytes: candidates join back to ``df`` and the
+    distinct-doc count re-runs grouped by the substring itself, so a
+    fingerprint collision (two different substrings, same hash) can
+    never mark a unique span as repeated — essential for the rolling
+    hash, whose mod-2^64 structure admits adversarial collisions on
+    structured text (see :func:`_karp_rabin_window_hashes`; the
+    Thue–Morse colliding pair is pinned in tests), belt-and-braces for
+    xxhash64. Cost: one extra join whose volume is the CANDIDATE set
+    (actual duplication + collisions, never the corpus) carrying
+    window-char strings, plus a second scan of ``df`` — persist ``df``
+    first if it is expensive to recompute. ``verify=False`` trusts
+    fingerprints (the pre-round-6 behavior; safe with
+    ``hash_impl='expr'`` on non-adversarial corpora).
     NOTE: the detected-window relation is consumed twice downstream
     (hot-count + join) and is therefore persisted inside this
     function. Pass ``handles`` (a list) to receive the persisted
@@ -1239,13 +1448,34 @@ def repeated_spans(
         .filter(F.col("n_docs") >= min_docs)
         .select("fp")
     )
-    return (
-        wins.join(hot, "fp")
-        .select(
+    cand = wins.join(hot, "fp")
+    if not verify:
+        return cand.select(
             F.col("id").alias(id_col),
             "start",
             (F.col("start") + window - 1).alias("end"),
         )
+    # Exact verify: fetch each candidate's actual window substring and
+    # re-run the distinct-doc count grouped by the SUBSTRING, not the
+    # fingerprint. Re-grouping can only split a fingerprint's group, so
+    # a colliding unique span drops below min_docs here and survives
+    # removal. Volume: candidates only (duplication-bounded).
+    sub = (
+        cand.join(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")), "id"
+        )
+        .select("id", "start", F.col("_t").substr(F.col("start"), F.lit(window)).alias("_w"))
+    )
+    hot_w = (
+        sub.groupBy("_w")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("_w")
+    )
+    return sub.join(hot_w, "_w").select(
+        F.col("id").alias(id_col),
+        "start",
+        (F.col("start") + window - 1).alias("end"),
     )
 
 
@@ -1259,6 +1489,7 @@ def remove_repeated_spans(
     out_name: str | None = None,
     handles: list | None = None,
     hash_impl: str = "rolling",
+    verify: bool = True,
 ) -> DataFrame:
     """Cut every corpus-repeated span (see :func:`repeated_spans`) out
     of each document — span-level removal, the surgical alternative to
@@ -1278,8 +1509,10 @@ def remove_repeated_spans(
     only exchanges are the fingerprint count and the spans-to-doc
     groupBy. ALL other columns of ``df`` ride through unchanged; docs
     with no repeated spans pass through byte-identical (left join +
-    coalesce). ``df`` is consumed twice (span detection + rebuild) —
-    persist derived inputs first, per the multi-consumer convention.
+    coalesce). ``df`` is consumed twice (span detection + rebuild;
+    three times with ``verify=True`` — the collision check joins
+    candidates back to the text) — persist derived inputs first, per
+    the multi-consumer convention.
 
     ``out_name`` defaults to ``text_col`` (rebuilt text replaces the
     original in place); naming it onto an existing OTHER column would
@@ -1293,7 +1526,7 @@ def remove_repeated_spans(
     spans = (
         repeated_spans(
             df, id_col, text_col, window, stride, min_docs,
-            handles=handles, hash_impl=hash_impl,
+            handles=handles, hash_impl=hash_impl, verify=verify,
         )
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_spans"))

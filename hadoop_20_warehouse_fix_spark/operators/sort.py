@@ -42,12 +42,27 @@ def total_order_sort(df: DataFrame, cols: Sequence[Column | str], num_partitions
 GLOBAL_RANK_CROSSOVER_ROWS = 2_400_000
 
 
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Row count from the optimized plan's statistics, when Catalyst
+    already knows one (CBO/ANALYZE stats, LocalRelation, a cached
+    relation) — a FREE probe: no job runs. Plain file scans usually
+    carry only sizeInBytes, in which case this returns None and the
+    caller falls back to counting."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return int(str(rc.get())) if rc.isDefined() else None
+    except Exception:  # noqa: BLE001 — stats probe is best-effort by contract
+        return None
+
+
 def with_global_rank(
     df: DataFrame,
     cols: Sequence[Column | str],
     rank_name: str = "rank",
     form: str = "auto",
     crossover_rows: int = GLOBAL_RANK_CROSSOVER_ROWS,
+    known_count: int | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """Attach a 1-based global rank in sort order — turns ordering into
     checkable data (the SortValidator idea: prove global order by
@@ -63,10 +78,21 @@ def with_global_rank(
       count per partition (P rows — bounded by cluster size, not data
       size), prefix-scan driver-side, broadcast the offsets back.
       Scale-safe; pays a persist + P-row collect + broadcast join.
-    - ``"auto"`` (default) — probe ``df.count()`` (one parallel
-      count-aggregate over the already-needed upstream plan — a scalar,
-      never rows, to the driver) and pick by ``crossover_rows``. The
-      InputSampler move: measure, then partition.
+    - ``"auto"`` (default) — pick by ``crossover_rows`` using the
+      cheapest row-count available, in order: a caller-supplied
+      ``known_count`` (free), the optimized plan's statistics row count
+      (free — no job), else ``df.count()`` over a PERSISTED ``df`` so
+      the probe's scan is the same materialization the ranking then
+      reads (round-5 review: the unpersisted form scanned the upstream
+      plan twice — once to choose the physical form, once to rank — at
+      exactly the scales where the choice matters). The InputSampler
+      move (``M/lib/InputSampler.java:101``): sample cheaply, then
+      partition.
+
+    ``handles``: when auto falls back to persist+count, the persisted
+    DataFrame is appended here for targeted ``.unpersist()`` after the
+    result materializes (the repo-wide cache-lifetime convention);
+    without it, ``spark.catalog.clearCache()`` remains the fallback.
 
     Output is IDENTICAL across forms (asserted in tests): ``cols`` must
     order rows uniquely for a deterministic rank (true for every
@@ -75,7 +101,13 @@ def with_global_rank(
     if form not in ("auto", "single", "distributed"):
         raise ValueError(f"form must be 'auto', 'single', or 'distributed', got {form!r}")
     if form == "auto":
-        form = "single" if df.count() < crossover_rows else "distributed"
+        n = known_count if known_count is not None else _plan_row_count(df)
+        if n is None:
+            df = df.persist()
+            if handles is not None:
+                handles.append(df)
+            n = df.count()
+        form = "single" if n < crossover_rows else "distributed"
     if form == "single":
         w = Window.orderBy(*cols)
         return df.withColumn(rank_name, F.row_number().over(w))

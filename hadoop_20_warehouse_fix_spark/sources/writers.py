@@ -165,12 +165,22 @@ def write_bucketed(
     ``/root/reference/src/core/org/apache/hadoop/io/MapFile.java:521``)."""
     if mode == "overwrite":
         df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
+    elif path is not None:
+        # An append goes to the EXISTING table's location; honoring a
+        # caller path here is impossible, and silently dropping it would
+        # let a missing table materialize as a managed table at the
+        # warehouse location — diverging from the requested external
+        # path without a trace. Loud failure instead.
+        raise ValueError(
+            f"write_bucketed(mode='append') writes to {table_name}'s existing "
+            "location; 'path' is only valid with mode='overwrite'"
+        )
     writer = (
         df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))
         .format("parquet")
     )
-    if path is not None and mode == "overwrite":
+    if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)

@@ -207,6 +207,47 @@ def test_connected_components_warns_when_iteration_cap_hit(spark):
     assert set(got.values()) == {1}
 
 
+def test_connected_components_star_rule_equals_min_label(spark):
+    """Round-5 brief #4: large-star/small-star is now code. Equality
+    with min-label on seeded random graphs, and the adversarial case:
+    a 60-node path (diameter 59) that min-label's default 25-round cap
+    cannot converge resolves cleanly under the O(log^2 n) star rule
+    with max_iter=25, no warning."""
+    import random
+    import warnings
+
+    from hadoop_20_warehouse_fix_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)
+        ]
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+        ml = {r.id: r.cluster_id for r in connected_components(edges, max_iter=100).collect()}
+        st = {r.id: r.cluster_id for r in connected_components(edges, rule="star").collect()}
+        assert st == ml, (trial, st, ml)
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {r.id: r.cluster_id for r in connected_components(path, rule="star").collect()}
+    assert not any("max_iter" in str(w.message) for w in caught), [
+        str(w.message) for w in caught
+    ]
+    assert got == {i: 1 for i in range(1, 61)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        connected_components(path, rule="bogus")
+    spark.catalog.clearCache()
+
+
 def test_dedup_clusters_transitive_on_corpus(spark):
     # Transitivity on the real corpus: every pair's two docs share one
     # cluster label, and labels are the component-min doc_id.
@@ -269,6 +310,51 @@ def test_remove_boilerplate_lines(spark):
         for r in remove_boilerplate_lines(docs, "doc_id", "text", min_docs=10).collect()
     }
     assert untouched[1] == "COOKIE BANNER\nunique one\nFOOTER"
+
+
+def test_remove_boilerplate_anti_strategy_equals_broadcast(spark):
+    """Round-5 brief #4: the left-anti fallback for oversized
+    boilerplate sets is now code. Identical output to the broadcast
+    form on the same corpus — including the adversarial all-lines-
+    boilerplate doc, which must survive as EMPTY text, not vanish —
+    and auto flips to anti when the probe count exceeds the cap."""
+    import pytest as _pytest
+
+    from hadoop_20_warehouse_fix_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEAD\nunique one\nFOOT"),
+            (2, "HEAD\nunique two\nFOOT"),
+            (3, "HEAD\nFOOT"),  # all boilerplate -> must become ""
+            (4, "free standing doc"),
+            (5, "unique five\nHEAD"),
+        ],
+        "doc_id long, text string",
+    )
+    bc = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(
+            docs, "doc_id", "text", min_docs=3, strategy="broadcast"
+        ).collect()
+    }
+    anti = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(
+            docs, "doc_id", "text", min_docs=3, strategy="anti"
+        ).collect()
+    }
+    assert anti == bc
+    assert bc[3] == ""  # survived, emptied
+    assert bc[4] == "free standing doc"
+    # auto past the cap -> the anti plan (no collected boilerplate array)
+    auto_anti = remove_boilerplate_lines(
+        docs, "doc_id", "text", min_docs=3, strategy="auto", broadcast_max_lines=1
+    )
+    assert {r.doc_id: r.text for r in auto_anti.collect()} == bc
+    with _pytest.raises(ValueError):
+        remove_boilerplate_lines(docs, "doc_id", "text", strategy="huh")
+    spark.catalog.clearCache()
 
 
 def test_minhash_survivors_equal_exact_component_survivors(spark):
@@ -825,6 +911,43 @@ def test_repeated_spans_winnowing_is_alignment_invariant(spark):
     spark.catalog.clearCache()
 
 
+def test_repeated_spans_verify_defeats_karp_rabin_collision(spark):
+    """Round-5 review item: polynomial hashing mod 2^64 has algebraic
+    structure — the Prouhet–Thue–Morse sign pattern gives two DIFFERENT
+    1024-char strings whose difference polynomial Π(x^2^i - 1) is
+    divisible by 2^65 at ANY odd base, so their Karp-Rabin window
+    hashes collide by construction. This test pins (a) the collision is
+    real in _karp_rabin_window_hashes, (b) verify=False would falsely
+    mark both unique docs as repeated (and removal would silently
+    delete them), and (c) the default verify=True re-groups candidates
+    by actual substring bytes and refuses — collision cost is wasted
+    verify work, never lost text."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        _karp_rabin_window_hashes,
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    k = 10  # length 2^k = 1024; 2-adic valuation of the difference >= 65
+    coeff = [(-1) ** (k - bin(j).count("1")) for j in range(1 << k)]
+    a = "".join("b" if c > 0 else "a" for c in coeff)
+    b = "".join("a" if c > 0 else "b" for c in coeff)
+    assert a != b
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rk = _karp_rabin_window_hashes(1024)
+    h = {r.doc_id: r.h[0] for r in df.select("doc_id", rk(F.col("text")).alias("h")).collect()}
+    assert h[1] == h[2], "adversarial pair must collide (the premise of the test)"
+
+    false_hits = repeated_spans(
+        df, "doc_id", "text", window=1024, verify=False
+    ).collect()
+    assert {r.doc_id for r in false_hits} == {1, 2}  # the collision bites
+    assert repeated_spans(df, "doc_id", "text", window=1024).count() == 0
+    out = {r.doc_id: r.text for r in remove_repeated_spans(df, "doc_id", "text", window=1024).collect()}
+    assert out == {1: a, 2: b}  # byte-identical survival under default verify
+    spark.catalog.clearCache()
+
+
 def test_capstone_span_dedup_removes_planted_cross_doc_block(spark, tmp_path):
     """Round-5 brief #3: span_dedup=True in the capstone cuts a planted
     cross-doc license block end-to-end — the carriers' n_tokens shrink
@@ -895,7 +1018,9 @@ def test_minhash_incremental_state_equals_full_rerun(spark, tmp_path):
     minhash_lsh_pairs rerun on corpus ∪ batch — same pairs, same
     jaccard values. Then appending the batch into the state makes a
     second batch's dupes-of-the-first-batch visible without any corpus
-    recompute. Parameter mismatch against the state raises loudly."""
+    recompute. The probe/append take no banding parameters — they read
+    (n, num_hashes, bands, num_buckets) from the meta table, so a
+    mismatch is impossible by construction."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_lsh_pairs_incremental,
@@ -936,8 +1061,12 @@ def test_minhash_incremental_state_equals_full_rerun(spark, tmp_path):
         }
         assert full, "planted near-copies must produce cross pairs"
 
+        # non-default num_buckets: the meta row must carry it, or the
+        # append below dies on Spark's bucket-spec mismatch (round-5
+        # ADVICE medium item)
         minhash_state_write(
-            corpus, "doc_id", "text", state, path=str(tmp_path / "state")
+            corpus, "doc_id", "text", state, num_buckets=8,
+            path=str(tmp_path / "state"),
         )
         inc = {
             (r.id_a, r.id_b, r.jaccard)

@@ -880,6 +880,18 @@ def test_with_global_rank_auto_selects_form_and_forms_agree(spark):
     auto_big = with_global_rank(df, ["k", "id"], form="auto", crossover_rows=1000)
     assert plan_summary(auto_big).num_broadcast_joins == 1
     assert sorted(map(key, auto_big.collect())) == sorted(map(key, single.collect()))
+    # caller-supplied row count (round-5 review): trusted as-is — no
+    # probe job, no persist — and drives the same crossover decision
+    auto_known = with_global_rank(
+        df, ["k", "id"], form="auto", known_count=10_000_000
+    )
+    assert plan_summary(auto_known).num_broadcast_joins == 1
+    handles: list = []
+    auto_h = with_global_rank(df, ["k", "id"], form="auto", handles=handles)
+    assert plan_summary(auto_h).num_broadcast_joins == 0
+    assert len(handles) == 1  # the probe's persisted input, for targeted unpersist
+    for h in handles:
+        h.unpersist()
 
     with _pytest.raises(ValueError):
         with_global_rank(df, ["k", "id"], form="bogus")

@@ -108,3 +108,16 @@ def test_write_bucketed_no_shuffle_join(spark, tmp_path):
         assert joined.count() == 500
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_write_bucketed_append_rejects_path(spark, tmp_path):
+    """round-5 ADVICE: an append writes to the EXISTING table's
+    location; silently dropping a caller path could materialize a
+    managed table at the warehouse instead of the requested external
+    location. The combination raises loudly."""
+    import pytest as _pytest
+
+    df = spark.range(10).withColumn("v", F.col("id"))
+    with _pytest.raises(ValueError, match="append"):
+        write_bucketed(df, "bt_nope", ["id"], num_buckets=4, path=str(tmp_path / "x"), mode="append")
+    assert "bt_nope" not in [t.name for t in spark.catalog.listTables()]
