@@ -792,6 +792,78 @@ def minhash_state_append(
     )
 
 
+def _table_location(spark, table: str) -> str:
+    row = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter(F.col("col_name") == "Location")
+        .collect()
+    )
+    return row[0].data_type
+
+
+def _fs_delete(spark, location: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def _table_file_count(spark, table: str) -> int:
+    # distinct-then-count: input_file_name() is non-deterministic and
+    # Spark (correctly) refuses it inside an aggregate function.
+    return spark.table(table).select(F.input_file_name().alias("f")).distinct().count()
+
+
+def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
+    """Compact the persisted LSH state's bucketed tables (round-5 brief
+    #5): every daily ``minhash_state_append`` lays down one new file set
+    per bucket, so after N ingests each bucket is N files — the
+    many-small-files problem the reference solved with HAR
+    (``/root/reference/src/tools/org/apache/hadoop/tools/HadoopArchives.java``).
+    Each table is rewritten in ONE pass, repartitioned to align shuffle
+    partitions with bucket ids (one writer task per bucket → one file
+    per bucket), into a fresh location, then atomically swapped into the
+    catalog name; the old location is deleted. Bucket spec (from the
+    meta table) is preserved, so probe plans and the zero-exchange join
+    physics are unchanged — pinned by the probe-equality pytest.
+
+    Returns {table: (files_before, files_after)} for the two data
+    tables. NOTE: in-flight LAZY probe plans captured before the
+    compaction hold references to the old files and must be re-created
+    (the same execution-time file-listing caveat as append ordering)."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+
+    m = spark.table(f"{state_name}_meta").collect()[0]
+    report: dict[str, tuple[int, int]] = {}
+    for suffix, cols in (("bands", ["band", "bh"]), ("shingles", ["id"])):
+        t = f"{state_name}_{suffix}"
+        before = _table_file_count(spark, t)
+        loc = _table_location(spark, t)
+        tmp_loc = loc.rstrip("/") + "__compacting"
+        tmp_t = f"{t}__compacting"
+        _fs_delete(spark, tmp_loc)  # leftovers from a crashed prior run
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_t}")
+        # Read the FILES, not the catalog table: the bucketed scan
+        # reports HashPartitioning on the bucket columns, so Catalyst
+        # elides the repartition as redundant and every scan partition
+        # writes its own per-bucket file — exactly the fragmentation
+        # being compacted. A plain path scan carries no partitioning
+        # claim; the repartition then aligns one shuffle partition per
+        # bucket (same murmur3 pmod), giving ~one output file each.
+        write_bucketed(
+            spark.read.parquet(loc).repartition(m.num_buckets, *cols),
+            tmp_t,
+            cols,
+            num_buckets=m.num_buckets,
+            path=tmp_loc,
+        )
+        spark.sql(f"DROP TABLE {t}")
+        _fs_delete(spark, loc)  # external drop leaves files; managed is a no-op
+        spark.sql(f"ALTER TABLE {tmp_t} RENAME TO {t}")
+        report[t] = (before, _table_file_count(spark, t))
+    return report
+
+
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
     id_col: str,

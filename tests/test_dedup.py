@@ -1090,3 +1090,62 @@ def test_minhash_incremental_state_equals_full_rerun(spark, tmp_path):
         for t in (f"{state}_bands", f"{state}_shingles", f"{state}_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.catalog.clearCache()
+
+
+def test_minhash_state_compact_preserves_probe_and_drops_files(spark, tmp_path):
+    """Round-5 brief #5: repeated appends accumulate one file set per
+    batch per bucket; compaction rewrites each state table to ~one file
+    per bucket, preserving the bucket spec — probe results are
+    IDENTICAL before and after, and the data-file count strictly
+    drops."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_state_append,
+        minhash_state_compact,
+        minhash_state_write,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 200)
+    state = "mh_state_cmp"
+    try:
+        minhash_state_write(
+            corpus, "doc_id", "text", state, num_buckets=4,
+            path=str(tmp_path / "state"),
+        )
+        for gen in (1, 2, 3):  # three daily ingests -> 4 file sets per table
+            batch = docs.filter(
+                (F.col("doc_id") >= 200 + 50 * (gen - 1))
+                & (F.col("doc_id") < 200 + 50 * gen)
+            ).select((F.col("doc_id") + 1000 * gen).alias("doc_id"), "text")
+            minhash_state_append(batch, "doc_id", "text", state)
+        probe = corpus.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text"
+        )
+        before = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs_incremental(
+                probe, "doc_id", "text", state, threshold=0.5
+            ).collect()
+        }
+        assert before, "self-copies must match the state"
+        report = minhash_state_compact(spark, state)
+        for t, (n_before, n_after) in report.items():
+            assert n_after < n_before, (t, report)
+            assert n_after <= 4, (t, report)  # ~one file per bucket
+        after = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs_incremental(
+                probe, "doc_id", "text", state, threshold=0.5
+            ).collect()
+        }
+        assert after == before
+        # the state remains appendable post-compaction (bucket spec kept)
+        minhash_state_append(
+            probe.select((F.col("doc_id") + 1).alias("doc_id"), "text"),
+            "doc_id", "text", state,
+        )
+    finally:
+        for t in (f"{state}_bands", f"{state}_shingles", f"{state}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.catalog.clearCache()

@@ -159,6 +159,128 @@ def test_bmp_decode_real_pixels():
     assert np.array_equal(decode_image(bmp), pixels)
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(w, h, color_type, channels, raw_scanlines, depth=8):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_rows(img, filters):
+    """Python-reference PNG §9 filterer: one filter type per row."""
+    h, w, ch = img.shape
+    bpp = ch
+    recon = img.reshape(h, w * ch).astype(int)
+    out = b""
+    for y, f in enumerate(filters):
+        cur = recon[y]
+        prior = recon[y - 1] if y > 0 else [0] * (w * ch)
+        line = []
+        for x in range(w * ch):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line.append((cur[x] - pred) % 256)
+        out += bytes([f]) + bytes(line)
+    return out
+
+
+def test_png_round_trip_and_all_five_filters():
+    """The pure PNG codec is REAL compressed-image decode (round-5
+    brief #3): zlib inflate + spec §9 unfiltering. Round-trips its own
+    encoder, and decodes a hand-filtered image exercising every filter
+    type (None/Sub/Up/Average/Paeth) back to the exact pixels."""
+    import numpy as np
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    arr, _ = _make_ppm(7, 5)
+    png = encode_png(arr)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) > 0
+    assert np.array_equal(decode_image(png), arr)
+
+    # one row per filter type (and a repeat to cross row boundaries)
+    arr6 = np.vstack([arr, arr[:1]])  # 6 rows
+    raw = _png_filter_rows(arr6, [0, 1, 2, 3, 4, 2])
+    assert np.array_equal(decode_image(_png_bytes(7, 6, 2, 3, raw)), arr6)
+
+    # grayscale replicates to 3 channels; RGBA drops alpha
+    gray = (arr[:, :, 0:1]).copy()
+    raw_g = _png_filter_rows(gray, [1, 4, 0, 3, 2])
+    got_g = decode_image(_png_bytes(7, 5, 0, 1, raw_g))
+    assert np.array_equal(got_g, np.repeat(gray, 3, axis=2))
+    rgba = np.dstack([arr, np.full((5, 7), 9, dtype=np.uint8)])
+    raw_a = _png_filter_rows(rgba, [4, 3, 2, 1, 0])
+    assert np.array_equal(decode_image(_png_bytes(7, 5, 6, 4, raw_a)), arr)
+
+
+def test_unsupported_compressed_formats_posture():
+    """Without PIL/OpenCV (this container), JPEG and exotic PNG
+    variants raise NotImplementedError — the documented stub posture;
+    with a library installed they decode through the same dispatch
+    (skip-marked branch)."""
+    import pytest as _pytest
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        _image_library,
+        decode_image,
+    )
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    if _image_library() is None:
+        with _pytest.raises(NotImplementedError, match="PIL or OpenCV"):
+            decode_image(fake_jpeg)
+        # 16-bit PNG: pure decoder refuses, no library to fall back to
+        raw = b"\x00" + b"\x00" * 12
+        with _pytest.raises(NotImplementedError, match="variant"):
+            decode_image(_png_bytes(2, 1, 2, 3, raw, depth=16))
+    else:  # pragma: no cover — exercised only where a library exists
+        _pytest.importorskip("PIL")
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        arr, _ = _make_ppm(8, 8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        out = decode_image(buf.getvalue())
+        assert out.shape == (8, 8, 3)  # lossy — shape check only
+
+
 def test_resize_real_pixels_and_batch(spark):
     import numpy as np
 
@@ -174,14 +296,21 @@ def test_resize_real_pixels_and_batch(spark):
     assert out.shape == (4, 4, 3)
     assert np.array_equal(out, arr[::2, ::2])
 
-    # the Spark operator takes the REAL path for PPM payloads
+    # the Spark operator takes the REAL path for PPM and PNG payloads
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import encode_png
+
     media = spark.createDataFrame(
-        [(1, bytearray(ppm)), (2, bytearray(b"not an image payload, resampled"))],
+        [
+            (1, bytearray(ppm)),
+            (2, bytearray(b"not an image payload, resampled")),
+            (3, bytearray(encode_png(arr))),
+        ],
         "media_id long, payload binary",
     )
     rows = {r.media_id: bytes(r.payload) for r in resize_batch(media, 4, 4).collect()}
     assert decode_image(rows[1]).tolist() == arr[::2, ::2].tolist()
     assert len(rows[2]) == max(4 * 4 // 64, 1)  # fallback byte-resampler
+    assert decode_image(rows[3]).tolist() == arr[::2, ::2].tolist()  # compressed in
 
 
 def test_embedding_quantize_reconstruction(spark):
