@@ -625,6 +625,7 @@ def ngram_jaccard_pairs_cross(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT cross-corpus near-dup pairs: (corpus_id, new_id, jaccard)
     for every new document within ``threshold`` of an EXISTING document
@@ -638,13 +639,40 @@ def ngram_jaccard_pairs_cross(
 
     100 TB: the corpus side's shingle rows are a candidate for a
     materialized (bucketed-by-shingle) table updated per ingest batch;
-    the per-batch cost is then one shuffle of the NEW side only."""
+    the per-batch cost is then one shuffle of the NEW side only. The
+    corpus stream is pre-filtered by a BROADCAST of the batch's
+    distinct shingle set (the decontaminate idiom — the batch is
+    bounded by the incremental-ingest contract), so corpus-side
+    aggregation state is MATCH-bounded: without this, the posting
+    groupBy builds a list for every corpus shingle — including the
+    ~all of them no batch shingle can touch — and heap-dies at scale
+    (measured round 6: OOM at a 50k-doc corpus under an 8 GB driver;
+    filtered, the 500k corpus completes)."""
     c_rows = doc_shingle_sets(corpus_df, id_col, text_col, n).select(
         "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh_str")
     ).select("id", "n_sh", F.xxhash64("sh_str").alias("sh"))
     n_rows = doc_shingle_sets(new_df, id_col, text_col, n).select(
         "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh_str")
     ).select("id", "n_sh", F.xxhash64("sh_str").alias("sh"))
+    batch_shingles = n_rows.select("sh").distinct()
+    c_rows = c_rows.join(F.broadcast(batch_shingles), "sh", "left_semi")
+    if max_df is not None:
+        # Same stop-shingle guard as the self-join form, applied to the
+        # CORPUS-side document frequency: a shingle hot in the corpus
+        # produces a cs×ns cross product per group (df_c · df_n pair
+        # structs materialized in ONE array) — the documented DF²
+        # regime, reproduced round 6 as a GC-kill at a 500k-doc
+        # synthetic-vocabulary corpus. Dropping both sides keeps the
+        # jaccard denominators exact; intersection counts become a
+        # documented under-estimate, exactly as in ngram_jaccard_pairs.
+        hot = (
+            c_rows.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        c_rows = c_rows.join(F.broadcast(hot), "sh", "left_anti")
+        n_rows = n_rows.join(F.broadcast(hot), "sh", "left_anti")
     posting = (
         c_rows.withColumn("side", F.lit(0))
         .unionByName(n_rows.withColumn("side", F.lit(1)))
@@ -1241,9 +1269,14 @@ def remove_boilerplate_lines(
             "\n",
         ).alias("_rebuilt")
     )
+    # MERGE hint: the rebuilt side carries every surviving doc's full
+    # text — corpus-sized by construction — and aggregate-output size
+    # estimates are unreliable enough for AQE to try broadcasting it
+    # (the round-6 span-join lesson). The groupBy already partitioned
+    # rebuilt by _id, so SMJ adds no exchange on that side.
     return (
         df.select(F.col(id_col))
-        .join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .join(rebuilt.hint("merge"), F.col(id_col) == F.col("_id"), "left")
         .select(F.col(id_col), F.coalesce(F.col("_rebuilt"), F.lit("")).alias(out_name))
     )
 
@@ -1395,6 +1428,7 @@ def repeated_spans(
     handles: list | None = None,
     hash_impl: str = "rolling",
     verify: bool = True,
+    broadcast_max_fps: int = 2_000_000,
 ) -> DataFrame:
     """Corpus-wide EXACT-SUBSTRING detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better": exact
@@ -1520,7 +1554,20 @@ def repeated_spans(
         .filter(F.col("n_docs") >= min_docs)
         .select("fp")
     )
-    cand = wins.join(hot, "fp")
+    # Adaptive join strategy, decided by a MEASURED scalar, not by
+    # Catalyst's size estimate: round-6 measurement caught the
+    # estimate-driven planner broadcasting the WRONG side of this join
+    # (the 75M-row wins relation — 1.4 GB to the driver) on the
+    # 500k-doc adversarial corpus. hot (the repeated-fingerprint set)
+    # is the only side that may broadcast, and only when its actual
+    # count — one agg over the already-persisted wins — is bounded;
+    # past the cap, SMJ with the sides pinned (the choose_near_dup /
+    # with_global_rank probe idiom: measure, then pick the plan).
+    n_hot = hot.count()
+    if n_hot <= broadcast_max_fps:
+        cand = wins.join(F.broadcast(hot), "fp")
+    else:
+        cand = wins.join(hot.hint("merge"), "fp")
     if not verify:
         return cand.select(
             F.col("id").alias(id_col),
@@ -1534,7 +1581,8 @@ def repeated_spans(
     # removal. Volume: candidates only (duplication-bounded).
     sub = (
         cand.join(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")), "id"
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")).hint("merge"),
+            "id",
         )
         .select("id", "start", F.col("_t").substr(F.col("start"), F.lit(window)).alias("_w"))
     )
@@ -1544,7 +1592,7 @@ def repeated_spans(
         .filter(F.col("n_docs") >= min_docs)
         .select("_w")
     )
-    return sub.join(hot_w, "_w").select(
+    return sub.join(hot_w.hint("merge"), "_w").select(
         F.col("id").alias(id_col),
         "start",
         (F.col("start") + window - 1).alias("end"),
@@ -1603,7 +1651,14 @@ def remove_repeated_spans(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_spans"))
     )
-    j = df.join(spans, id_col, "left")
+    # MERGE hint, never broadcast: the per-doc span relation scales with
+    # DUPLICATION (worst case corpus-sized — a 100%-duplicated corpus
+    # has a span array per doc), and its collect_list arrays make
+    # Catalyst's size estimate unreliable — round-6 measurement caught
+    # AQE broadcasting it at 500k docs and killing the driver. SMJ costs
+    # nothing extra on this side: the groupBy just hash-partitioned
+    # spans by id, exactly the join key.
+    j = df.join(spans.hint("merge"), id_col, "left")
     # Fold 1 — merge sorted overlapping/adjacent spans.
     merged = F.aggregate(
         F.coalesce(F.col("_spans"), F.expr("CAST(array() AS ARRAY<STRUCT<start:INT,end:INT>>)")),

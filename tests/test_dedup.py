@@ -207,6 +207,42 @@ def test_connected_components_warns_when_iteration_cap_hit(spark):
     assert set(got.values()) == {1}
 
 
+def test_ngram_cross_max_df_guard(spark):
+    """The cross-corpus pair op's DF² guard (round-6 measurement: a hot
+    corpus shingle's cs×ns cross product GC-killed the 500k rescan):
+    max_df=None stays exact; a permissive cap changes nothing; a
+    too-tight cap yields a SUBSET with under-estimated jaccard — the
+    same documented approximation contract as ngram_jaccard_pairs."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import ngram_jaccard_pairs_cross
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = corpus.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_cross(batch, corpus, "doc_id", "text").collect()
+    }
+    assert exact, "planted near-copies must cross-match"
+    loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_cross(
+            batch, corpus, "doc_id", "text", max_df=10_000
+        ).collect()
+    }
+    assert loose == exact
+    tight = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_cross(
+            batch, corpus, "doc_id", "text", max_df=2
+        ).collect()
+    }
+    assert set(tight) <= set(exact)
+    assert all(tight[k] <= exact[k] for k in tight)  # intersections only shrink
+
+
 def test_connected_components_star_rule_equals_min_label(spark):
     """Round-5 brief #4: large-star/small-star is now code. Equality
     with min-label on seeded random graphs, and the adversarial case:
