@@ -1543,17 +1543,37 @@ def repeated_spans(
                 )
             ),
         ).otherwise(hs)
-    wins = hashed.select(
-        "id", F.explode(sel).alias("s")
-    ).select("id", F.col("s.p").alias("start"), F.col("s.h").alias("fp")).persist()
+    # Repartition by fingerprint BEFORE persisting: the explode inherits
+    # the SCAN's partitioning (a handful of fat file partitions at
+    # bench scale — ~9M rows each on the 500k corpus), and every
+    # downstream consumer of the cache would inherit them too; round-6
+    # measurement saw the verify aggregation starve executor memory on
+    # those fat partitions. The hot-count aggregation needs this exact
+    # exchange anyway (groupBy fp), so moving it ahead of the persist
+    # adds ZERO net shuffles — it just caches the relation already
+    # bucket-aligned and right-sized for both the agg and the join.
+    wins = (
+        hashed.select("id", F.explode(sel).alias("s"))
+        .select("id", F.col("s.p").alias("start"), F.col("s.h").alias("fp"))
+        .repartition("fp")
+        .persist()
+    )
     if handles is not None:
         handles.append(wins)
+    # hot is persisted BEFORE the probe count: it feeds the count AND
+    # the join below, and the count_distinct expand over the full wins
+    # relation is the single most expensive aggregation here — measured
+    # round 6: leaving it unpersisted re-ran that aggregation inside
+    # the join and cost +68% end-to-end at 500k docs.
     hot = (
         wins.groupBy("fp")
         .agg(F.count_distinct("id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select("fp")
+        .persist()
     )
+    if handles is not None:
+        handles.append(hot)
     # Adaptive join strategy, decided by a MEASURED scalar, not by
     # Catalyst's size estimate: round-6 measurement caught the
     # estimate-driven planner broadcasting the WRONG side of this join
