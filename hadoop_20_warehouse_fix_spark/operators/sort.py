@@ -55,6 +55,45 @@ def _plan_row_count(df: DataFrame) -> int | None:
         return None
 
 
+# Optimized-plan node names whose presence means re-evaluating the plan
+# is real work (shuffle / blow-up / per-group state) — counting such a
+# plan twice is the round-5 double-scan bug, so auto persists first.
+# Their absence means the plan is scan+project+filter, where count()
+# prunes everything (often to a Parquet metadata row-count) and a
+# persist would FORCE materializing columns the probe never needed —
+# measured round 6: persist+count on sort_total_order's bare 3-column
+# scan cost more than the pruned count it replaced.
+_EXPENSIVE_PLAN_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Generate",
+    "Sort",
+    "Deduplicate",
+    "Union",
+    "Intersect",
+    "Except",
+    "Limit",
+    "Sample",
+    "FlatMap",
+    "MapInPandas",
+    "MapPartitions",
+)
+
+
+def _count_reruns_real_work(df: DataFrame) -> bool:
+    """True when the optimized plan contains a node that makes
+    re-evaluation expensive (so the probe count should persist first);
+    False for scan+project+filter plans where count() is ~free. On any
+    introspection failure, assume expensive — persist+count is always
+    correct, just not always cheapest."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — introspection is best-effort
+        return True
+    return any(node in plan for node in _EXPENSIVE_PLAN_NODES)
+
+
 def with_global_rank(
     df: DataFrame,
     cols: Sequence[Column | str],
@@ -103,9 +142,10 @@ def with_global_rank(
     if form == "auto":
         n = known_count if known_count is not None else _plan_row_count(df)
         if n is None:
-            df = df.persist()
-            if handles is not None:
-                handles.append(df)
+            if _count_reruns_real_work(df):
+                df = df.persist()
+                if handles is not None:
+                    handles.append(df)
             n = df.count()
         form = "single" if n < crossover_rows else "distributed"
     if form == "single":

@@ -9,7 +9,13 @@ import pytest
 from py4j.protocol import Py4JJavaError
 from pyspark.sql import functions as F
 
-from hadoop_20_warehouse_fix_spark.operators.pipe import chain, pipe, pipe_grouped, pipe_tagged
+from hadoop_20_warehouse_fix_spark.operators.pipe import (
+    chain,
+    pipe,
+    pipe_grouped,
+    pipe_skip_bad,
+    pipe_tagged,
+)
 
 # ValueCountReduce analog: per-key count over a key-sorted stdin stream.
 UNIQ_COUNT = (
@@ -70,6 +76,81 @@ def test_pipe_tagged_two_sources(spark):
     )
     got = {(r.key, r.value) for r in pipe_tagged([left, right], script).collect()}
     assert got == {("left", "a\t1"), ("left", "b\t2"), ("right", "a\t9")}
+
+
+# Crashes (exit 1) the moment a line containing POISON is read; upcases
+# everything else. Deterministic per line — the SkipBadRecords contract.
+POISON_UPPER = (
+    "python3 -c \"import sys; "
+    "[sys.exit(1) if 'POISON' in l else print(l.rstrip(chr(10)).upper() + chr(9) + 'ok') "
+    "for l in sys.stdin]\""
+)
+
+# Per-key count over a key-sorted stream that crashes on key 'bad' —
+# the reduce-side skip-GROUPS fixture. Stateful across a group's lines,
+# so it doubles as the chunk-boundary-never-splits-a-group detector.
+GROUP_COUNT_CRASH = (
+    "python3 -c \"import sys, itertools; "
+    "[sys.exit(1) if k == 'bad' else print(k + chr(9) + str(sum(1 for _ in g))) "
+    "for k, g in itertools.groupby(l.rstrip(chr(10)).split(chr(9), 1)[0] for l in sys.stdin)]\""
+)
+
+
+def test_pipe_skip_bad_clean_input_equals_pipe(spark):
+    # No failures → identical contract to pipe(); skipped is empty.
+    df = spark.createDataFrame([("ab", "x"), ("cd", "y")], ["k", "v"])
+    out, skipped = pipe_skip_bad(df, "tr a-z A-Z")
+    assert {(r.key, r.value) for r in out.collect()} == {("AB", "X"), ("CD", "Y")}
+    assert skipped.count() == 0
+
+
+def test_pipe_skip_bad_isolates_single_poison_record(spark):
+    # max_skip_records=1: bisection narrows to EXACTLY the poison lines;
+    # every innocent line's output survives. chunk_size=4 forces multiple
+    # subprocess invocations per partition.
+    rows = [(f"r{i:02d}",) for i in range(20)]
+    rows[7] = ("POISONa",)
+    rows[13] = ("POISONb",)
+    df = spark.createDataFrame(rows, ["k"]).coalesce(2)
+    out, skipped = pipe_skip_bad(df, POISON_UPPER, max_skip_records=1, chunk_size=4)
+    assert {r.line for r in skipped.collect()} == {"POISONa", "POISONb"}
+    expect = {f"R{i:02d}" for i in range(20) if i not in (7, 13)}
+    assert {r.key for r in out.collect()} == expect
+
+
+def test_pipe_skip_bad_range_is_bounded_not_exact(spark):
+    # max_skip_records=4: the narrowed range may take innocent neighbors
+    # with it (the reference's documented data-loss contract), but it is
+    # bounded, contains the poison, and output ∪ skipped covers the input.
+    rows = [(f"r{i:02d}",) for i in range(16)]
+    rows[5] = ("POISON",)
+    df = spark.createDataFrame(rows, ["k"]).coalesce(1)
+    out, skipped = pipe_skip_bad(df, POISON_UPPER, max_skip_records=4, chunk_size=16)
+    skipped_lines = {r.line for r in skipped.collect()}
+    assert "POISON" in skipped_lines
+    assert len(skipped_lines) <= 4
+    got = {r.key for r in out.collect()}
+    assert got == {r[0].upper() for r in rows if r[0] not in skipped_lines}
+
+
+def test_pipe_skip_bad_groups_skips_whole_group(spark):
+    # Reduce-side semantics: the skip unit is a key-GROUP. chunk_size=3
+    # is smaller than the group sizes, so exact per-key counts also prove
+    # chunks flush only at group boundaries (the counting script is
+    # stateful within a group — a split group would undercount).
+    rows = [("a",)] * 4 + [("bad",)] * 3 + [("c",)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    out, skipped = pipe_skip_bad(
+        df, GROUP_COUNT_CRASH, max_skip_records=1, chunk_size=3, group_key_cols=["k"]
+    )
+    assert {(r.key, r.value) for r in out.collect()} == {("a", "4"), ("c", "5")}
+    assert [r.line for r in skipped.collect()] == ["bad"] * 3
+
+
+def test_pipe_skip_bad_rejects_bad_budget(spark):
+    df = spark.createDataFrame([("x",)], ["k"])
+    with pytest.raises(ValueError, match="max_skip_records"):
+        pipe_skip_bad(df, "cat", max_skip_records=0)
 
 
 def test_chain_fuses_stages(spark):
