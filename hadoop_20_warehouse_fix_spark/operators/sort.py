@@ -55,43 +55,83 @@ def _plan_row_count(df: DataFrame) -> int | None:
         return None
 
 
-# Optimized-plan node names whose presence means re-evaluating the plan
+# Optimized-plan NODE NAMES whose presence means re-evaluating the plan
 # is real work (shuffle / blow-up / per-group state) — counting such a
 # plan twice is the round-5 double-scan bug, so auto persists first.
 # Their absence means the plan is scan+project+filter, where count()
 # prunes everything (often to a Parquet metadata row-count) and a
 # persist would FORCE materializing columns the probe never needed —
 # measured round 6: persist+count on sort_total_order's bare 3-column
-# scan cost more than the pruned count it replaced.
-_EXPENSIVE_PLAN_NODES = (
-    "Join",
-    "Aggregate",
-    "Window",
-    "Generate",
-    "Sort",
-    "Deduplicate",
-    "Union",
-    "Intersect",
-    "Except",
-    "Limit",
-    "Sample",
-    "FlatMap",
-    "MapInPandas",
-    "MapPartitions",
+# scan cost more than the pruned count it replaced. Matched EXACTLY
+# against each tree node's ``nodeName`` (round-6 review: the earlier
+# substring match over ``toString()`` let a column alias containing
+# "Sort" force a needless persist, and would drift as Spark renames
+# operators).
+_EXPENSIVE_NODE_NAMES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "WindowGroupLimit",
+        "Generate",
+        "Sort",
+        "GlobalLimit",
+        "LocalLimit",
+        "Limit",
+        "Offset",
+        "Tail",
+        "Deduplicate",
+        "DeduplicateWithinWatermark",
+        "Union",
+        "Intersect",
+        "Except",
+        "Distinct",
+        "Sample",
+        "CoGroup",
+        "MapGroups",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+        "FlatMapGroupsWithState",
+        "FlatMapGroupsInPandasWithState",
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapPartitions",
+        "MapElements",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "ScriptTransformation",
+    }
 )
 
 
 def _count_reruns_real_work(df: DataFrame) -> bool:
     """True when the optimized plan contains a node that makes
     re-evaluation expensive (so the probe count should persist first);
-    False for scan+project+filter plans where count() is ~free. On any
-    introspection failure, assume expensive — persist+count is always
-    correct, just not always cheapest."""
+    False for scan+project+filter plans where count() is ~free.
+    Walks the logical plan tree (including expression subqueries) and
+    compares each node's ``nodeName`` exactly — immune to column
+    aliases that merely CONTAIN an operator name. On any introspection
+    failure, assume expensive — persist+count is always correct, just
+    not always cheapest."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in _EXPENSIVE_NODE_NAMES:
+                return True
+            children = node.children()
+            for i in range(children.length()):
+                stack.append(children.apply(i))
+            try:  # scalar/IN subqueries hide whole plans inside expressions
+                subs = node.subqueries()
+                for i in range(subs.length()):
+                    stack.append(subs.apply(i))
+            except Exception:  # noqa: BLE001 — subquery probe is best-effort
+                return True
     except Exception:  # noqa: BLE001 — introspection is best-effort
         return True
-    return any(node in plan for node in _EXPENSIVE_PLAN_NODES)
+    return False
 
 
 def with_global_rank(

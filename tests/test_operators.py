@@ -886,11 +886,32 @@ def test_with_global_rank_auto_selects_form_and_forms_agree(spark):
         df, ["k", "id"], form="auto", known_count=10_000_000
     )
     assert plan_summary(auto_known).num_broadcast_joins == 1
+    # round-6 conditional-persist contract, cheap branch: a
+    # scan+project plan's probe count is ~free (Catalyst prunes it), so
+    # auto counts WITHOUT persisting and handles stays empty
     handles: list = []
     auto_h = with_global_rank(df, ["k", "id"], form="auto", handles=handles)
     assert plan_summary(auto_h).num_broadcast_joins == 0
-    assert len(handles) == 1  # the probe's persisted input, for targeted unpersist
-    for h in handles:
+    assert handles == []  # no persist for a count()-is-free plan
+
+    # expensive branch: an upstream aggregate means re-evaluating the
+    # plan for the probe count is real work, so auto persists first and
+    # hands the persisted input back for targeted unpersist
+    from hadoop_20_warehouse_fix_spark.operators.sort import _count_reruns_real_work
+
+    heavy = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    assert _count_reruns_real_work(heavy) is True
+    assert _count_reruns_real_work(df) is False
+    # a column alias CONTAINING an operator name must not fake expense
+    # (round-6 review: the substring matcher persisted for "SortKey")
+    aliased = df.select(F.col("k").alias("SortKeyJoinLimit"), "id")
+    assert _count_reruns_real_work(aliased) is False
+    heavy_handles: list = []
+    auto_heavy = with_global_rank(heavy, ["n", "k"], form="auto", handles=heavy_handles)
+    assert len(heavy_handles) == 1  # the probe's persisted input
+    assert plan_summary(auto_heavy).num_broadcast_joins == 0  # still below crossover
+    assert auto_heavy.count() == heavy.count()
+    for h in heavy_handles:
         h.unpersist()
 
     with _pytest.raises(ValueError):
