@@ -850,10 +850,19 @@ def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
     (``/root/reference/src/tools/org/apache/hadoop/tools/HadoopArchives.java``).
     Each table is rewritten in ONE pass, repartitioned to align shuffle
     partitions with bucket ids (one writer task per bucket → one file
-    per bucket), into a fresh location, then atomically swapped into the
-    catalog name; the old location is deleted. Bucket spec (from the
-    meta table) is preserved, so probe plans and the zero-exchange join
-    physics are unchanged — pinned by the probe-equality pytest.
+    per bucket), into the ALTERNATE of two stable locations
+    (``<base>__a`` / ``<base>__b`` — round-6 review: appending
+    ``__compacting`` each run grew the path forever), then swapped into
+    the catalog name via rename-aside: the live table is renamed to
+    ``<t>__old``, the fresh table renamed into ``<t>``, and only then is
+    the old table dropped and its files deleted. The swap is NOT atomic
+    (the metastore has no multi-statement transaction): a crash between
+    the two renames leaves ``<t>`` briefly absent, but BOTH copies of
+    the data survive on disk under catalog names (``<t>__old`` and the
+    fresh ``<t>__compacting``), so recovery is a rename, never a
+    rebuild. Bucket spec (from the meta table) is preserved, so probe
+    plans and the zero-exchange join physics are unchanged — pinned by
+    the probe-equality pytest.
 
     Returns {table: (files_before, files_after)} for the two data
     tables. NOTE: in-flight LAZY probe plans captured before the
@@ -867,10 +876,20 @@ def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
         t = f"{state_name}_{suffix}"
         before = _table_file_count(spark, t)
         loc = _table_location(spark, t)
-        tmp_loc = loc.rstrip("/") + "__compacting"
+        # Alternate between TWO stable locations so repeated compactions
+        # ping-pong <base>__a <-> <base>__b instead of growing the path.
+        base = loc.rstrip("/")
+        while base.endswith("__compacting"):  # pre-round-7 legacy suffixes
+            base = base[: -len("__compacting")]
+        for suf in ("__a", "__b"):
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+                break
+        tmp_loc = base + ("__b" if loc.rstrip("/").endswith("__a") else "__a")
         tmp_t = f"{t}__compacting"
         _fs_delete(spark, tmp_loc)  # leftovers from a crashed prior run
         spark.sql(f"DROP TABLE IF EXISTS {tmp_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__old")
         # Read the FILES, not the catalog table: the bucketed scan
         # reports HashPartitioning on the bucket columns, so Catalyst
         # elides the repartition as redundant and every scan partition
@@ -885,9 +904,14 @@ def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
             num_buckets=m.num_buckets,
             path=tmp_loc,
         )
-        spark.sql(f"DROP TABLE {t}")
-        _fs_delete(spark, loc)  # external drop leaves files; managed is a no-op
+        # Rename-aside swap: the live data keeps a catalog name at every
+        # step, so a crash anywhere leaves state recoverable by rename
+        # (round-6 review: DROP-then-RENAME had a window where the state
+        # table vanished from the catalog with data stranded on disk).
+        spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")
         spark.sql(f"ALTER TABLE {tmp_t} RENAME TO {t}")
+        spark.sql(f"DROP TABLE {t}__old")
+        _fs_delete(spark, loc)  # external drop leaves files; managed already gone
         report[t] = (before, _table_file_count(spark, t))
     return report
 
@@ -996,12 +1020,15 @@ def _connected_components_star(
     )
 
     def checksum(e: DataFrame) -> tuple[int, int]:
+        # bit_xor is a commutative partial-aggregable aggregate: each
+        # task folds its partition into ONE long and partials merge —
+        # constant memory regardless of |E| (round-6 review: the prior
+        # collect_list form materialized every edge hash in a single
+        # aggregation buffer, O(E) in one task on exactly the large
+        # graphs this rule exists for).
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.expr("aggregate(collect_list(xxhash64(u, v)), 0L, (a, x) -> a ^ x)"),
-                F.lit(0),
-            ).alias("x"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("x"),
         ).collect()[0]
         return int(row.n), int(row.x)
 
@@ -1198,11 +1225,18 @@ def remove_boilerplate_lines(
     out_name: str = "text",
     strategy: str = "auto",
     broadcast_max_lines: int = 2_000_000,
+    handles: list | None = None,
 ) -> DataFrame:
     """Cross-document boilerplate removal: a line that appears in >=
     ``min_docs`` DISTINCT documents is boilerplate (headers, footers,
     cookie banners) and is dropped from every document; line order
     otherwise preserved.
+
+    ``handles``: when ``strategy="auto"`` persists the boilerplate
+    relation for its probe count, the persisted DataFrame is appended
+    here for targeted ``.unpersist()`` after the result materializes —
+    the repo-wide cache-lifetime convention (round-6 review: without
+    it the probe's cache leaked for the session).
 
     Two physical forms, identical semantics (equality pytest-pinned):
 
@@ -1241,8 +1275,11 @@ def remove_boilerplate_lines(
     )
     if strategy == "auto":
         # One scalar to the driver; the boilerplate relation is consumed
-        # again by whichever branch wins, so pin it across both actions.
+        # again by whichever branch wins, so pin it across both actions
+        # and hand the persist back for targeted unpersist.
         boiler = boiler.persist()
+        if handles is not None:
+            handles.append(boiler)
         strategy = "broadcast" if boiler.count() <= broadcast_max_lines else "anti"
     if strategy == "broadcast":
         boiler_arr = boiler.agg(F.sort_array(F.collect_list("line")).alias("bl"))

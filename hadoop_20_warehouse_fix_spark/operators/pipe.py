@@ -164,7 +164,14 @@ def _run_units(
         env=env,
     )
     if proc.returncode == 0:
-        return [ln for ln in proc.stdout.split("\n") if ln != ""], []
+        # Strip ONLY the single trailing newline — a script that emits
+        # blank lines keeps them, matching pipe()/rdd.pipe semantics on
+        # clean input (round-6 review: filtering every '' silently
+        # dropped legitimate blank output lines).
+        out = proc.stdout.split("\n")
+        if out and out[-1] == "":
+            out.pop()
+        return out, []
     if len(units) <= max_skip_units:
         return [], flat
     mid = len(units) // 2
@@ -230,12 +237,17 @@ def pipe_skip_bad(
             *group_key_cols
         )
     lines = _to_lines(source, sep).rdd.map(lambda r: r.line)
-    # rdd.pipe MERGES the caller's env into the subprocess environment;
-    # subprocess.run(env=...) REPLACES it (losing PATH). Merge to match.
-    env_ = {**os.environ, **env} if env else None
     cap, skip_cap = chunk_size, max_skip_records
 
     def run_partition(it: Iterator[str]) -> Iterator[tuple[str, str | None, str | None]]:
+        # rdd.pipe MERGES the caller's env into the subprocess
+        # environment; subprocess.run(env=...) REPLACES it (losing
+        # PATH). Merge HERE, executor-side, so each worker merges into
+        # its OWN environment — on a real cluster the driver's
+        # PATH/JAVA_HOME snapshot is the wrong one (round-6 review; the
+        # closure ships only the caller's overrides).
+        env_ = {**os.environ, **env} if env else None
+
         def flush(units: list[list[str]]):
             out, skipped = _run_units(argv, units, env_, skip_cap)
             for ln in out:

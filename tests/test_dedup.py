@@ -383,11 +383,24 @@ def test_remove_boilerplate_anti_strategy_equals_broadcast(spark):
     assert anti == bc
     assert bc[3] == ""  # survived, emptied
     assert bc[4] == "free standing doc"
-    # auto past the cap -> the anti plan (no collected boilerplate array)
+    # auto past the cap -> the anti plan (no collected boilerplate array);
+    # the probe's persisted boiler relation comes back via handles for
+    # targeted unpersist (round-6 review: it used to leak for the session)
+    handles: list = []
     auto_anti = remove_boilerplate_lines(
-        docs, "doc_id", "text", min_docs=3, strategy="auto", broadcast_max_lines=1
+        docs, "doc_id", "text", min_docs=3, strategy="auto",
+        broadcast_max_lines=1, handles=handles,
     )
     assert {r.doc_id: r.text for r in auto_anti.collect()} == bc
+    assert len(handles) == 1
+    for h in handles:
+        h.unpersist()
+    # explicit strategies never probe, never persist
+    no_handles: list = []
+    remove_boilerplate_lines(
+        docs, "doc_id", "text", min_docs=3, strategy="anti", handles=no_handles
+    ).collect()
+    assert no_handles == []
     with _pytest.raises(ValueError):
         remove_boilerplate_lines(docs, "doc_id", "text", strategy="huh")
     spark.catalog.clearCache()
@@ -1181,6 +1194,26 @@ def test_minhash_state_compact_preserves_probe_and_drops_files(spark, tmp_path):
             probe.select((F.col("doc_id") + 1).alias("doc_id"), "text"),
             "doc_id", "text", state,
         )
+        # round-7: a SECOND compaction must ping-pong between the two
+        # stable locations (__a <-> __b), not grow the path, and still
+        # return identical probe results
+        from hadoop_20_warehouse_fix_spark.operators.dedup import _table_location
+
+        loc1 = _table_location(spark, f"{state}_bands")
+        minhash_state_compact(spark, state)
+        loc2 = _table_location(spark, f"{state}_bands")
+        assert loc1 != loc2
+        assert loc1.rstrip("/").endswith("__a") and loc2.rstrip("/").endswith("__b")
+        assert "__compacting" not in loc2
+        again = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs_incremental(
+                probe, "doc_id", "text", state, threshold=0.5
+            ).collect()
+        }
+        # the post-compaction append added self-copies, so the second
+        # probe sees every original pair plus the new (id+1) matches
+        assert before <= again and len(again) > len(before)
     finally:
         for t in (f"{state}_bands", f"{state}_shingles", f"{state}_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -147,6 +147,22 @@ def test_pipe_skip_bad_groups_skips_whole_group(spark):
     assert [r.line for r in skipped.collect()] == ["bad"] * 3
 
 
+def test_pipe_skip_bad_preserves_blank_output_lines(spark):
+    # Round-6 review: a script that legitimately emits blank lines must
+    # keep them (pipe()/rdd.pipe keep every stdout line; only the single
+    # trailing newline is framing). The script prints one blank line
+    # after each record — output rows double, half of them empty-key.
+    script = (
+        "python3 -c \"import sys; "
+        "[print(l.rstrip(chr(10)) + chr(10)) for l in sys.stdin]\""
+    )
+    df = spark.createDataFrame([("a",), ("b",)], ["k"]).coalesce(1)
+    out, skipped = pipe_skip_bad(df, script)
+    got = [r.key for r in out.collect()]
+    assert sorted(got) == ["", "", "a", "b"]
+    assert skipped.count() == 0
+
+
 def test_pipe_skip_bad_rejects_bad_budget(spark):
     df = spark.createDataFrame([("x",)], ["k"])
     with pytest.raises(ValueError, match="max_skip_records"):
