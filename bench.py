@@ -23,6 +23,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _wait_for_quiet(
+    threshold: float = 3.0, max_wait: float = 120.0, poll: float = 5.0
+) -> dict:
+    """Load gate (round-6 verdict: three consecutive rounds' bench
+    deltas were ambient-load artifacts, not code). Wait until the 1-min
+    loadavg drops below ``threshold`` or ``max_wait`` elapses, BEFORE
+    any Spark work contributes our own threads to the number. The gate
+    outcome is recorded in the payload so cross-round comparisons know
+    whether the box was quiet."""
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load >= threshold and time.monotonic() - t0 < max_wait:
+        time.sleep(poll)
+        load = os.getloadavg()[0]
+    return {
+        "threshold": threshold,
+        "waited_sec": round(time.monotonic() - t0, 1),
+        "load_at_start": round(load, 2),
+        "satisfied": load < threshold,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from hadoop_20_warehouse_fix_spark.queries import load_all
@@ -30,6 +52,14 @@ def main() -> None:
 
     registry = load_all()
     headline = {n: s for n, s in registry.items() if s.headline}
+
+    # Gate on AMBIENT load (before the JVM spins up 32 executor
+    # threads of our own): if the box never quiets within the budget,
+    # proceed but mark the payload so the delta is read with the caveat.
+    gate = _wait_for_quiet(
+        threshold=float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0")),
+        max_wait=float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120")),
+    )
 
     spark = build_session(app_name="h20wf-bench")
     # Warm the JVM/codegen machinery once so per-query numbers measure
@@ -70,15 +100,21 @@ def main() -> None:
     # error). Failures go to stderr + an "errors" map; the JSON line
     # still prints for the survivors.
     #
-    # Best-of-2 timing: each query runs twice and reports the MIN — a
-    # transient load spike / GC pause inflates one run, rarely both, so
-    # min-of-2 is the stable cross-round comparator (round 3's numbers
-    # were uniformly ~1.47x inflated by machine load on untouched plans).
+    # Converged-min timing (round-6 brief #2): each query runs until two
+    # CONSECUTIVE runs agree within 5% (max 4 runs), reporting the MIN —
+    # a transient load spike / GC pause inflates one run, rarely two in
+    # a row, so the converged min is the stable cross-round comparator
+    # (rounds 3/5/6 all had uniformly inflated numbers from ambient
+    # load on untouched plans). min-of-N is directly comparable to the
+    # historical min_of_2 label; extra runs only fire when the first
+    # two disagree.
     per_query: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
     errors: dict[str, str] = {}
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "4"))
     for name, spec in sorted(headline.items()):
         times: list[float] = []
-        for _ in range(2):
+        for _ in range(max_runs):
             t0 = time.perf_counter()
             try:
                 force(spec.fn(spark, sf_dir))
@@ -91,12 +127,18 @@ def main() -> None:
                 # Queries that persist intermediates (corpus_clean) must not
                 # leak cached partitions into the next run's memory budget.
                 spark.catalog.clearCache()
-        # A query is either a survivor or an error, never both: a run-2
-        # failure must not leave a one-sample time in the min_of_2 map
+            # 50 ms absolute floor: sub-second queries would otherwise
+            # burn every retry chasing 5% of scheduler noise.
+            tol = max(0.05 * min(times[-1], times[-2]) if len(times) >= 2 else 0, 0.05)
+            if len(times) >= 2 and abs(times[-1] - times[-2]) <= tol:
+                break
+        # A query is either a survivor or an error, never both: a mid-
+        # sequence failure must not leave a partial time in the map
         # (it would silently enter the cross-round total as a valid
         # measurement while also appearing under "errors").
         if times and name not in errors:
             per_query[name] = round(min(times), 3)
+            run_counts[name] = len(times)
 
     # Amortized IVF (round-5 brief #6): the headline sim_ann_ivf_md5
     # number pays the codebook corpus pass on every run; production
@@ -147,11 +189,21 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf_val,
-        "timing": "min_of_2",
+        "timing": "min_converged_5pct_max4",
         # 1/5/15-min load averages at bench end: cross-round deltas are
         # only meaningful when load is comparable.
         "load": [round(x, 2) for x in os.getloadavg()],
+        # Pre-session ambient-load gate outcome; when satisfied=false the
+        # box never quieted and deltas carry the load caveat explicitly.
+        "load_gate": gate,
+        "runs": run_counts,
     }
+    if not gate["satisfied"]:
+        payload["caveat"] = (
+            f"ambient 1-min loadavg {gate['load_at_start']} never dropped below "
+            f"{gate['threshold']} within {gate['waited_sec']}s — numbers are "
+            "load-confounded; compare only the converged-min structure, not totals"
+        )
     if amortized:
         payload["amortized"] = amortized
     if errors:
