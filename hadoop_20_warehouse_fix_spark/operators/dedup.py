@@ -820,6 +820,48 @@ def minhash_state_append(
     )
 
 
+def minhash_state_delete(spark, state_name: str, ids) -> None:
+    """Mark corpus docs DELETED in the persisted LSH state (round-6
+    brief: recrawl churn and takedowns need the full lifecycle — write /
+    append / probe / DELETE / compact). Deletion is a TOMBSTONE, not a
+    rewrite: ``ids`` (a DataFrame with an ``id`` column, or a Python
+    list of ids) is appended to ``{state_name}_tombstones``; the
+    incremental probe anti-joins candidates against it (broadcast —
+    deletions are small relative to the corpus), and the next
+    :func:`minhash_state_compact` physically drops tombstoned rows from
+    both state tables and clears the tombstone table. The reference
+    model is MapFile's rewrite-on-update discipline
+    (``/root/reference/src/core/org/apache/hadoop/io/MapFile.java:521``):
+    point-deletes defer to the next full rewrite.
+
+    Contract notes:
+    - idempotent: deleting an id twice is harmless (the probe's
+      anti-join and the compaction filter are set operations);
+    - re-ingesting a tombstoned id before the next compaction keeps it
+      suppressed (the tombstone outranks the append until compaction
+      clears both) — compact first to resurrect an id;
+    - the tombstone table is small and transient, so it lives as a
+      managed warehouse table regardless of where the state data sits."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], ["id"])
+    bands_id_type = spark.table(f"{state_name}_bands").schema["id"].dataType
+    (
+        ids.select(F.col("id").cast(bands_id_type).alias("id"))
+        .distinct()
+        .write.mode("append")
+        .format("parquet")
+        .saveAsTable(f"{state_name}_tombstones")
+    )
+
+
+def _state_tombstones(spark, state_name: str) -> DataFrame | None:
+    """The state's tombstone relation, or None when none exist. No
+    emptiness probe: anti-joining an empty broadcast relation is free,
+    and a probe job per lookup would not be."""
+    ts = f"{state_name}_tombstones"
+    return spark.table(ts) if spark.catalog.tableExists(ts) else None
+
+
 def _table_location(spark, table: str) -> str:
     row = (
         spark.sql(f"DESCRIBE FORMATTED {table}")
@@ -852,8 +894,10 @@ def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
     partitions with bucket ids (one writer task per bucket → one file
     per bucket), into the ALTERNATE of two stable locations
     (``<base>__a`` / ``<base>__b`` — round-6 review: appending
-    ``__compacting`` each run grew the path forever), then swapped into
-    the catalog name via rename-aside: the live table is renamed to
+    ``__compacting`` each run grew the path forever), with tombstoned
+    rows (:func:`minhash_state_delete`) filtered out during the rewrite
+    — the physical-deletion point, after which the tombstone table is
+    cleared — then swapped into the catalog name via rename-aside: the live table is renamed to
     ``<t>__old``, the fresh table renamed into ``<t>``, and only then is
     the old table dropped and its files deleted. The swap is NOT atomic
     (the metastore has no multi-statement transaction): a crash between
@@ -871,6 +915,15 @@ def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
     from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
 
     m = spark.table(f"{state_name}_meta").collect()[0]
+    # Physical deletion point for tombstoned docs: the rewrite is the
+    # one moment every row is touched anyway, so the tombstone filter
+    # is free (MapFile's rewrite-on-update discipline). Snapshot the
+    # tombstone ids to a broadcastable relation BEFORE the loop — the
+    # table itself is dropped after both rewrites succeed.
+    tomb = _state_tombstones(spark, state_name)
+    tomb_ids = tomb.select("id").distinct().persist() if tomb is not None else None
+    if tomb_ids is not None:
+        tomb_ids.count()  # materialize: the source table dies before the lazy plan would run
     report: dict[str, tuple[int, int]] = {}
     for suffix, cols in (("bands", ["band", "bh"]), ("shingles", ["id"])):
         t = f"{state_name}_{suffix}"
@@ -897,8 +950,11 @@ def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
         # being compacted. A plain path scan carries no partitioning
         # claim; the repartition then aligns one shuffle partition per
         # bucket (same murmur3 pmod), giving ~one output file each.
+        rewritten = spark.read.parquet(loc)
+        if tomb_ids is not None:
+            rewritten = rewritten.join(F.broadcast(tomb_ids), "id", "left_anti")
         write_bucketed(
-            spark.read.parquet(loc).repartition(m.num_buckets, *cols),
+            rewritten.repartition(m.num_buckets, *cols),
             tmp_t,
             cols,
             num_buckets=m.num_buckets,
@@ -913,6 +969,12 @@ def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
         spark.sql(f"DROP TABLE {t}__old")
         _fs_delete(spark, loc)  # external drop leaves files; managed already gone
         report[t] = (before, _table_file_count(spark, t))
+    # Tombstones are now physically applied — clear them LAST so a crash
+    # mid-compaction leaves them pending (re-applied next run), never
+    # half-forgotten.
+    if tomb_ids is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
+        tomb_ids.unpersist()
     return report
 
 
@@ -954,6 +1016,15 @@ def minhash_lsh_pairs_incremental(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # Tombstoned corpus docs (minhash_state_delete) must not surface as
+    # matches: broadcast anti-join — deletions are small by contract,
+    # and the filter lands on the CANDIDATE set (already batch-sized),
+    # never on the corpus tables.
+    tomb = _state_tombstones(spark, state_name)
+    if tomb is not None:
+        cand = cand.join(
+            F.broadcast(tomb.select(F.col("id").alias("id_a"))), "id_a", "left_anti"
+        )
     new_sh = hashed_shingle_sets(new_df, id_col, text_col, m.n)
     verified = (
         cand.join(

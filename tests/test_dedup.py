@@ -1141,6 +1141,76 @@ def test_minhash_incremental_state_equals_full_rerun(spark, tmp_path):
         spark.catalog.clearCache()
 
 
+def test_minhash_state_delete_tombstones_probe_and_compaction(spark, tmp_path):
+    """Round-6 brief #3 — state-lifecycle deletion: after
+    minhash_state_delete(ids), the incremental probe must return
+    EXACTLY what it would against a state rebuilt without those docs,
+    both BEFORE compaction (tombstone anti-join on the candidate set)
+    and AFTER (physical removal + cleared tombstones); a second
+    compaction with no tombstones is a pure rewrite."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_state_compact,
+        minhash_state_delete,
+        minhash_state_write,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 200)
+    probe = corpus.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    state, ref_state = "mh_state_del", "mh_state_del_ref"
+    tables = lambda s: (f"{s}_bands", f"{s}_shingles", f"{s}_meta", f"{s}_tombstones")  # noqa: E731
+
+    def probe_pairs(st):
+        return {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs_incremental(
+                probe, "doc_id", "text", st, threshold=0.5
+            ).collect()
+        }
+
+    try:
+        minhash_state_write(
+            corpus, "doc_id", "text", state, num_buckets=4,
+            path=str(tmp_path / "state"),
+        )
+        full = probe_pairs(state)
+        deleted = [r.doc_id for r in corpus.filter(F.col("doc_id") % 3 == 0).collect()]
+        assert any(a in deleted for a, _, _ in full), "fixture must delete some matches"
+        # ground truth: a state that never contained the deleted docs
+        minhash_state_write(
+            corpus.filter(~F.col("doc_id").isin(deleted)),
+            "doc_id", "text", ref_state, num_buckets=4,
+            path=str(tmp_path / "ref_state"),
+        )
+        want = probe_pairs(ref_state)
+        assert want < full
+
+        minhash_state_delete(spark, state, deleted)
+        assert probe_pairs(state) == want  # tombstone path (pre-compaction)
+        # idempotent: a repeat delete (DataFrame form) changes nothing
+        minhash_state_delete(
+            spark, state, spark.createDataFrame([(d,) for d in deleted[:5]], ["id"])
+        )
+        assert probe_pairs(state) == want
+
+        minhash_state_compact(spark, state)
+        assert not spark.catalog.tableExists(f"{state}_tombstones")
+        assert probe_pairs(state) == want  # physical-removal path
+        # deleted ids are truly gone from the data tables
+        got_ids = {r.id for r in spark.table(f"{state}_shingles").select("id").collect()}
+        assert got_ids.isdisjoint(set(deleted))
+        # tombstone-free compaction still works (pure rewrite)
+        minhash_state_compact(spark, state)
+        assert probe_pairs(state) == want
+    finally:
+        for t in tables(state) + tables(ref_state):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.catalog.clearCache()
+
+
 def test_minhash_state_compact_preserves_probe_and_drops_files(spark, tmp_path):
     """Round-5 brief #5: repeated appends accumulate one file set per
     batch per bucket; compaction rewrites each state table to ~one file
