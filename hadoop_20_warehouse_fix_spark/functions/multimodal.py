@@ -395,45 +395,89 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(arr[yi][:, xi])
 
 
-def resize_batch(media: DataFrame, width: int, height: int, decode: bool = True) -> DataFrame:
+def resize_batch(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decode: bool = True,
+    observation=None,
+    on_undecodable: str = "fallback",
+) -> DataFrame:
     """Arrow-batched resize over binary payloads. Decodable payloads
-    (PPM/BMP magic) get a REAL nearest-neighbor pixel resize
-    (:func:`resize_image`); anything else falls back to the
-    deterministic byte-resampler stand-in (width*height//64 stride-
-    sampled bytes) so non-image corpora — e.g. the documents-as-media
-    test fixture — stay deterministic. Same signature, batch shape, and
-    output schema either way.
+    (PPM/BMP/PNG magic — plus JPEG when PIL/OpenCV is present) get a
+    REAL nearest-neighbor pixel resize (:func:`resize_image`); anything
+    else falls back to the deterministic byte-resampler stand-in
+    (width*height//64 stride-sampled bytes) so non-image corpora — e.g.
+    the documents-as-media test fixture — stay deterministic. Same
+    signature, batch shape, and output schema either way.
+
+    The fallback is NOT silent (round-6 review): pass ``observation``
+    (a ``pyspark.sql.Observation``) and after the first action on the
+    result it carries ``rows`` / ``pixel_rows`` /
+    ``sniffed_fallback_rows`` — the last counts payloads whose magic
+    SAID image but no codec could decode them (e.g. JPEG in a container
+    with neither PIL nor OpenCV), i.e. rows where the caller asked for
+    pixels and got the stand-in. ``on_undecodable="error"`` hardens
+    that to a raise at the first such payload — the right mode for a
+    corpus the caller KNOWS is images, where 100% stand-in output is a
+    misconfiguration (missing codec library), not a result.
 
     ``decode=False`` forces the byte-resampler for EVERY row: a caller
     that knows its payloads are not images (text corpora) opts out of
     magic sniffing, so a text that happens to parse as a valid PPM
     header cannot flip a row onto the pixel path and make the output
     content-dependent."""
+    if on_undecodable not in ("fallback", "error"):
+        raise ValueError(
+            f"on_undecodable must be 'fallback' or 'error', got {on_undecodable!r}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(width * height // 64, 1)
         for pdf in batches:
             def sample(b):
+                # status: 1 = pixel path, 2 = sniffed-as-image but no
+                # codec (the counted fallback), 0 = plain byte payload
+                status = 0
                 if decode and b and _looks_like_image(bytes(b[:8])):
                     try:
-                        return resize_image(bytes(b), width, height)
-                    except (NotImplementedError, ValueError):
-                        pass
+                        return resize_image(bytes(b), width, height), 1
+                    except (NotImplementedError, ValueError) as exc:
+                        if on_undecodable == "error":
+                            raise NotImplementedError(
+                                "payload sniffed as an image but no codec "
+                                "could decode it (JPEG needs PIL/OpenCV in "
+                                "the container); on_undecodable='fallback' "
+                                f"would substitute the byte-resampler: {exc}"
+                            ) from exc
+                        status = 2
                 if not b:
-                    return b"\x00" * target
+                    return b"\x00" * target, status
                 stride = max(len(b) // target, 1)
-                return bytes(b[::stride][:target]).ljust(target, b"\x00")
+                return bytes(b[::stride][:target]).ljust(target, b"\x00"), status
 
+            out = [sample(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"].map(sample),
+                    "payload": [p for p, _ in out],
+                    "_status": pd.Series([s for _, s in out], dtype="int32"),
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+    resized = media.select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA + ", _status int"
+    )
+    if observation is not None:
+        resized = resized.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("_status") == 1).cast("long")).alias("pixel_rows"),
+            F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
+        )
+    return resized.drop("_status")
 
 
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary"

@@ -313,6 +313,50 @@ def test_resize_real_pixels_and_batch(spark):
     assert decode_image(rows[3]).tolist() == arr[::2, ::2].tolist()  # compressed in
 
 
+def test_resize_batch_surfaces_undecodable_fallback(spark):
+    """Round-6 brief #4: the byte-resampler stand-in for a payload that
+    SNIFFS as an image but has no codec (JPEG without PIL/OpenCV) must
+    be counted, not silent — and on_undecodable='error' must refuse it
+    outright. PPM rows count as pixel_rows; plain bytes count as
+    neither."""
+    import pytest as _pytest
+    from pyspark.sql import Observation
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        _image_library,
+        resize_batch,
+    )
+
+    _, ppm = _make_ppm(8, 8)
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JPEG magic, junk body
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(fake_jpeg)), (3, bytearray(b"plain bytes"))],
+        "media_id long, payload binary",
+    )
+    obs = Observation("resize_paths")
+    out = resize_batch(media, 4, 4, observation=obs)
+    assert out.columns == ["media_id", "width", "height", "payload"]  # _status internal
+    assert out.count() == 3
+    m = obs.get
+    assert m["rows"] == 3 and m["pixel_rows"] == 1
+    # junk JPEG body: undecodable with OR without a library -> counted
+    assert m["sniffed_fallback_rows"] == 1
+
+    if _image_library() is None:
+        # no codec in this container: a REAL jpeg corpus would be 100%
+        # stand-in — error mode refuses instead of silently degrading
+        with _pytest.raises(Exception, match="(?i)PIL|codec|decode"):
+            resize_batch(
+                media.filter("media_id = 2"), 4, 4, on_undecodable="error"
+            ).count()
+    with _pytest.raises(ValueError, match="on_undecodable"):
+        resize_batch(media, 4, 4, on_undecodable="maybe")
+    # decode=False: sniffing off, nothing counted as sniffed fallback
+    obs2 = Observation("resize_paths_off")
+    resize_batch(media, 4, 4, decode=False, observation=obs2).count()
+    assert obs2.get["pixel_rows"] == 0 and obs2.get["sniffed_fallback_rows"] == 0
+
+
 def test_embedding_quantize_reconstruction(spark):
     import numpy as np
 
