@@ -352,6 +352,51 @@ def estimate_posting_pair_volume(
     return float(sampled_pairs or 0.0) / (sample_frac * sample_frac)
 
 
+# The shared broadcast cap for probe-counted relations (round-6 brief
+# #5: repeated_spans and remove_boilerplate_lines each hardcoded this
+# as a literal — the cap semantics now live in one place). ~2M rows of
+# 8-byte keys is tens of MB broadcast-side: far under executor budgets,
+# far over anything Catalyst's autoBroadcastJoinThreshold would trust
+# through an aggregate (whose size estimates round 6 measured to be
+# unreliable — the whole reason these sites count instead of estimate).
+BROADCAST_PROBE_ROW_CAP = 2_000_000
+
+
+def pick_by_scalar(n: float, cap: float, small: str, large: str) -> str:
+    """The cap rule of the measure-then-pick idiom, in one place:
+    ``small`` while the MEASURED scalar is within ``cap`` (inclusive),
+    ``large`` past it. Every adaptive site in this module routes
+    through here so '<= means small side wins' can never drift between
+    operators."""
+    return small if n <= cap else large
+
+
+def measured_strategy(
+    rel: DataFrame,
+    small: str,
+    large: str,
+    cap: int = BROADCAST_PROBE_ROW_CAP,
+    handles: list | None = None,
+) -> tuple[str, DataFrame, int]:
+    """Measure-then-pick over a RELATION (the probe idiom shared by
+    ``repeated_spans``, ``remove_boilerplate_lines`` and — via
+    :func:`pick_by_scalar` — ``choose_near_dup_strategy``): persist
+    ``rel`` (it feeds the probe count AND the winning branch's plan —
+    unpersisted it would be recomputed inside the downstream join),
+    count it (ONE scalar to the driver — never the rows), and pick
+    ``small`` vs ``large`` by ``cap``.
+
+    Returns ``(strategy, persisted_rel, n)``; the persisted relation is
+    appended to ``handles`` (when given) for targeted unpersist —
+    callers must consume the RETURNED relation so the downstream plan
+    reads the cache the probe paid for."""
+    rel = rel.persist()
+    if handles is not None:
+        handles.append(rel)
+    n = rel.count()
+    return pick_by_scalar(n, cap, small, large), rel, n
+
+
 def choose_near_dup_strategy(
     df: DataFrame,
     id_col: str,
@@ -377,7 +422,7 @@ def choose_near_dup_strategy(
     Deterministic by construction (md5 sample, exact arithmetic) — safe
     on replayed/oracle-gated paths so long as the corpus is fixed."""
     est = estimate_posting_pair_volume(df, id_col, text_col, n, sample_frac)
-    return "lsh" if est > pair_budget else "ngram"
+    return pick_by_scalar(est, pair_budget, "ngram", "lsh")
 
 
 def decontaminate(
@@ -1295,7 +1340,7 @@ def remove_boilerplate_lines(
     min_docs: int = 3,
     out_name: str = "text",
     strategy: str = "auto",
-    broadcast_max_lines: int = 2_000_000,
+    broadcast_max_lines: int = BROADCAST_PROBE_ROW_CAP,
     handles: list | None = None,
 ) -> DataFrame:
     """Cross-document boilerplate removal: a line that appears in >=
@@ -1345,13 +1390,13 @@ def remove_boilerplate_lines(
         .select("line")
     )
     if strategy == "auto":
-        # One scalar to the driver; the boilerplate relation is consumed
-        # again by whichever branch wins, so pin it across both actions
-        # and hand the persist back for targeted unpersist.
-        boiler = boiler.persist()
-        if handles is not None:
-            handles.append(boiler)
-        strategy = "broadcast" if boiler.count() <= broadcast_max_lines else "anti"
+        # The shared measure-then-pick probe: one scalar to the driver;
+        # the boilerplate relation is consumed again by whichever branch
+        # wins, so the helper pins it across both actions and hands the
+        # persist back for targeted unpersist.
+        strategy, boiler, _ = measured_strategy(
+            boiler, "broadcast", "anti", cap=broadcast_max_lines, handles=handles
+        )
     if strategy == "broadcast":
         boiler_arr = boiler.agg(F.sort_array(F.collect_list("line")).alias("bl"))
         return df.crossJoin(F.broadcast(boiler_arr)).select(
@@ -1536,7 +1581,7 @@ def repeated_spans(
     handles: list | None = None,
     hash_impl: str = "rolling",
     verify: bool = True,
-    broadcast_max_fps: int = 2_000_000,
+    broadcast_max_fps: int = BROADCAST_PROBE_ROW_CAP,
 ) -> DataFrame:
     """Corpus-wide EXACT-SUBSTRING detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better": exact
@@ -1673,15 +1718,6 @@ def repeated_spans(
     # relation is the single most expensive aggregation here — measured
     # round 6: leaving it unpersisted re-ran that aggregation inside
     # the join and cost +68% end-to-end at 500k docs.
-    hot = (
-        wins.groupBy("fp")
-        .agg(F.count_distinct("id").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("fp")
-        .persist()
-    )
-    if handles is not None:
-        handles.append(hot)
     # Adaptive join strategy, decided by a MEASURED scalar, not by
     # Catalyst's size estimate: round-6 measurement caught the
     # estimate-driven planner broadcasting the WRONG side of this join
@@ -1689,10 +1725,22 @@ def repeated_spans(
     # 500k-doc adversarial corpus. hot (the repeated-fingerprint set)
     # is the only side that may broadcast, and only when its actual
     # count — one agg over the already-persisted wins — is bounded;
-    # past the cap, SMJ with the sides pinned (the choose_near_dup /
-    # with_global_rank probe idiom: measure, then pick the plan).
-    n_hot = hot.count()
-    if n_hot <= broadcast_max_fps:
+    # past the cap, SMJ with the sides pinned. The shared
+    # measured_strategy helper persists hot BEFORE the probe count: it
+    # feeds the count AND the join below, and leaving it unpersisted
+    # re-ran the count_distinct expand inside the join (+68%
+    # end-to-end at 500k docs, measured round 6).
+    strategy, hot, _ = measured_strategy(
+        wins.groupBy("fp")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp"),
+        "broadcast",
+        "merge",
+        cap=broadcast_max_fps,
+        handles=handles,
+    )
+    if strategy == "broadcast":
         cand = wins.join(F.broadcast(hot), "fp")
     else:
         cand = wins.join(hot.hint("merge"), "fp")

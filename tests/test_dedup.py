@@ -317,6 +317,32 @@ def test_dedup_lines_within_doc(spark):
     assert got == {1: "intro\nbody A\nbody B", 2: "x", 3: "only line"}
 
 
+def test_measured_strategy_helper(spark):
+    """Round-6 brief #5: the measure-then-pick probe idiom lives in ONE
+    helper — persist, one-scalar count, cap rule — shared by
+    repeated_spans / remove_boilerplate_lines / choose_near_dup_strategy.
+    The cap is inclusive (<= picks the small side) and the persisted
+    relation comes back via handles."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        measured_strategy,
+        pick_by_scalar,
+    )
+
+    assert pick_by_scalar(10, 10, "s", "l") == "s"  # inclusive cap
+    assert pick_by_scalar(11, 10, "s", "l") == "l"
+
+    rel = spark.range(100).select(F.col("id").alias("fp"))
+    handles: list = []
+    strat, out, n = measured_strategy(rel, "broadcast", "merge", cap=100, handles=handles)
+    assert (strat, n) == ("broadcast", 100)
+    assert len(handles) == 1 and handles[0] is out
+    assert out.storageLevel.useMemory  # persisted for the winning branch
+    strat2, out2, n2 = measured_strategy(rel, "broadcast", "merge", cap=99)
+    assert (strat2, n2) == ("merge", 100)
+    for h in (out, out2):
+        h.unpersist()
+
+
 def test_remove_boilerplate_lines(spark):
     from hadoop_20_warehouse_fix_spark.operators.dedup import remove_boilerplate_lines
 
