@@ -3,11 +3,13 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side plumbing — schemas, Arrow-batched
 ``mapInPandas`` operators, partitioning discipline — is real and tested.
-Codecs: ``decode_image`` REALLY decodes PPM, BMP, and zlib-compressed
-PNG with pure numpy + stdlib (all five PNG scanline filters), and
-feature-detects PIL/OpenCV for JPEG and exotic PNG variants (neither
-library ships in this container, so JPEG raises NotImplementedError
-here — the dispatch and the skip-marked test document the posture).
+Codecs: ``decode_image`` REALLY decodes PPM, BMP, zlib-compressed PNG
+(all five scanline filters), and baseline JPEG (pure-python Huffman +
+vectorized IDCT, :mod:`.jpeg`) with numpy + stdlib only; PIL/OpenCV is
+feature-detected as the FAST path for JPEG and the only path for
+exotic variants (progressive JPEG, 16-bit/palette/interlaced PNG —
+neither library ships in this container, so those raise
+NotImplementedError here).
 ``fake_features`` remains the deterministic embed stand-in that
 exercises the same batch shapes as a real extractor.
 
@@ -110,11 +112,17 @@ def decode_image(payload: bytes):
       stdlib zlib inflate + all five scanline filters unfiltered in
       numpy (:func:`_decode_png`); genuinely compressed input.
 
-    JPEG and exotic PNG variants (16-bit, palette, interlaced) go
-    through PIL/OpenCV when one is installed (feature-detected once per
-    process — :func:`_image_library`); without a library they raise
-    NotImplementedError. The mapInPandas plumbing is identical either
-    way."""
+    - baseline JPEG (SOF0, Huffman, 8-bit, any integer subsampling) —
+      pure-python marker parse + Huffman + vectorized IDCT
+      (:mod:`.jpeg`; round-6 brief #7 — the last stubbed format).
+
+    Exotic PNG variants (16-bit, palette, interlaced) and non-baseline
+    JPEG (progressive SOF2, arithmetic, 12-bit) go through PIL/OpenCV
+    when one is installed (feature-detected once per process —
+    :func:`_image_library`, and the library is preferred for JPEG even
+    when the pure decoder could cope: it is the fast path); without a
+    library they raise NotImplementedError. The mapInPandas plumbing
+    is identical either way."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
     data = bytes(payload)
@@ -131,12 +139,19 @@ def decode_image(payload: bytes):
             if via_lib is not None:
                 return via_lib
             raise
+    if data[:3] == b"\xff\xd8\xff":
+        via_lib = _decode_with_library(data)  # native decode: the fast path
+        if via_lib is not None:
+            return via_lib
+        from hadoop_20_warehouse_fix_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     via_lib = _decode_with_library(data)
     if via_lib is not None:
         return via_lib
     raise NotImplementedError(
-        f"no codec for magic {magic!r} (in-container: pure PPM/BMP/PNG "
-        "decode; JPEG and other compressed formats need PIL or OpenCV)"
+        f"no codec for magic {magic!r} (in-container: pure PPM/BMP/PNG/"
+        "baseline-JPEG decode; other compressed formats need PIL or OpenCV)"
     )
 
 

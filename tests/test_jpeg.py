@@ -1,0 +1,182 @@
+"""Pure-python baseline JPEG codec tests (round-6 brief #7).
+
+Validation strategy: the decoder is checked against HAND-BUILT
+bitstreams derived from the T.81 spec (DC-only blocks whose pixel
+values are analytic — IDCT of a DC-only block is flat at DC/8), so the
+decode path is pinned independently of the encoder; the encoder is
+then checked by roundtrip through the pinned decoder at quant=1 where
+the error bound is analytic (±1 LSB from coefficient rounding on
+achromatic/444 paths). No Spark session needed — these are plain
+numpy tests, plus one dispatch check through decode_image."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hadoop_20_warehouse_fix_spark.functions.jpeg import (
+    _ZZ,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _dht(tc_th: int, counts16: list[int], symbols: bytes) -> bytes:
+    body = bytes([tc_th]) + bytes(counts16) + symbols
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _handcrafted_dc_only(dc_diffs: list[int], width_blocks: int, dri: int = 0) -> bytes:
+    """Single-component 8-bit baseline JPEG built from the spec by hand:
+    flat quant table of 16s, DC table = one symbol {5} (code '00'),
+    AC table = {EOB} (code '00'). Each block is DC-only; with diff d,
+    pixels are flat at round((sum of diffs so far)*16/8) + 128."""
+    qt = bytes([16] * 64)
+    jpg = bytearray(b"\xff\xd8")
+    jpg += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qt
+    jpg += (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8 * width_blocks, 1)
+        + bytes([1, 0x11, 0])
+    )
+    jpg += _dht(0x00, [0, 1] + [0] * 14, bytes([5]))
+    jpg += _dht(0x10, [0, 1] + [0] * 14, bytes([0x00]))
+    if dri:
+        jpg += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", dri)
+    jpg += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    def block_bits(diff: int) -> str:
+        assert 16 <= diff <= 31, "fixture keeps every diff in size category 5"
+        return "00" + format(diff, "05b") + "00"  # DC code + 5 bits + EOB
+
+    if dri:
+        # one block per restart interval: pad each segment, emit RSTn
+        for i, d in enumerate(dc_diffs):
+            bits = block_bits(d)
+            bits += "1" * (-len(bits) % 8)
+            jpg += int(bits, 2).to_bytes(len(bits) // 8, "big")
+            if i < len(dc_diffs) - 1:
+                jpg += bytes([0xFF, 0xD0 + (i % 8)])
+    else:
+        bits = "".join(block_bits(d) for d in dc_diffs)
+        bits += "1" * (-len(bits) % 8)
+        jpg += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    jpg += b"\xff\xd9"
+    return bytes(jpg)
+
+
+def test_decode_handcrafted_dc_only_block():
+    # DC diff 24, q=16: coefficient 384, IDCT flat 48, +128 = 176 —
+    # every step is T.81 arithmetic, no encoder in the loop.
+    out = decode_jpeg(_handcrafted_dc_only([24], width_blocks=1))
+    assert out.shape == (8, 8, 3)
+    assert (out == 176).all()
+
+
+def test_decode_handcrafted_dc_prediction_chain():
+    # Three blocks, diffs 24/16/16: DC predictors accumulate 24, 40, 56
+    # -> flat levels 176, 208, 240 (the F.1.2.1 DIFF chain).
+    out = decode_jpeg(_handcrafted_dc_only([24, 16, 16], width_blocks=3))
+    assert out.shape == (8, 24, 3)
+    for b, want in enumerate((176, 208, 240)):
+        assert (out[:, 8 * b : 8 * b + 8] == want).all(), (b, want)
+
+
+def test_decode_restart_markers_reset_predictor():
+    # DRI=1 with RST0/RST1 between blocks: the predictor RESETS each
+    # interval, so the same diffs now give 176, 128+32=160, 160 —
+    # byte-aligned segments, accumulated within, reset across.
+    out = decode_jpeg(_handcrafted_dc_only([24, 16, 16], width_blocks=3, dri=1))
+    for b, want in enumerate((176, 160, 160)):
+        assert (out[:, 8 * b : 8 * b + 8] == want).all(), (b, want)
+
+
+def test_decode_rejects_progressive():
+    # swap SOF0 -> SOF2 in a valid stream: must refuse, not mis-decode
+    data = bytearray(_handcrafted_dc_only([24], width_blocks=1))
+    idx = data.index(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(data))
+
+
+def test_zigzag_order_is_the_spec_table():
+    # first and last few entries of the T.81 zigzag scan
+    assert _ZZ[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+    assert _ZZ[-3:] == [(6, 7), (7, 6), (7, 7)]
+    assert sorted(_ZZ) == [(y, x) for y in range(8) for x in range(8)]
+
+
+def test_roundtrip_gray_exact_within_1lsb():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 19), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert out.shape == (24, 19, 3)
+    err = np.abs(out[..., 0].astype(int) - img.astype(int)).max()
+    assert err <= 1, err  # quant=1: only coefficient rounding survives
+
+
+def test_roundtrip_rgb444_within_1lsb():
+    h, w = 17, 23  # non-multiples of 8: exercises edge padding
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=1))
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    assert err <= 1, err  # color transform is float both ways; quant=1
+
+
+def test_roundtrip_rgb420_chroma_flat_exact():
+    # constant chroma: 2x2 subsampling loses nothing -> tight bound
+    img = np.full((20, 22, 3), [120, 80, 200], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=1, subsample="420"))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_roundtrip_rgb420_smooth_bounded():
+    h, w = 24, 17
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=2, subsample="420"))
+    # subsampled chroma + quant=2: small but nonzero loss, bounded
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_encoder_rejects_bad_args():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(img, subsample="422")
+    with pytest.raises(ValueError, match="quantization"):
+        encode_jpeg(img, quant=0)
+    with pytest.raises(ValueError, match="quantization"):
+        encode_jpeg(img, quant=256)
+
+
+def test_decode_image_dispatch_takes_pure_jpeg_path():
+    # decode_image: JPEG magic -> library fast path when present, pure
+    # decoder otherwise. In this container the pure path runs; with a
+    # library, same pixels (lossless fixture) — either way it decodes.
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import decode_image
+
+    out = decode_image(_handcrafted_dc_only([24], width_blocks=1))
+    assert out.shape == (8, 8, 3) and (out == 176).all()
+
+
+def test_pure_decoder_matches_library_when_available():
+    pytest.importorskip("PIL")  # pragma: no cover — container has no PIL
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quant=1)
+    ours = decode_jpeg(data)
+    theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1

@@ -327,18 +327,28 @@ def test_resize_batch_surfaces_undecodable_fallback(spark):
         resize_batch,
     )
 
+    import numpy as np
+
+    from hadoop_20_warehouse_fix_spark.functions.jpeg import encode_jpeg
+
     _, ppm = _make_ppm(8, 8)
     fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JPEG magic, junk body
+    real_jpeg = encode_jpeg(np.full((8, 8), 99, dtype=np.uint8), quant=1)
     media = spark.createDataFrame(
-        [(1, bytearray(ppm)), (2, bytearray(fake_jpeg)), (3, bytearray(b"plain bytes"))],
+        [
+            (1, bytearray(ppm)),
+            (2, bytearray(fake_jpeg)),
+            (3, bytearray(b"plain bytes")),
+            (4, bytearray(real_jpeg)),  # round-7: decodes in-container now
+        ],
         "media_id long, payload binary",
     )
     obs = Observation("resize_paths")
     out = resize_batch(media, 4, 4, observation=obs)
     assert out.columns == ["media_id", "width", "height", "payload"]  # _status internal
-    assert out.count() == 3
+    assert out.count() == 4
     m = obs.get
-    assert m["rows"] == 3 and m["pixel_rows"] == 1
+    assert m["rows"] == 4 and m["pixel_rows"] == 2  # PPM + baseline JPEG
     # junk JPEG body: undecodable with OR without a library -> counted
     assert m["sniffed_fallback_rows"] == 1
 
