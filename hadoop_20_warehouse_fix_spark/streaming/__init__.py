@@ -9,6 +9,9 @@ exactly-once file sinks. Declared an engine extension, not a
 reference-parity item.
 """
 
+from hadoop_20_warehouse_fix_spark.streaming.ingest import (  # noqa: F401
+    stream_dedup_ingest,
+)
 from hadoop_20_warehouse_fix_spark.streaming.windows import (  # noqa: F401
     session_agg,
     sliding_agg,

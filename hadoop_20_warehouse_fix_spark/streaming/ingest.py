@@ -1,0 +1,129 @@
+"""Streaming ingest with state-backed near-dup removal.
+
+The round-5/6 LSH state work (``operators/dedup.py``: write / append /
+probe / delete / compact) exists for exactly one production shape: an
+always-on ingest that deduplicates each arriving batch against a corpus
+far too large to rescan. This module is that shape as a Structured
+Streaming operator — the reference's landing-directory ingest
+(periodic batch re-runs over newly-landed HDFS files; SURVEY §2.10)
+upgraded to incremental execution with the dedup state as the
+cross-batch memory.
+
+Per micro-batch (``foreachBatch``):
+
+1. WITHIN-batch near-dups: ``minhash_lsh_pairs`` on the batch alone
+   (banding parameters read from the state's meta row, so batch and
+   corpus agree by construction); every doc matching a SMALLER-id doc
+   in the same batch is dropped (greedy min-id winner — deterministic,
+   one pass, no per-batch connected components).
+2. CROSS-corpus near-dups: ``minhash_lsh_pairs_incremental`` probes
+   the persisted state — cost scales with the batch and its collision
+   neighborhood, never the corpus (the SCALING.md flat-probe result).
+3. Clean docs land under ``output_path/_batch_id=<id>/`` with dynamic
+   partition overwrite — a replayed batch rewrites exactly its own
+   partition (the ``stream_demux`` idempotence discipline). Dropped
+   docs (with a ``reason`` column: ``batch`` | ``corpus``) land under
+   ``dup_path`` the same way — the ``skip.out.dir`` analog.
+4. Clean docs are folded into the state (``minhash_state_append``) —
+   AFTER step 3 materialized the probe results, per the append-order
+   caveat on the probe's lazy file listing.
+5. The batch id is recorded in ``{state_name}_ingest_log`` LAST.
+
+Exactly-once analysis (the honest version): the parquet outputs are
+exactly-once (dynamic overwrite by batch id); the ledger makes a
+replayed batch a full no-op. The one non-atomic seam is a crash
+between steps 4 and 5 — the replay then re-appends the batch's rows
+to the state. That is AT-LEAST-ONCE state with idempotent SEMANTICS:
+duplicate state rows only widen the candidate set (the probe
+``distinct``s candidates and exact-verifies every pair), they can
+never change a verdict, and the next ``minhash_state_compact`` can
+fold them away. A transactional state table would need an external
+catalog; the reference accepted the same seam in its
+rerun-the-batch-job recovery model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_dedup_ingest(
+    docs_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_name: str,
+    output_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    dup_path: str | None = None,
+) -> None:
+    """Drain ``docs_stream`` (availableNow trigger) through the dedup
+    ingest described in the module docstring. ``docs_stream`` must be a
+    STREAMING DataFrame carrying ``id_col`` (unique, monotone across
+    batches for the greedy min-id policy to mean "first wins") and
+    ``text_col``; the LSH state ``state_name`` must already exist
+    (:func:`~..operators.dedup.minhash_state_write`)."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        minhash_state_append,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        log_t = f"{state_name}_ingest_log"
+        if (
+            spark.catalog.tableExists(log_t)
+            and spark.table(log_t).filter(F.col("batch_id") == batch_id).count() > 0
+        ):
+            return  # fully-processed batch replayed after a checkpoint crash
+        batch = batch_df.select(id_col, text_col).persist()
+        m = spark.table(f"{state_name}_meta").collect()[0]
+        local_pairs = minhash_lsh_pairs(
+            batch, id_col, text_col, m.n, m.num_hashes, m.bands, threshold
+        )
+        local_losers = local_pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch.join(local_losers, id_col, "left_anti")
+        cross = minhash_lsh_pairs_incremental(
+            survivors, id_col, text_col, state_name, threshold
+        )
+        corpus_dups = cross.select(F.col("id_b").alias(id_col)).distinct()
+        clean = survivors.join(corpus_dups, id_col, "left_anti").persist()
+        (
+            clean.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(output_path)
+        )
+        if dup_path is not None:
+            dropped = batch.join(
+                local_losers.withColumn("reason", F.lit("batch")).unionByName(
+                    corpus_dups.withColumn("reason", F.lit("corpus"))
+                ),
+                id_col,
+            ).select(id_col, "reason")
+            (
+                dropped.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(dup_path)
+            )
+        # fold survivors into the state AFTER the writes above forced
+        # the probe plan (lazy state file listing — append-order caveat)
+        minhash_state_append(clean, id_col, text_col, state_name)
+        spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+            "append"
+        ).format("parquet").saveAsTable(log_t)
+        batch.unpersist()
+        clean.unpersist()
+
+    q = (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

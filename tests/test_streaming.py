@@ -168,3 +168,69 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     }
     assert second == batch  # resumed state + only-new-files == full answer
     assert any(second[k][0] > first.get(k, 0) for k in second)  # run 2 really advanced
+
+
+def test_stream_dedup_ingest_uses_and_updates_state(spark, tmp_path):
+    """Round-7: the LSH state's production shape — an always-on ingest
+    that drops (a) within-batch near-dups (greedy min-id), (b) docs
+    already in the corpus state, then folds survivors INTO the state so
+    a later batch's copy of an earlier batch's doc is caught. Replay of
+    a fully-processed source is a no-op (ledger + idempotent writes)."""
+    from hadoop_20_warehouse_fix_spark.catalog import load_table
+    from hadoop_20_warehouse_fix_spark.operators.dedup import minhash_state_write
+    from hadoop_20_warehouse_fix_spark.streaming import stream_dedup_ingest
+
+    def words(tag):
+        return " ".join(f"{tag}w{i}" for i in range(30))
+
+    corpus = load_table(spark, SF, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 150
+    )
+    corpus_text = corpus.filter(F.col("doc_id") == 5).collect()[0].text
+    state = "mh_state_stream"
+    d = str(tmp_path / "docs_landing")
+    out_p, dup_p = str(tmp_path / "clean_out"), str(tmp_path / "dup_out")
+    ckpt = str(tmp_path / "ckpt_ingest")
+
+    def drain():
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(d)
+        stream_dedup_ingest(
+            sdf, "doc_id", "text", state, out_p, ckpt, threshold=0.5, dup_path=dup_p
+        )
+
+    try:
+        minhash_state_write(
+            corpus, "doc_id", "text", state, num_buckets=4,
+            path=str(tmp_path / "state"),
+        )
+        fresh1, fresh2 = words("aa"), words("bb")
+        spark.createDataFrame(
+            [(10000, corpus_text), (10001, fresh1), (10002, fresh1)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(d)
+        drain()
+        # second arrival AFTER batch 1 updated the state
+        spark.createDataFrame(
+            [(20000, fresh1), (20001, fresh2)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(d)
+        drain()
+
+        clean = {r.doc_id for r in spark.read.parquet(out_p).collect()}
+        assert clean == {10001, 20001}
+        dups = {(r.doc_id, r.reason) for r in spark.read.parquet(dup_p).collect()}
+        assert dups == {(10000, "corpus"), (10002, "batch"), (20000, "corpus")}
+        log = sorted(r.batch_id for r in spark.table(f"{state}_ingest_log").collect())
+        assert log == [0, 1]
+        # survivors are IN the state now
+        state_ids = {r.id for r in spark.table(f"{state}_shingles").select("id").collect()}
+        assert {10001, 20001} <= state_ids and 10002 not in state_ids
+        # no new files: a third drain changes nothing anywhere
+        drain()
+        assert {r.doc_id for r in spark.read.parquet(out_p).collect()} == clean
+        assert sorted(
+            r.batch_id for r in spark.table(f"{state}_ingest_log").collect()
+        ) == [0, 1]
+    finally:
+        for t in ("bands", "shingles", "meta", "tombstones", "ingest_log"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
