@@ -180,3 +180,50 @@ def test_pure_decoder_matches_library_when_available():
     ours = decode_jpeg(data)
     theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+
+def test_roundtrip_property_random_images():
+    """Property: ANY uint8 image — any size (including non-8-multiples
+    and 1-pixel edges), gray or color, either subsampling — survives an
+    encode/decode roundtrip within the analytic bound for its path
+    (quant=1: ±1 LSB achromatic/444; 420 pays chroma averaging)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        color=st.booleans(),
+        sub=st.sampled_from(["444", "420"]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(h, w, color, sub, seed):
+        rng = np.random.default_rng(seed)
+        if not color and sub == "420":
+            sub = "444"  # subsampling is a color-path knob
+        if sub == "420":
+            # chroma NOISE cannot survive 2x2 averaging (that loss is
+            # the point of 4:2:0, not a codec defect — hypothesis found
+            # a 174-LSB example on saturated noise immediately), so the
+            # 420 property uses chroma-FLAT images: one random color +
+            # per-pixel GRAY noise, which leaves Cb/Cr constant (the
+            # gray direction is chroma-null in the BT.601 transform)
+            # and the roundtrip bound analytic again.
+            base = rng.integers(60, 196, size=3)
+            noise = rng.integers(-60, 61, size=(h, w, 1))
+            img = (base + noise).astype(np.uint8)
+        else:
+            shape = (h, w, 3) if color else (h, w)
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quant=1, subsample=sub))
+        assert out.shape == (h, w, 3)
+        ref = img if img.ndim == 3 else np.stack([img] * 3, axis=-1)
+        err = np.abs(out.astype(int) - ref.astype(int)).max()
+        # gray: coefficient rounding only (<=1). Color: the YCbCr
+        # transform is float both ways, so per-channel coefficient
+        # rounding combines through the inverse (|dR| <= |dY| +
+        # 1.402|dCr| ~ 1.2) — bound 2. 420 chroma-flat: same.
+        assert err <= (1 if img.ndim == 2 else 2), (h, w, color, sub, err)
+
+    roundtrip()
