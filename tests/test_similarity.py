@@ -248,10 +248,13 @@ def test_png_round_trip_and_all_five_filters():
 
 
 def test_unsupported_compressed_formats_posture():
-    """Without PIL/OpenCV (this container), JPEG and exotic PNG
-    variants raise NotImplementedError — the documented stub posture;
-    with a library installed they decode through the same dispatch
-    (skip-marked branch)."""
+    """Round-7 posture: baseline JPEG decodes IN-container (pure
+    decoder, `functions/jpeg.py`), so a junk-bodied JPEG is now a
+    ValueError (corrupt data), not a missing-codec
+    NotImplementedError; progressive JPEG and exotic PNG variants
+    remain library-gated NotImplementedError. With a library installed
+    everything decodes through the same dispatch (skip-marked
+    branch)."""
     import pytest as _pytest
 
     from hadoop_20_warehouse_fix_spark.functions.multimodal import (
@@ -261,8 +264,8 @@ def test_unsupported_compressed_formats_posture():
 
     fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     if _image_library() is None:
-        with _pytest.raises(NotImplementedError, match="PIL or OpenCV"):
-            decode_image(fake_jpeg)
+        with _pytest.raises(ValueError, match="marker"):
+            decode_image(fake_jpeg)  # valid magic, corrupt body
         # 16-bit PNG: pure decoder refuses, no library to fall back to
         raw = b"\x00" + b"\x00" * 12
         with _pytest.raises(NotImplementedError, match="variant"):
