@@ -1,0 +1,209 @@
+"""Pure-python/numpy WAV (RIFF PCM) audio codec + Arrow-batched audio ops.
+
+Round 7: the audio modality gets the same posture images got — REAL
+in-container decode for the canonical uncompressed format, with the
+plumbing (schemas, mapInPandas batch shapes, sniff-dispatch,
+observability) identical to what a compressed-codec library would
+slot into. The reference's model is the same pluggable-codec registry
+cited in :mod:`.jpeg` (``/root/reference/src/core/org/apache/hadoop/
+io/compress/``).
+
+Implements the public RIFF/WAVE container format (Microsoft/IBM
+multimedia spec, as mirrored by every public implementation):
+
+- decoder: chunked RIFF parse (unknown chunks skipped by their length
+  fields — LIST/INFO/fact all ride through), ``fmt `` codes 1 (PCM:
+  u8 / i16 / i24 / i32) and 3 (IEEE float32/64) and their
+  WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers, interleaved multichannel.
+  Samples come back as float64 in [-1, 1), shape (frames, channels).
+- encoder: PCM16 writer (fixtures + sink path).
+- ``resample_linear``: vectorized linear-interpolation resample — the
+  deterministic numpy stand-in for a polyphase resampler, exact for
+  the piecewise-linear signals tests pin.
+
+Compressed audio (MP3/AAC/FLAC/OGG) stays library-gated: the sniff in
+:func:`audio_features` routes undecodable payloads onto the byte
+stand-in and counts them, exactly like ``resize_batch`` does for
+non-baseline JPEG.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload to (samples, sample_rate); samples is
+    float64 in [-1, 1), shape (frames, channels)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(data)
+    fmt = None
+    raw = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            code, channels, rate, _byte_rate, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if code == 0xFFFE and clen >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                # the real format code leads the 16-byte SubFormat GUID
+                (code,) = struct.unpack("<H", body[24:26])
+            fmt = (code, channels, rate, block_align, bits)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    code, channels, rate, _block_align, bits = fmt
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    if code == 1:  # integer PCM
+        if bits == 8:  # unsigned, offset-binary
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v -= (v & 0x800000) << 1  # sign-extend 24-bit
+            x = v.astype(np.float64) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"{bits}-bit integer PCM")
+    elif code == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit float PCM")
+    else:
+        raise NotImplementedError(
+            f"WAV format code {code} (compressed audio needs a codec library)"
+        )
+    frames = len(x) // channels
+    return x[: frames * channels].reshape(frames, channels), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode (frames,) or (frames, channels) float samples in [-1, 1]
+    as 16-bit PCM WAV."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    raw = pcm.reshape(-1).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resample_linear(samples: np.ndarray, from_rate: int, to_rate: int) -> np.ndarray:
+    """Linear-interpolation resample along axis 0 (per channel),
+    deterministic pure numpy. Output length = round(frames * to/from)."""
+    s = np.asarray(samples, dtype=np.float64)
+    one_d = s.ndim == 1
+    if one_d:
+        s = s[:, None]
+    frames = s.shape[0]
+    out_frames = max(int(round(frames * to_rate / from_rate)), 1)
+    if frames == 1:
+        out = np.repeat(s, out_frames, axis=0)
+    else:
+        xi = np.arange(out_frames) * (frames - 1) / max(out_frames - 1, 1)
+        out = np.stack(
+            [np.interp(xi, np.arange(frames), s[:, c]) for c in range(s.shape[1])],
+            axis=1,
+        )
+    return out[:, 0] if one_d else out
+
+
+def _looks_like_wav(head: bytes) -> bool:
+    return len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, decoded boolean, duration_ms long, sample_rate int, "
+    "channels int, rms double, peak double, zero_crossing_rate double"
+)
+
+
+def audio_features(media, observation=None):
+    """Arrow-batched audio feature extraction over binary payloads:
+    RIFF/WAVE payloads REALLY decode (``decode_wav``) and yield
+    duration / rate / channels / RMS / peak / zero-crossing-rate
+    (channel-mean signal); anything else — including compressed audio
+    without a codec library — yields ``decoded=false`` with null
+    features, counted via ``observation`` (``rows`` / ``decoded_rows``
+    / ``sniffed_fallback_rows``, the resize_batch observability
+    contract). Feature math is vectorized numpy per payload; the
+    Python-per-row cost is the decode itself, same scale posture as
+    the image codecs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                status = 0
+                vals = (None, None, None, None, None, None)
+                if _looks_like_wav(b[:12]):
+                    try:
+                        s, rate = decode_wav(b)
+                        mono = s.mean(axis=1)
+                        frames = s.shape[0]
+                        zc = (
+                            float(np.count_nonzero(np.diff(np.signbit(mono))))
+                            / max(frames - 1, 1)
+                        )
+                        vals = (
+                            int(frames * 1000 // max(rate, 1)),
+                            int(rate),
+                            int(s.shape[1]),
+                            float(np.sqrt(np.mean(mono**2))) if frames else 0.0,
+                            float(np.abs(mono).max()) if frames else 0.0,
+                            zc,
+                        )
+                        status = 1
+                    except (ValueError, NotImplementedError):
+                        status = 2  # sniffed as audio, undecodable
+                rows.append((int(mid), status, *vals))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "_status", "duration_ms", "sample_rate",
+                    "channels", "rms", "peak", "zero_crossing_rate",
+                ],
+            )
+            out.insert(1, "decoded", out["_status"] == 1)
+            yield out
+
+    feats = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id long, decoded boolean, _status int, duration_ms long, "
+            "sample_rate int, channels int, rms double, peak double, "
+            "zero_crossing_rate double"
+        ),
+    )
+    if observation is not None:
+        feats = feats.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("_status") == 1).cast("long")).alias("decoded_rows"),
+            F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
+        )
+    return feats.drop("_status")

@@ -367,6 +367,71 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, decoded boolean, width int, height int, "
+    "mean_rgb array<double>, std_rgb array<double>"
+)
+
+
+def image_features(media: DataFrame, observation=None) -> DataFrame:
+    """REAL image feature extraction (round 7 — the upgrade the codec
+    work exists for): payloads that magic-sniff as images decode
+    through :func:`decode_image` (PPM/BMP/PNG/baseline-JPEG pure
+    paths, PIL/OpenCV fast path) and yield dimensions + per-channel
+    mean/std; everything else — including non-baseline JPEG without a
+    library — comes back ``decoded=false`` with nulls, counted via
+    ``observation`` (``rows`` / ``decoded_rows`` /
+    ``sniffed_fallback_rows`` — the ``resize_batch`` observability
+    contract). ``extract_features`` keeps its deterministic byte
+    stand-in (registry-pinned oracle); this is the pixel-truth
+    operator beside it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                status, vals = 0, (None, None, None, None)
+                if b and _looks_like_image(b[:8]):
+                    try:
+                        arr = decode_image(b).astype(np.float64)
+                        vals = (
+                            int(arr.shape[1]),
+                            int(arr.shape[0]),
+                            [float(x) for x in arr.mean(axis=(0, 1))],
+                            [float(x) for x in arr.std(axis=(0, 1))],
+                        )
+                        status = 1
+                    except (ValueError, NotImplementedError):
+                        status = 2  # sniffed as image, undecodable
+                rows.append((int(mid), status == 1, status, *vals))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "decoded", "_status", "width", "height",
+                    "mean_rgb", "std_rgb",
+                ],
+            )
+
+    feats = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id long, decoded boolean, _status int, width int, "
+            "height int, mean_rgb array<double>, std_rgb array<double>"
+        ),
+    )
+    if observation is not None:
+        feats = feats.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("_status") == 1).cast("long")).alias("decoded_rows"),
+            F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
+        )
+    return feats.drop("_status")
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests: wrap the documents table as fake media rows
     (text bytes as payload) so the multimodal plumbing has a

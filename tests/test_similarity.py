@@ -505,3 +505,42 @@ def test_lsh_topk_rejects_dim_mismatch(spark):
     emb = load_table(spark, SF_CORRECT, "embeddings")
     with pytest.raises(ValueError, match="dim=32 but corpus embeddings have length 64"):
         lsh_topk(emb, emb.limit(2), dim=32)
+
+
+def test_image_features_real_pixels(spark):
+    """Round-7: pixel-truth feature extraction — decodable payloads get
+    real dimensions and channel stats (exact on a hand-made flat PPM);
+    non-images stay decoded=false; counters mirror resize_batch."""
+    import numpy as np
+    from pyspark.sql import Observation
+
+    from hadoop_20_warehouse_fix_spark.functions.jpeg import encode_jpeg
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        encode_ppm,
+        image_features,
+    )
+
+    flat = np.zeros((6, 4, 3), dtype=np.uint8)
+    flat[..., 0], flat[..., 1], flat[..., 2] = 10, 200, 77
+    jpeg = encode_jpeg(np.full((8, 8), 99, dtype=np.uint8), quant=1)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(flat))),
+            (2, bytearray(b"nothing like an image")),
+            (3, bytearray(jpeg)),
+            (4, bytearray(b"\xff\xd8\xff\xe0junkjunkjunk")),  # sniffs, corrupt
+        ],
+        "media_id long, payload binary",
+    )
+    obs = Observation("img_feat_paths")
+    rows = {r.media_id: r for r in image_features(media, observation=obs).collect()}
+    assert obs.get["rows"] == 4 and obs.get["decoded_rows"] == 2
+    assert obs.get["sniffed_fallback_rows"] == 1
+    r1 = rows[1]
+    assert r1.decoded and (r1.width, r1.height) == (4, 6)
+    assert r1.mean_rgb == [10.0, 200.0, 77.0] and r1.std_rgb == [0.0, 0.0, 0.0]
+    r3 = rows[3]
+    assert r3.decoded and (r3.width, r3.height) == (8, 8)
+    assert abs(r3.mean_rgb[0] - 99.0) <= 1  # quant=1 baseline roundtrip
+    assert not rows[2].decoded and rows[2].width is None
+    assert not rows[4].decoded
