@@ -888,6 +888,9 @@ def minhash_state_delete(spark, state_name: str, ids) -> None:
     - the tombstone table is small and transient, so it lives as a
       managed warehouse table regardless of where the state data sits."""
     if not isinstance(ids, DataFrame):
+        ids = list(ids)
+        if not ids:
+            return  # nothing to tombstone (schema inference would fail anyway)
         ids = spark.createDataFrame([(i,) for i in ids], ["id"])
     bands_id_type = spark.table(f"{state_name}_bands").schema["id"].dataType
     (

@@ -1221,6 +1221,8 @@ def test_minhash_state_delete_tombstones_probe_and_compaction(spark, tmp_path):
             spark, state, spark.createDataFrame([(d,) for d in deleted[:5]], ["id"])
         )
         assert probe_pairs(state) == want
+        minhash_state_delete(spark, state, [])  # empty delete: a no-op
+        assert probe_pairs(state) == want
 
         minhash_state_compact(spark, state)
         assert not spark.catalog.tableExists(f"{state}_tombstones")
