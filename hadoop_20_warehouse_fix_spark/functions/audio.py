@@ -36,7 +36,18 @@ import numpy as np
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload to (samples, sample_rate); samples is
-    float64 in [-1, 1), shape (frames, channels)."""
+    float64 in [-1, 1), shape (frames, channels).
+
+    Exception contract (as in :mod:`.jpeg`): corrupt/truncated ->
+    ValueError, unsupported format code / bit depth ->
+    NotImplementedError; nothing else escapes to the batch operators."""
+    try:
+        return _decode_wav_impl(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"corrupt/truncated WAV: {exc}") from exc
+
+
+def _decode_wav_impl(data: bytes) -> tuple[np.ndarray, int]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(data)

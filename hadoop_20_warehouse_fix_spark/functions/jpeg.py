@@ -176,7 +176,21 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to (H, W, 3) uint8 RGB (grayscale is
     replicated across channels, matching :func:`multimodal.decode_image`'s
-    contract for every other format)."""
+    contract for every other format).
+
+    Exception contract (shared by every decoder in this package):
+    corrupt/truncated data -> ValueError; recognized-but-unsupported
+    process -> NotImplementedError. NOTHING else escapes — the batch
+    operators (`resize_batch`, `image_features`) catch exactly these
+    two to route a bad payload onto the counted fallback instead of
+    killing the task."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"corrupt/truncated JPEG: {exc}") from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}

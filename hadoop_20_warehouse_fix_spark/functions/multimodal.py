@@ -210,7 +210,14 @@ def _decode_bmp(data: bytes):
 
 
 def _decode_png(data: bytes):
-    """Pure-numpy PNG decoder (stdlib zlib for the DEFLATE stream):
+    """Pure-numpy PNG decoder (stdlib zlib for the DEFLATE stream).
+
+    Exception contract (shared across this package's decoders, see
+    :mod:`.jpeg`): corrupt data -> ValueError (a corrupt DEFLATE
+    stream's zlib.error is re-raised as one), unsupported variant ->
+    NotImplementedError; nothing else escapes to the batch operators.
+
+    8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
     8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
     6 (RGBA), interlace 0. All five scanline filters per the PNG spec
     §9: None/Up are vectorized whole-row; Sub is a per-channel
@@ -248,7 +255,10 @@ def _decode_png(data: bytes):
             f"PNG variant unsupported by the pure decoder "
             f"(depth={depth}, color_type={color}, interlace={interlace})"
         )
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")

@@ -227,3 +227,44 @@ def test_roundtrip_property_random_images():
         assert err <= (1 if img.ndim == 2 else 2), (h, w, color, sub, err)
 
     roundtrip()
+
+
+def test_decoder_exception_contract_on_garbage():
+    """Robustness property across EVERY pure decoder: arbitrary bytes —
+    random garbage, magic-prefixed garbage, and truncations of VALID
+    files — may only raise ValueError or NotImplementedError (the two
+    exceptions the batch operators catch to route onto the counted
+    fallback). An IndexError/struct.error/zlib.error escaping here
+    would kill a Spark task on one bad payload."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_20_warehouse_fix_spark.functions.audio import decode_wav, encode_wav
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import decode_image
+
+    valid_jpeg = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8), quant=8)
+    valid_wav = encode_wav(np.zeros(64), 8000)
+    magics = [b"", b"\xff\xd8\xff", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"RIFF\x00\x00\x00\x00WAVE"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        prefix=st.sampled_from(magics),
+        junk=st.binary(min_size=0, max_size=64),
+        cut=st.integers(min_value=0, max_value=300),
+        base=st.sampled_from(["junk", "jpeg_cut", "wav_cut"]),
+    )
+    def fuzz(prefix, junk, cut, base):
+        if base == "jpeg_cut":
+            payload = valid_jpeg[: max(2, len(valid_jpeg) - cut)] + junk
+        elif base == "wav_cut":
+            payload = valid_wav[: max(4, len(valid_wav) - cut)] + junk
+        else:
+            payload = prefix + junk
+        for dec in (decode_image, decode_wav):
+            try:
+                dec(payload)
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+        # any other exception propagates and fails the test
+
+    fuzz()
