@@ -186,8 +186,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     killing the task."""
     try:
         return _decode_jpeg_impl(data)
-    except (IndexError, struct.error) as exc:
-        raise ValueError(f"corrupt/truncated JPEG: {exc}") from exc
+    except (IndexError, KeyError, struct.error) as exc:
+        # IndexError/struct.error: truncated segment or entropy data;
+        # KeyError: the scan references a quant/Huffman table the
+        # (truncated) headers never defined.
+        raise ValueError(f"corrupt/truncated JPEG: {exc!r}") from exc
 
 
 def _decode_jpeg_impl(data: bytes) -> np.ndarray:
