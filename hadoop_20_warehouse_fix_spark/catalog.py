@@ -134,6 +134,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out_small_scan(df: DataFrame, min_fraction_of_cores: float = 0.5) -> DataFrame:
+    """Round-robin fan-out for a scan that yields fewer partitions than
+    the cluster has cores to spend — the NLineInputFormat idea
+    (``/root/reference/src/mapred/org/apache/hadoop/mapred/lib/
+    NLineInputFormat.java``: split a SMALL input finer than its block
+    structure precisely because the per-record compute, not the I/O,
+    is the cost). Use BEFORE an expensive per-row projection (HOF
+    aggregates, shingling, codecs) when the input may arrive as a few
+    small files: one cheap exchange of the raw rows buys full-width
+    parallelism for the projection. A no-op whenever the scan already
+    carries enough splits — at 100 TB the condition never fires, so
+    this is purely the small-corpus/dev-scale ergonomic, costing
+    nothing where the data is big enough to split naturally."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(int(cores * min_fraction_of_cores), 1):
+        return df.repartition(cores)
+    return df
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str = "events") -> DataFrame:
     """File-source STREAM over one catalog table with the same
     normalized schema the batch path produces.

@@ -134,9 +134,17 @@ def corpus_clean(
     dedup is ``exact_dedup_rows`` (min_by in one combine-friendly
     shuffle) instead of winners+semi-join (1.72 s -> 1.06 s, and 3
     shuffles -> 1 at scale where the winner set can't broadcast)."""
+    from hadoop_20_warehouse_fix_spark.catalog import fan_out_small_scan
     from hadoop_20_warehouse_fix_spark.functions.text import langscore_struct
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Small-input fan-out BEFORE the gate projection: the one-pass
+    # language/quality scoring is the most expensive per-row compute
+    # in the pipeline, and a corpus arriving as a few small files
+    # (bench scale; a freshly-compacted dev corpus) would run it on as
+    # many cores as there are input splits — measured round 7: the
+    # sf0.1 documents table is ONE split, serializing the whole gate
+    # stage on a 32-core box. No-op when the scan splits naturally.
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # Projection barrier: words materialized once per row (see
     # doc_shingle_sets), then ONE aggregate traversal scores all
     # languages + word lengths.
@@ -278,9 +286,10 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side shingle stream never shuffles its misses — only
     contamination-sized match rows reach the count. See
     operators.dedup.decontaminate for the physics."""
+    from hadoop_20_warehouse_fix_spark.catalog import fan_out_small_scan
     from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     evalset = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(train, evalset, "doc_id", "text", n=4).select(

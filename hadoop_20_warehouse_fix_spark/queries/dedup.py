@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.catalog import fan_out_small_scan, load_table
 from hadoop_20_warehouse_fix_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -74,7 +74,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index blocking (only pairs sharing a shingle are scored —
     lossless, since Jaccard > 0 ⇒ shared shingle). The oracle computes
     naive all-pairs; identical results prove the blocking is lossless."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        fan_out_small_scan(load_table(spark, sf_dir, "documents")),
+        "doc_id", "text", n=3, threshold=0.5,
+    )
 
 
 @query(
@@ -88,7 +91,8 @@ def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Oracle-identical to dedup_ngram_jaccard proves the filter
     is lossless."""
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5, prefix_filter=True
+        fan_out_small_scan(load_table(spark, sf_dir, "documents")),
+        "doc_id", "text", n=3, threshold=0.5, prefix_filter=True,
     )
 
 
@@ -106,7 +110,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pairs hugging the threshold, drop back to the exact
     dedup_ngram_* queries or accept S-curve recall."""
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=60, bands=20, threshold=0.5
+        fan_out_small_scan(load_table(spark, sf_dir, "documents")),
+        "doc_id", "text", n=3, num_hashes=60, bands=20, threshold=0.5,
     )
 
 
@@ -171,7 +176,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the ENTIRE construction bit-for-bit — the
     reproducible-fingerprint contract a multi-engine warehouse needs.
     Invariants additionally tested in tests/test_dedup.py."""
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+    return simhash_pairs(
+        fan_out_small_scan(load_table(spark, sf_dir, "documents")),
+        "doc_id", "text", max_hamming=3,
+    )
 
 
 @query(
@@ -218,7 +226,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE computes the transitive closure and must agree on every label."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     cc = connected_components(pairs).withColumnRenamed("id", "doc_id")
     return (
@@ -279,7 +287,7 @@ def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import ngram_jaccard_pairs_cross
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     corpus = docs.filter(F.col("doc_id") < 400)
     new = docs.filter(F.col("doc_id") >= 400)
     return ngram_jaccard_pairs_cross(new, corpus, "doc_id", "text", n=3, threshold=0.5)
@@ -427,5 +435,5 @@ def dedup_minhash_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     match (measured zero here)."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import dedup_minhash_survivors
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return dedup_minhash_survivors(docs, "doc_id", "text").select("doc_id")
