@@ -260,7 +260,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             scan = []  # (comp_idx, dc_table, ac_table)
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                idx = next(i for i, comp in enumerate(frame[2]) if comp[0] == cs)
+                matches = [i for i, comp in enumerate(frame[2]) if comp[0] == cs]
+                if not matches:
+                    raise ValueError(f"SOS references undefined component id {cs}")
+                idx = matches[0]
                 scan.append((idx, tdta >> 4, tdta & 0x0F))
             segs, pos = _split_entropy(data, pos + seglen)
             return _decode_scan(frame, scan, qt, huff, restart_interval, segs)

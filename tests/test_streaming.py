@@ -234,3 +234,59 @@ def test_stream_dedup_ingest_uses_and_updates_state(spark, tmp_path):
         for t in ("bands", "shingles", "meta", "tombstones", "ingest_log"):
             spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
         spark.catalog.clearCache()
+
+
+def test_stream_dedup_ingest_respects_tombstones(spark, tmp_path):
+    """Integration of the round-7 lifecycle: a corpus doc DELETED from
+    the LSH state (tombstone) must not suppress a new copy arriving in
+    the stream — the copy is effectively the doc's re-ingestion and
+    must land in the clean output (and back in the state)."""
+    from hadoop_20_warehouse_fix_spark.catalog import load_table
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        minhash_state_delete,
+        minhash_state_write,
+    )
+    from hadoop_20_warehouse_fix_spark.streaming import stream_dedup_ingest
+
+    corpus = load_table(spark, SF, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    state = "mh_state_stream_ts"
+    d = str(tmp_path / "landing_ts")
+    out_p, ckpt = str(tmp_path / "clean_ts"), str(tmp_path / "ckpt_ts")
+    try:
+        minhash_state_write(
+            corpus, "doc_id", "text", state, num_buckets=4,
+            path=str(tmp_path / "state_ts"),
+        )
+        # pick docs whose ONLY near-dup in the corpus is themselves (the
+        # testdata plants near-dup pairs; a copy of a paired doc would
+        # also match the pair's live partner and break the assertion)
+        from hadoop_20_warehouse_fix_spark.operators.dedup import ngram_jaccard_pairs
+
+        paired = set()
+        for row in ngram_jaccard_pairs(corpus, "doc_id", "text", 3, 0.5).collect():
+            paired.add(row.id_a)
+            paired.add(row.id_b)
+        lone = sorted(
+            r.doc_id for r in corpus.select("doc_id").collect() if r.doc_id not in paired
+        )
+        keep_id, gone_id = lone[0], lone[1]
+        kept_text = corpus.filter(F.col("doc_id") == keep_id).collect()[0].text
+        gone_text = corpus.filter(F.col("doc_id") == gone_id).collect()[0].text
+        minhash_state_delete(spark, state, [gone_id])
+        spark.createDataFrame(
+            [(50007, kept_text), (50008, gone_text)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(d)
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(d)
+        stream_dedup_ingest(sdf, "doc_id", "text", state, out_p, ckpt, threshold=0.5)
+        clean = {r.doc_id for r in spark.read.parquet(out_p).collect()}
+        # 50007 duplicates a LIVE corpus doc -> dropped; 50008 duplicates
+        # only a TOMBSTONED doc -> re-ingested as clean
+        assert clean == {50008}
+        state_ids = {r.id for r in spark.table(f"{state}_shingles").select("id").collect()}
+        assert 50008 in state_ids and 50007 not in state_ids
+    finally:
+        for t in ("bands", "shingles", "meta", "tombstones", "ingest_log"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
