@@ -186,10 +186,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     killing the task."""
     try:
         return _decode_jpeg_impl(data)
-    except (IndexError, KeyError, struct.error) as exc:
+    except (IndexError, KeyError, struct.error, ZeroDivisionError, OverflowError) as exc:
         # IndexError/struct.error: truncated segment or entropy data;
         # KeyError: the scan references a quant/Huffman table the
-        # (truncated) headers never defined.
+        # (truncated) headers never defined; ZeroDivision/Overflow:
+        # arithmetic on values a corrupt header lied about (the SOF
+        # validation catches the known shapes; this is the backstop).
         raise ValueError(f"corrupt/truncated JPEG: {exc!r}") from exc
 
 
@@ -233,10 +235,23 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             precision, height, width, nf = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG (pure decoder is 8-bit)")
+            # Round-7 fuzz hardening: a corrupt SOF can claim zero or
+            # implausible dimensions / sampling factors; believing it
+            # means divide-by-zero MCU grids or multi-GB allocations.
+            if height < 1 or width < 1 or not 1 <= nf <= 4:
+                raise ValueError(f"corrupt SOF: {width}x{height}, {nf} components")
+            if height * width > 100_000_000:
+                raise ValueError(
+                    f"JPEG dimensions {width}x{height} exceed the pure "
+                    "decoder's 100M-pixel cap (corrupt header, or use a library)"
+                )
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"corrupt SOF: sampling factors {h}x{v}")
+                comps.append((cid, h, v, tq))
             frame = (height, width, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(

@@ -25,6 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -54,6 +55,13 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = "media_id long, n_bytes long, byte_checksum long, features array<double>"
+
+# Allocation guard shared by the pure decoders (round-7 fuzz finding):
+# a corrupt header can claim implausible dimensions, and a decoder that
+# believes it attempts a multi-GB numpy allocation — a memory DoS from
+# one bad payload. 100M pixels (~300 MB decoded RGB) is far above any
+# payload this engine decodes in-container and still task-safe.
+_MAX_DECODE_PIXELS = 100_000_000
 
 
 _IMAGE_LIB: list | None = None  # lazy feature-detect cache: [module_kind] or []
@@ -139,6 +147,10 @@ def decode_image(payload: bytes):
             if via_lib is not None:
                 return via_lib
             raise
+        except (IndexError, struct.error) as exc:
+            # corrupt chunk structure (round-7 fuzz): the package-wide
+            # exception contract maps it to ValueError
+            raise ValueError(f"corrupt/truncated PNG: {exc}") from exc
     if data[:3] == b"\xff\xd8\xff":
         via_lib = _decode_with_library(data)  # native decode: the fast path
         if via_lib is not None:
@@ -249,6 +261,13 @@ def _decode_png(data: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
+    if w < 1 or h < 1:
+        raise ValueError("corrupt PNG IHDR: zero dimension")
+    if w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the pure decoder's "
+            f"{_MAX_DECODE_PIXELS}-pixel cap (corrupt header, or use a library)"
+        )
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if depth != 8 or channels is None or interlace != 0:
         raise NotImplementedError(

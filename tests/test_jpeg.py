@@ -246,7 +246,11 @@ def test_decoder_exception_contract_on_garbage():
     valid_wav = encode_wav(np.zeros(64), 8000)
     magics = [b"", b"\xff\xd8\xff", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"RIFF\x00\x00\x00\x00WAVE"]
 
-    @settings(max_examples=200, deadline=None)
+    # derandomize: the exploration already ran deep out-of-band (200k
+    # random payloads, zero escapes — SCALING.md round 7); the in-suite
+    # run replays a fixed derived corpus so the green bar is stable
+    # across machines and reruns.
+    @settings(max_examples=200, deadline=None, derandomize=True)
     @given(
         prefix=st.sampled_from(magics),
         junk=st.binary(min_size=0, max_size=64),
