@@ -1,0 +1,188 @@
+"""Pure-python MJPEG/AVI video container — the last modality made real.
+
+Round 7 closed images (baseline JPEG, :mod:`.jpeg`) and audio
+(RIFF/WAVE, :mod:`.audio`); this module closes video for the one
+container the two of them already pay for: AVI is RIFF (the same
+chunk grammar as WAV), and Motion-JPEG frames are baseline JPEGs.
+So an MJPEG .avi decodes in-container end-to-end with zero new
+codec machinery — container walk here, pixels from
+:func:`.jpeg.decode_jpeg`.
+
+Public formats only: the RIFF/AVI layout (Microsoft multimedia spec:
+``RIFF('AVI ') { LIST('hdrl'){ avih, LIST('strl'){ strh, strf } },
+LIST('movi'){ '00dc'... } }``) and the JPEG baseline process.
+Inter-coded video (H.264/VP9/AV1) stays library-gated, exactly like
+compressed audio — the sniff routes it onto the counted byte-slicing
+stand-in in :func:`sample_frames_real`.
+
+Exception contract as everywhere in this package: corrupt/truncated
+-> ValueError, recognized-but-unsupported -> NotImplementedError;
+nothing else escapes to the batch operators (fuzz-pinned).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_FRAMES = 100_000  # corrupt-header allocation guard (fuzz discipline)
+
+
+def parse_avi(data: bytes) -> dict:
+    """Walk an AVI's RIFF tree; return {width, height, usec_per_frame,
+    frames: [bytes, ...]} for video stream 0 ('00dc'/'00db' chunks)."""
+    try:
+        return _parse_avi_impl(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"corrupt/truncated AVI: {exc}") from exc
+
+
+def _parse_avi_impl(data: bytes) -> dict:
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta = {"width": None, "height": None, "usec_per_frame": None, "frames": []}
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + clen, end)
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list type fourcc
+            elif cid == b"avih" and clen >= 40:
+                meta["usec_per_frame"] = struct.unpack("<I", data[body_start : body_start + 4])[0]
+                meta["width"], meta["height"] = struct.unpack(
+                    "<II", data[body_start + 32 : body_start + 40]
+                )
+            elif cid in (b"00dc", b"00db"):
+                if len(meta["frames"]) >= _MAX_FRAMES:
+                    raise ValueError(f"AVI exceeds the {_MAX_FRAMES}-frame cap")
+                meta["frames"].append(data[body_start:body_end])
+            pos = body_start + clen + (clen & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    if not meta["frames"]:
+        raise ValueError("AVI contains no video frame chunks")
+    return meta
+
+
+def decode_avi_frames(data: bytes, indices: list[int] | None = None) -> list[np.ndarray]:
+    """Decode selected frames (default: all) of an MJPEG AVI to
+    (H, W, 3) uint8 arrays. Non-JPEG frame payloads (an inter-coded
+    codec in an AVI shell) raise NotImplementedError."""
+    from hadoop_20_warehouse_fix_spark.functions.jpeg import decode_jpeg
+
+    meta = parse_avi(data)
+    frames = meta["frames"]
+    out = []
+    for i in indices if indices is not None else range(len(frames)):
+        f = frames[i]
+        if f[:3] != b"\xff\xd8\xff":
+            raise NotImplementedError(
+                "AVI frame is not MJPEG (inter-coded codecs need a library)"
+            )
+        out.append(decode_jpeg(f))
+    return out
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10, quant: int = 8) -> bytes:
+    """Minimal spec-conformant MJPEG AVI writer (fixtures + sink path):
+    avih + one 'vids'/'MJPG' stream (strh + BITMAPINFOHEADER strf) +
+    a movi LIST of baseline-JPEG '00dc' chunks."""
+    from hadoop_20_warehouse_fix_spark.functions.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    payloads = [encode_jpeg(f, quant=quant) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    usec = 1_000_000 // max(fps, 1)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, 0, 0, 0x10, len(payloads), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads), 0, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _looks_like_avi(head: bytes) -> bool:
+    return len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"AVI "
+
+
+def sample_frames_real(media, n_frames: int = 4, observation=None):
+    """REAL frame sampling: MJPEG-AVI payloads get ``n_frames``
+    evenly-spaced frames DECODED to pixels and re-encoded as PPM
+    (deterministic, library-free); anything else — inter-coded video,
+    non-AVI containers, plain bytes — falls back to the byte-window
+    slicing of :func:`multimodal.sample_frames`, counted via
+    ``observation`` (``rows`` / ``decoded_rows`` /
+    ``sniffed_fallback_rows`` — the package observability contract).
+    Output schema matches the stand-in operator exactly
+    (media_id, frame_idx, frame)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import encode_ppm
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, frames_out, statuses = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                status = 0
+                decoded = None
+                if _looks_like_avi(b[:12]):
+                    try:
+                        meta = parse_avi(b)
+                        total = len(meta["frames"])
+                        picks = [min(i * total // n_frames, total - 1) for i in range(n_frames)]
+                        decoded = decode_avi_frames(b, picks)
+                        status = 1
+                    except (ValueError, NotImplementedError):
+                        decoded = None
+                        status = 2  # sniffed as video, undecodable
+                if decoded is not None:
+                    outs = [encode_ppm(arr) for arr in decoded]
+                else:
+                    step = max(len(b) // n_frames, 1)
+                    outs = [bytes(b[i * step : (i + 1) * step]) for i in range(n_frames)]
+                for i, fb in enumerate(outs):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    frames_out.append(fb)
+                    statuses.append(status)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames_out,
+                    "_status": pd.Series(statuses, dtype="int32"),
+                }
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, frame_idx int, frame binary, _status int"
+    )
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("_status") == 1).cast("long")).alias("decoded_rows"),
+            F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
+        )
+    return out.drop("_status")

@@ -1,0 +1,132 @@
+"""MJPEG/AVI video container tests (round 7 — the last modality).
+
+Same strategy as images/audio: the container parser pinned against a
+HAND-BUILT RIFF tree (chunks assembled with struct, frame payloads
+known), the writer via roundtrip through the pinned parser + the
+already-validated JPEG codec, the Spark operator end-to-end with the
+observability contract, and the decoder exception contract fuzzed."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hadoop_20_warehouse_fix_spark.functions.video import (
+    decode_avi_frames,
+    encode_avi_mjpeg,
+    parse_avi,
+)
+
+
+def _frames(n, h=16, w=16):
+    # flat frames at distinct analytic levels: frame i is all (40 + 10*i)
+    return [np.full((h, w, 3), 40 + 10 * i, dtype=np.uint8) for i in range(n)]
+
+
+def test_parse_handbuilt_avi_tree():
+    # hand-assembled RIFF('AVI ') with avih meta and two '00dc' chunks
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 100000, 0, 0, 0x10, 2, 0, 1, 0, 32, 24, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"FRAME_A") + chunk(b"00dc", b"FRAME_BB"))
+    body = b"AVI " + hdrl + movi
+    meta = parse_avi(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (meta["width"], meta["height"], meta["usec_per_frame"]) == (32, 24, 100000)
+    assert meta["frames"] == [b"FRAME_A", b"FRAME_BB"]
+
+
+def test_encode_decode_roundtrip_flat_frames():
+    frames = _frames(5)
+    avi = encode_avi_mjpeg(frames, fps=10, quant=1)
+    meta = parse_avi(avi)
+    assert len(meta["frames"]) == 5
+    assert (meta["width"], meta["height"], meta["usec_per_frame"]) == (16, 16, 100000)
+    decoded = decode_avi_frames(avi)
+    for i, arr in enumerate(decoded):
+        assert arr.shape == (16, 16, 3)
+        assert np.abs(arr.astype(int) - (40 + 10 * i)).max() <= 2  # quant=1 color bound
+
+
+def test_decode_selected_indices():
+    avi = encode_avi_mjpeg(_frames(10), quant=1)
+    picks = decode_avi_frames(avi, [0, 9])
+    assert np.abs(picks[0].astype(int) - 40).max() <= 2
+    assert np.abs(picks[1].astype(int) - 130).max() <= 2
+
+
+def test_rejects_non_avi_and_non_mjpeg():
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"plainly not a container")
+    # an AVI shell whose frame payload is not JPEG -> unsupported codec
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x00\x00h264ish"))
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        decode_avi_frames(avi)
+
+
+def test_parser_exception_contract_fuzz():
+    """Contract fuzz (derandomized, same discipline as test_jpeg):
+    garbage, truncations, and corruptions raise only
+    ValueError/NotImplementedError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = encode_avi_mjpeg(_frames(3), quant=8)
+
+    @settings(max_examples=150, deadline=None, derandomize=True)
+    @given(
+        junk=st.binary(min_size=0, max_size=48),
+        cut=st.integers(min_value=0, max_value=400),
+        base=st.sampled_from(["junk", "cut", "corrupt"]),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def fuzz(junk, cut, base, seed):
+        if base == "cut":
+            payload = valid[: max(12, len(valid) - cut)] + junk
+        elif base == "corrupt":
+            rng = np.random.default_rng(seed)
+            v = bytearray(valid)
+            for _ in range(3):
+                v[int(rng.integers(0, len(v)))] = int(rng.integers(0, 256))
+            payload = bytes(v)
+        else:
+            payload = b"RIFF\x00\x00\x00\x00AVI " + junk
+        try:
+            decode_avi_frames(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+    fuzz()
+
+
+def test_sample_frames_real_operator(spark):
+    from pyspark.sql import Observation
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import decode_image
+    from hadoop_20_warehouse_fix_spark.functions.video import sample_frames_real
+
+    avi = encode_avi_mjpeg(_frames(8), quant=1)
+    media = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not a video payload here"))],
+        "media_id long, payload binary",
+    )
+    obs = Observation("frame_paths")
+    out = sample_frames_real(media, n_frames=4, observation=obs)
+    rows = {(r.media_id, r.frame_idx): bytes(r.frame) for r in out.collect()}
+    assert len(rows) == 8  # 2 media x 4 frames
+    assert obs.get["rows"] == 8 and obs.get["decoded_rows"] == 4
+    assert obs.get["sniffed_fallback_rows"] == 0
+    # evenly spaced picks from 8 frames: indices 0,2,4,6 -> levels 40,60,80,100
+    for i, level in enumerate((40, 60, 80, 100)):
+        arr = decode_image(rows[(1, i)])  # frames come back as PPM pixels
+        assert np.abs(arr.astype(int) - level).max() <= 2, (i, level)
+    # the non-video payload got deterministic byte windows
+    assert rows[(2, 0)] == b"not a "
