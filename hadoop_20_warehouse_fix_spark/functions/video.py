@@ -31,7 +31,12 @@ _MAX_FRAMES = 100_000  # corrupt-header allocation guard (fuzz discipline)
 
 def parse_avi(data: bytes) -> dict:
     """Walk an AVI's RIFF tree; return {width, height, usec_per_frame,
-    frames: [bytes, ...]} for video stream 0 ('00dc'/'00db' chunks)."""
+    frames: [bytes, ...], audio: bytes, audio_fmt: bytes | None}.
+    ``frames`` are stream-0 video chunks ('00dc'/'00db'); ``audio`` is
+    the concatenated stream-1 '01wb' payload with ``audio_fmt`` the
+    'auds' strf body (a WAVEFORMAT(EX) — exactly the bytes a WAV
+    'fmt ' chunk carries, which is how :func:`demux_audio` reuses the
+    audio module's decoder)."""
     try:
         return _parse_avi_impl(data)
     except (IndexError, struct.error) as exc:
@@ -41,7 +46,12 @@ def parse_avi(data: bytes) -> dict:
 def _parse_avi_impl(data: bytes) -> dict:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
-    meta = {"width": None, "height": None, "usec_per_frame": None, "frames": []}
+    meta = {
+        "width": None, "height": None, "usec_per_frame": None,
+        "frames": [], "audio": b"", "audio_fmt": None,
+    }
+    audio_parts: list[bytes] = []
+    strl_types: list[bytes] = []  # per-stream fccType, in strl order
 
     def walk(pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -56,16 +66,46 @@ def _parse_avi_impl(data: bytes) -> dict:
                 meta["width"], meta["height"] = struct.unpack(
                     "<II", data[body_start + 32 : body_start + 40]
                 )
+            elif cid == b"strh" and clen >= 4:
+                strl_types.append(data[body_start : body_start + 4])
+            elif cid == b"strf" and strl_types and strl_types[-1] == b"auds":
+                meta["audio_fmt"] = data[body_start:body_end]
             elif cid in (b"00dc", b"00db"):
                 if len(meta["frames"]) >= _MAX_FRAMES:
                     raise ValueError(f"AVI exceeds the {_MAX_FRAMES}-frame cap")
                 meta["frames"].append(data[body_start:body_end])
+            elif cid == b"01wb":
+                audio_parts.append(data[body_start:body_end])
             pos = body_start + clen + (clen & 1)  # chunks are word-aligned
 
     walk(12, len(data))
-    if not meta["frames"]:
-        raise ValueError("AVI contains no video frame chunks")
+    meta["audio"] = b"".join(audio_parts)
+    if not meta["frames"] and not meta["audio"]:
+        raise ValueError("AVI contains no video or audio chunks")
     return meta
+
+
+def demux_audio(data: bytes):
+    """Extract an AVI's PCM soundtrack as (samples, sample_rate) —
+    the ASR-training-data path (pull speech out of video corpora).
+    Implementation is pure reuse: the 'auds' strf IS a WAV 'fmt '
+    body, so the demux rebuilds a minimal RIFF/WAVE shell around the
+    concatenated '01wb' chunks and hands it to
+    :func:`~..audio.decode_wav` — one decoder, two containers.
+    Raises ValueError when the AVI carries no audio stream."""
+    from hadoop_20_warehouse_fix_spark.functions.audio import decode_wav
+
+    meta = parse_avi(data)
+    if not meta["audio"] or meta["audio_fmt"] is None:
+        raise ValueError("AVI carries no audio stream")
+    fmt = meta["audio_fmt"]
+    raw = meta["audio"]
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt + (b"\x00" if len(fmt) & 1 else b"")
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
 def decode_avi_frames(data: bytes, indices: list[int] | None = None) -> list[np.ndarray]:
@@ -76,6 +116,8 @@ def decode_avi_frames(data: bytes, indices: list[int] | None = None) -> list[np.
 
     meta = parse_avi(data)
     frames = meta["frames"]
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
     out = []
     for i in indices if indices is not None else range(len(frames)):
         f = frames[i]
@@ -87,10 +129,18 @@ def decode_avi_frames(data: bytes, indices: list[int] | None = None) -> list[np.
     return out
 
 
-def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10, quant: int = 8) -> bytes:
+def encode_avi_mjpeg(
+    frames: list[np.ndarray],
+    fps: int = 10,
+    quant: int = 8,
+    audio: np.ndarray | None = None,
+    audio_rate: int = 8000,
+) -> bytes:
     """Minimal spec-conformant MJPEG AVI writer (fixtures + sink path):
     avih + one 'vids'/'MJPG' stream (strh + BITMAPINFOHEADER strf) +
-    a movi LIST of baseline-JPEG '00dc' chunks."""
+    a movi LIST of baseline-JPEG '00dc' chunks. ``audio`` (float
+    samples in [-1, 1], mono or (frames, channels)) adds a second
+    'auds' PCM16 stream — WAVEFORMATEX strf + one '01wb' chunk."""
     from hadoop_20_warehouse_fix_spark.functions.jpeg import encode_jpeg
 
     if not frames:
@@ -105,17 +155,37 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10, quant: int = 8) ->
         return chunk(b"LIST", ltype + body)
 
     usec = 1_000_000 // max(fps, 1)
+    n_streams = 1 if audio is None else 2
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
-        usec, 0, 0, 0x10, len(payloads), 0, 1, 0, w, h, 0, 0, 0, 0
+        usec, 0, 0, 0x10, len(payloads), 0, n_streams, 0, w, h, 0, 0, 0, 0
     )
     strh = (
         b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads), 0, 0, 0, 0)
         + struct.pack("<hhhh", 0, 0, w, h)
     )
     strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    audio_chunks = b""
+    if audio is not None:
+        s = np.asarray(audio, dtype=np.float64)
+        if s.ndim == 1:
+            s = s[:, None]
+        ch = s.shape[1]
+        pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2").reshape(-1).tobytes()
+        astrh = (
+            b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, audio_rate, 0, s.shape[0], 0, 0, 0, 0)
+            + struct.pack("<hhhh", 0, 0, 0, 0)
+        )
+        # WAVEFORMATEX: tag=1 (PCM), channels, rate, byte-rate, block, bits, cbSize
+        astrf = struct.pack(
+            "<HHIIHHH", 1, ch, audio_rate, audio_rate * ch * 2, ch * 2, 16, 0
+        )
+        strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+        audio_chunks = chunk(b"01wb", pcm)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads) + audio_chunks)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -177,6 +247,71 @@ def sample_frames_real(media, n_frames: int = 4, observation=None):
 
     out = media.select("media_id", "payload").mapInPandas(
         run, schema="media_id long, frame_idx int, frame binary, _status int"
+    )
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("_status") == 1).cast("long")).alias("decoded_rows"),
+            F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
+        )
+    return out.drop("_status")
+
+
+AUDIO_TRACK_SCHEMA = (
+    "media_id long, decoded boolean, sample_rate int, channels int, "
+    "duration_ms long, wav binary"
+)
+
+
+def extract_audio_track(media, observation=None):
+    """Demux each AVI payload's PCM soundtrack and return it as a
+    standalone WAV payload (media_id, decoded, sample_rate, channels,
+    duration_ms, wav) — the ASR-pipeline composition point: the output
+    ``wav`` column feeds :func:`~..audio.audio_features` (or any
+    downstream speech stage) directly, so video corpora become audio
+    corpora in one operator. Non-AVI / audio-less / non-PCM payloads
+    come back ``decoded=false`` with nulls, counted via ``observation``
+    (``rows`` / ``decoded_rows`` / ``sniffed_fallback_rows`` — the
+    package observability contract)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_fix_spark.functions.audio import encode_wav
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                status, vals = 0, (None, None, None, None)
+                if _looks_like_avi(b[:12]):
+                    try:
+                        samples, rate = demux_audio(b)
+                        vals = (
+                            int(rate),
+                            int(samples.shape[1]),
+                            int(samples.shape[0] * 1000 // max(rate, 1)),
+                            encode_wav(samples, rate),
+                        )
+                        status = 1
+                    except (ValueError, NotImplementedError):
+                        status = 2  # sniffed as AVI, no demuxable audio
+                rows.append((int(mid), status == 1, status, *vals))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "decoded", "_status", "sample_rate",
+                    "channels", "duration_ms", "wav",
+                ],
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id long, decoded boolean, _status int, sample_rate int, "
+            "channels int, duration_ms long, wav binary"
+        ),
     )
     if observation is not None:
         out = out.observe(

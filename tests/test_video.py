@@ -130,3 +130,57 @@ def test_sample_frames_real_operator(spark):
         assert np.abs(arr.astype(int) - level).max() <= 2, (i, level)
     # the non-video payload got deterministic byte windows
     assert rows[(2, 0)] == b"not a "
+
+
+def test_demux_audio_roundtrip():
+    """A/V mux-demux: the soundtrack written into the AVI comes back
+    bit-equivalent to a direct WAV roundtrip (same PCM16 path)."""
+    from hadoop_20_warehouse_fix_spark.functions.video import demux_audio
+
+    t = np.arange(4000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    avi = encode_avi_mjpeg(_frames(3), fps=10, quant=8, audio=tone, audio_rate=8000)
+    samples, rate = demux_audio(avi)
+    assert rate == 8000 and samples.shape == (4000, 1)
+    assert np.abs(samples[:, 0] - tone).max() <= 1.5 / 32768  # PCM16 bound
+    # frames still decode from the same container
+    assert len(decode_avi_frames(avi)) == 3
+    # an AVI without audio refuses the demux explicitly
+    with pytest.raises(ValueError, match="no audio"):
+        demux_audio(encode_avi_mjpeg(_frames(2)))
+
+
+def test_extract_audio_track_composes_with_audio_features(spark):
+    """The ASR-pipeline composition: video corpus -> extract_audio_track
+    -> audio_features, all in-container. The demuxed WAV payload rows
+    feed the audio operator unchanged; non-AVI payloads fall through
+    counted."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_fix_spark.functions.audio import audio_features
+    from hadoop_20_warehouse_fix_spark.functions.video import extract_audio_track
+
+    sq = np.tile([0.8, -0.8], 2000)  # 4000 samples at 4kHz = 1000 ms
+    avi = encode_avi_mjpeg(_frames(2), quant=8, audio=sq, audio_rate=4000)
+    silent = encode_avi_mjpeg(_frames(2), quant=8)  # video-only
+    media = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(silent)), (3, bytearray(b"not media"))],
+        "media_id long, payload binary",
+    )
+    obs = Observation("demux_paths")
+    tracks = extract_audio_track(media, observation=obs)
+    rows = {r.media_id: r for r in tracks.collect()}
+    assert obs.get["rows"] == 3 and obs.get["decoded_rows"] == 1
+    assert obs.get["sniffed_fallback_rows"] == 1  # the audio-less AVI
+    assert rows[1].decoded and rows[1].sample_rate == 4000
+    assert rows[1].duration_ms == 1000 and rows[1].channels == 1
+    assert not rows[2].decoded and not rows[3].decoded
+    # composition: the wav column IS an audio corpus
+    wav_media = tracks.filter("decoded").select(
+        "media_id", F.col("wav").alias("payload")
+    )
+    feats = {r.media_id: r for r in audio_features(wav_media).collect()}
+    assert feats[1].decoded and feats[1].sample_rate == 4000
+    assert feats[1].rms == pytest.approx(0.8, abs=2e-3)
+    assert feats[1].zero_crossing_rate == pytest.approx(1.0)
