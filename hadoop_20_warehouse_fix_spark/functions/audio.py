@@ -218,3 +218,46 @@ def audio_features(media, observation=None):
             F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
         )
     return feats.drop("_status")
+
+
+def stft_magnitudes(
+    samples: np.ndarray, frame: int = 256, hop: int = 128, window: str = "hann"
+) -> np.ndarray:
+    """Magnitude short-time Fourier transform — (n_frames, frame//2+1)
+    float64, vectorized numpy (stride-tricked framing + one batched
+    rfft). ``window="hann"`` (the textbook periodic Hann) or "rect".
+    The ASR front-end primitive: downstream mel/log compression are
+    cheap matrix ops on this output. Signals shorter than one frame
+    yield an empty (0, frame//2+1) array."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)  # channel-mean, matching audio_features
+    if frame < 2 or hop < 1:
+        raise ValueError(f"frame must be >= 2 and hop >= 1, got {frame}, {hop}")
+    if len(s) < frame:
+        return np.zeros((0, frame // 2 + 1))
+    n_frames = 1 + (len(s) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = s[idx]
+    if window == "hann":
+        frames = frames * (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame))
+    elif window != "rect":
+        raise ValueError(f"window must be 'hann' or 'rect', got {window!r}")
+    return np.abs(np.fft.rfft(frames, axis=1))
+
+
+def spectral_features(samples: np.ndarray, rate: int, frame: int = 256, hop: int = 128) -> dict:
+    """Clip-level spectral summary from the mean STFT magnitude:
+    dominant_freq_hz (peak bin), spectral_centroid_hz (magnitude-
+    weighted mean frequency). Deterministic, analytic on pure tones
+    (pytest-pinned: a bin-aligned sine's dominant bin is exact)."""
+    mag = stft_magnitudes(samples, frame, hop)
+    if mag.shape[0] == 0:
+        return {"dominant_freq_hz": None, "spectral_centroid_hz": None}
+    mean_mag = mag.mean(axis=0)
+    freqs = np.arange(len(mean_mag)) * rate / frame
+    total = mean_mag.sum()
+    return {
+        "dominant_freq_hz": float(freqs[int(mean_mag.argmax())]),
+        "spectral_centroid_hz": float((freqs * mean_mag).sum() / total) if total > 0 else None,
+    }

@@ -461,6 +461,89 @@ def image_features(media: DataFrame, observation=None) -> DataFrame:
     return feats.drop("_status")
 
 
+def dhash_image(payload: bytes) -> int:
+    """64-bit difference hash (dHash — the public perceptual-hash
+    recipe): decode, grayscale (channel mean), nearest-neighbor
+    downsample to 9x8, bit (y, x) = 1 iff px[y, x] > px[y, x+1].
+    Gradient-based, so it is EXACTLY invariant to global brightness
+    shifts (adding a constant preserves every comparison) and robust
+    to small recompression noise — the right fingerprint for
+    near-duplicate image detection, where byte hashes see nothing."""
+    import numpy as np
+
+    arr = decode_image(payload).astype(np.int32)
+    gray = arr.sum(axis=2)  # 3x channel mean — monotone equivalent, exact ints
+    h, w = gray.shape
+    yi = (np.arange(8) * h) // 8
+    xi = (np.arange(9) * w) // 9
+    small = gray[yi][:, xi]
+    bits = (small[:, :-1] > small[:, 1:]).flatten()  # 8 rows x 8 comparisons
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def image_dhash_bands(media: DataFrame, observation=None) -> DataFrame:
+    """Each decodable payload's dHash as (id, band0..band3) 16-bit
+    bands — the exact input shape of
+    :func:`~..operators.dedup.hamming_pairs_from_bands`, so IMAGE
+    near-dup pairs run on the same pigeonhole machinery as text
+    SimHash: ``hamming_pairs_from_bands(image_dhash_bands(media))``.
+    Undecodable payloads are dropped from the output (a fingerprint of
+    a failed decode would manufacture pairs) and counted via
+    ``observation`` (``rows`` / ``decoded_rows`` /
+    ``sniffed_fallback_rows``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                status = 0
+                bands = (None, None, None, None)
+                if b and _looks_like_image(b[:8]):
+                    try:
+                        v = dhash_image(b)
+                        bands = tuple((v >> (16 * i)) & 0xFFFF for i in range(4))
+                        status = 1
+                    except (ValueError, NotImplementedError):
+                        status = 2
+                rows.append((int(mid), status, *bands))
+            yield pd.DataFrame(
+                rows, columns=["id", "_status", "band0", "band1", "band2", "band3"]
+            )
+
+    feats = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="id long, _status int, band0 int, band1 int, band2 int, band3 int",
+    )
+    if observation is not None:
+        feats = feats.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("_status") == 1).cast("long")).alias("decoded_rows"),
+            F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
+        )
+    return feats.filter(F.col("_status") == 1).drop("_status")
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, observation=None
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints -> pigeonhole
+    banding -> Hamming verify (the text-SimHash physics applied to
+    pixels). Output (id_a, id_b, hamming). Scale shape identical to
+    ``simhash_pairs``: candidates from equality joins on 16-bit bands,
+    never an all-pairs comparison."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import hamming_pairs_from_bands
+
+    return hamming_pairs_from_bands(
+        image_dhash_bands(media, observation=observation), max_hamming
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests: wrap the documents table as fake media rows
     (text bytes as payload) so the multimodal plumbing has a

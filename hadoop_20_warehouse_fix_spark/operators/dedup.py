@@ -625,14 +625,26 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming (<= 3):
     by pigeonhole, such pairs agree on >= 1 of the 4 16-bit bands.
+    Physical form: :func:`hamming_pairs_from_bands` over the SimHash
+    fingerprint (round 7: extracted so ANY 64-bit band fingerprint —
+    e.g. image dHash, ``functions/multimodal.image_dhash_bands`` —
+    shares the same pair machinery)."""
+    return hamming_pairs_from_bands(
+        simhash_bands(df, id_col, text_col, token_hash=token_hash), max_hamming
+    )
 
-    Physical form: ONE equality self-join on exploded (band_index,
+
+def hamming_pairs_from_bands(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs at Hamming distance <= ``max_hamming`` (<= 3) over ANY
+    64-bit fingerprint presented as (id, band0..band3) 16-bit bands —
+    by pigeonhole such pairs agree exactly on >= 1 band, so candidates
+    come from ONE equality self-join on exploded (band_index,
     band_value) rows — not 4 unioned per-band joins, which would
-    evaluate the 64-aggregate signature subtree once per join side per
-    band (8x); the exploded form evaluates it twice (~40% faster at
-    sf0.1). Join key (bi, bv) is exact-match blocking; full band
-    vectors ride along for the Hamming verify."""
-    sh = simhash_bands(df, id_col, text_col, token_hash=token_hash)
+    evaluate the fingerprint subtree once per join side per band (8x);
+    the exploded form evaluates it twice (~40% faster at sf0.1). Join
+    key (bi, bv) is exact-match blocking; full band vectors ride along
+    for the Hamming verify. Works for any fingerprint with the band
+    layout: SimHash text sketches, image dHash, audio fingerprints."""
     bands = [f"band{i}" for i in range(4)]
     banded = sh.select(
         "id",

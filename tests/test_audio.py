@@ -137,3 +137,28 @@ def test_audio_features_operator(spark):
     assert r.peak == pytest.approx(32767 / 32768, abs=1e-6)
     assert not rows[2].decoded and rows[2].rms is None
     assert not rows[3].decoded
+
+
+def test_stft_pure_tone_hits_its_bin():
+    """Analytic: a sine at exactly bin k of the frame lands its energy
+    in bin k; dominant/centroid frequencies follow."""
+    from hadoop_20_warehouse_fix_spark.functions.audio import (
+        spectral_features,
+        stft_magnitudes,
+    )
+
+    rate, frame = 8000, 256
+    k = 16  # bin-aligned: f = k * rate / frame = 500 Hz
+    t = np.arange(8000) / rate
+    tone = np.sin(2 * np.pi * (k * rate / frame) * t)
+    mag = stft_magnitudes(tone, frame=frame, hop=128)
+    assert mag.shape == (1 + (8000 - frame) // 128, frame // 2 + 1)
+    assert (mag.argmax(axis=1) == k).all()  # every frame peaks at bin k
+    feats = spectral_features(tone, rate, frame=frame)
+    assert feats["dominant_freq_hz"] == pytest.approx(500.0)
+    assert feats["spectral_centroid_hz"] == pytest.approx(500.0, rel=0.02)
+    # too-short signal: empty frames, None features, no crash
+    from hadoop_20_warehouse_fix_spark.functions.audio import spectral_features as sf
+    assert sf(np.zeros(10), rate)["dominant_freq_hz"] is None
+    with pytest.raises(ValueError, match="window"):
+        stft_magnitudes(tone, window="blackman")

@@ -544,3 +544,43 @@ def test_image_features_real_pixels(spark):
     assert abs(r3.mean_rgb[0] - 99.0) <= 1  # quant=1 baseline roundtrip
     assert not rows[2].decoded and rows[2].width is None
     assert not rows[4].decoded
+
+
+def test_image_dhash_near_dup_pairs(spark):
+    """Image near-dup detection on the SimHash pair machinery: exact
+    copies pair at hamming 0, a global brightness shift pairs at
+    hamming 0 TOO (dHash is gradient-based — the analytic invariance),
+    and a structurally different image does not pair. Text payloads
+    never enter the fingerprint set (undecodable -> dropped+counted)."""
+    import numpy as np
+    from pyspark.sql import Observation
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        encode_ppm,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(30, 200, size=(32, 32, 3), dtype=np.uint8)
+    brighter = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    different = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(base))),
+            (2, bytearray(encode_ppm(base))),       # exact copy
+            (3, bytearray(encode_ppm(brighter))),   # brightness shift
+            (4, bytearray(encode_ppm(different))),
+            (5, bytearray(b"not an image at all")),
+        ],
+        "media_id long, payload binary",
+    )
+    obs = Observation("dhash_paths")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(media, max_hamming=3, observation=obs).collect()
+    }
+    assert obs.get["rows"] == 5 and obs.get["decoded_rows"] == 4
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0  # gradient invariance
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+    assert all(5 not in p for p in pairs)
