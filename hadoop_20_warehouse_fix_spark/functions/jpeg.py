@@ -272,6 +272,19 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns == 0:
+                raise ValueError("corrupt SOS: zero scan components")
+            if ns != len(frame[2]):
+                # Spec-legal non-interleaved baseline (one scan per
+                # component, T.81 §B.2.3) — the decoder below assumes ONE
+                # interleaved scan covering every frame component, so
+                # route these to a library instead of misparsing the
+                # entropy stream against the frame-wide MCU grid.
+                raise NotImplementedError(
+                    f"non-interleaved JPEG scan ({ns} of {len(frame[2])} "
+                    "components) — pure decoder is single-scan interleaved;"
+                    " install PIL/OpenCV"
+                )
             scan = []  # (comp_idx, dc_table, ac_table)
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -53,14 +53,25 @@ def _parse_avi_impl(data: bytes) -> dict:
     audio_parts: list[bytes] = []
     strl_types: list[bytes] = []  # per-stream fccType, in strl order
 
-    def walk(pos: int, end: int) -> None:
+    # Iterative DFS with an explicit stack (round-7 ADVICE: a crafted
+    # ~60KB AVI with deeply nested LISTs blew the Python recursion limit,
+    # escaping the (ValueError, NotImplementedError) contract). The stack
+    # holds (resume_pos, end) continuations; traversal order is identical
+    # to the recursive in-order walk, so strh/strf pairing and frame
+    # order are unchanged.
+    stack: list[tuple[int, int]] = [(12, len(data))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
             body_start = pos + 8
             body_end = min(body_start + clen, end)
             if cid == b"LIST":
-                walk(body_start + 4, body_end)  # skip the list type fourcc
+                # descend now, resume the current level's siblings later
+                stack.append((body_start + clen + (clen & 1), end))
+                pos, end = body_start + 4, body_end
+                continue
             elif cid == b"avih" and clen >= 40:
                 meta["usec_per_frame"] = struct.unpack("<I", data[body_start : body_start + 4])[0]
                 meta["width"], meta["height"] = struct.unpack(
@@ -78,7 +89,6 @@ def _parse_avi_impl(data: bytes) -> dict:
                 audio_parts.append(data[body_start:body_end])
             pos = body_start + clen + (clen & 1)  # chunks are word-aligned
 
-    walk(12, len(data))
     meta["audio"] = b"".join(audio_parts)
     if not meta["frames"] and not meta["audio"]:
         raise ValueError("AVI contains no video or audio chunks")

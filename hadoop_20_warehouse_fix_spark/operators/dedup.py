@@ -905,8 +905,26 @@ def minhash_state_delete(spark, state_name: str, ids) -> None:
             return  # nothing to tombstone (schema inference would fail anyway)
         ids = spark.createDataFrame([(i,) for i in ids], ["id"])
     bands_id_type = spark.table(f"{state_name}_bands").schema["id"].dataType
+    cast_ids = ids.select(
+        F.col("id").alias("_orig"), F.col("id").try_cast(bands_id_type).alias("id")
+    )
+    # Fail fast on lossy casts (round-7 ADVICE): an id incompatible with
+    # the state's id type (e.g. a non-numeric string against a long
+    # column) try_casts to NULL (a plain cast would abort the job with
+    # an opaque ANSI error), and NULL never matches in the probe's
+    # anti-join or the compaction filter — the deletion would silently
+    # be a no-op, which is exactly wrong for the takedown use case this
+    # function exists for. ids are small by contract, so the extra
+    # validation job is cheap.
+    bad = cast_ids.filter(F.col("id").isNull() & F.col("_orig").isNotNull()).count()
+    if bad:
+        raise ValueError(
+            f"minhash_state_delete: {bad} id(s) do not cast to the state's "
+            f"id type {bands_id_type.simpleString()} — deletion would "
+            "silently miss them"
+        )
     (
-        ids.select(F.col("id").cast(bands_id_type).alias("id"))
+        cast_ids.select("id")
         .distinct()
         .write.mode("append")
         .format("parquet")

@@ -33,13 +33,15 @@ Exactly-once analysis (the honest version): the parquet outputs are
 exactly-once (dynamic overwrite by batch id); the ledger makes a
 replayed batch a full no-op. The one non-atomic seam is a crash
 between steps 4 and 5 — the replay then re-appends the batch's rows
-to the state. That is AT-LEAST-ONCE state with idempotent SEMANTICS:
-duplicate state rows only widen the candidate set (the probe
-``distinct``s candidates and exact-verifies every pair), they can
-never change a verdict, and the next ``minhash_state_compact`` can
-fold them away. A transactional state table would need an external
-catalog; the reference accepted the same seam in its
-rerun-the-batch-job recovery model.
+to the state, and the replayed probe sees the batch's OWN rows as
+corpus rows. Two properties make that harmless: the probe filters
+self-pairs (``id_a != id_b`` — a doc is never its own cross-corpus
+duplicate), and the remaining duplicate state rows only widen the
+candidate set (the probe ``distinct``s candidates and exact-verifies
+every pair), so they cannot change a verdict; the next
+``minhash_state_compact`` folds them away. A transactional state
+table would need an external catalog; the reference accepted the
+same seam in its rerun-the-batch-job recovery model.
 """
 
 from __future__ import annotations
@@ -85,9 +87,14 @@ def stream_dedup_ingest(
         )
         local_losers = local_pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = batch.join(local_losers, id_col, "left_anti")
+        # Self-pair guard (round-7 ADVICE): on replay after a crash
+        # between state-append (step 4) and ledger-write (step 5), the
+        # batch's own rows are already IN the state, so without this
+        # filter every survivor matches itself at jaccard 1.0 and the
+        # whole batch is mislabeled a "corpus" duplicate.
         cross = minhash_lsh_pairs_incremental(
             survivors, id_col, text_col, state_name, threshold
-        )
+        ).filter(F.col("id_a") != F.col("id_b"))
         corpus_dups = cross.select(F.col("id_b").alias(id_col)).distinct()
         clean = survivors.join(corpus_dups, id_col, "left_anti").persist()
         (

@@ -1239,6 +1239,37 @@ def test_minhash_state_delete_tombstones_probe_and_compaction(spark, tmp_path):
         spark.catalog.clearCache()
 
 
+def test_minhash_state_delete_rejects_uncastable_ids(spark, tmp_path):
+    """Round-7 ADVICE: an id that doesn't cast to the state's id type
+    (e.g. a non-numeric string against a long id column) used to become
+    NULL — and NULL never matches the probe's anti-join or the
+    compaction filter, so the takedown was silently a no-op. It must
+    raise instead, and write no tombstones for the failed call."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        minhash_state_delete,
+        minhash_state_write,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    state = "mh_state_badcast"
+    try:
+        minhash_state_write(
+            docs.filter(F.col("doc_id") < 20), "doc_id", "text", state,
+            num_buckets=2, path=str(tmp_path / "state"),
+        )
+        with pytest.raises(ValueError, match="do not cast"):
+            minhash_state_delete(spark, state, ["takedown-req-123", "5"])
+        # the failed call left nothing half-written
+        assert not spark.catalog.tableExists(f"{state}_tombstones")
+        # losslessly-castable ids are still accepted (numeric string -> long)
+        minhash_state_delete(spark, state, ["5"])
+        assert {r.id for r in spark.table(f"{state}_tombstones").collect()} == {5}
+    finally:
+        for t in ("bands", "shingles", "meta", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
+
+
 def test_minhash_state_compact_preserves_probe_and_drops_files(spark, tmp_path):
     """Round-5 brief #5: repeated appends accumulate one file set per
     batch per bucket; compaction rewrites each state table to ~one file

@@ -103,6 +103,22 @@ def test_decode_rejects_progressive():
         decode_jpeg(bytes(data))
 
 
+def test_decode_rejects_non_interleaved_scan():
+    """Round-7 ADVICE: a spec-legal non-interleaved baseline JPEG (one
+    scan per component, T.81 §B.2.3) was decoded as if interleaved —
+    silently wrong pixels. ns != frame-component-count must refuse with
+    NotImplementedError (route to a library), ns == 0 is corrupt."""
+    data = bytearray(encode_jpeg(np.full((16, 16, 3), 90, dtype=np.uint8), quant=1))
+    idx = data.index(b"\xff\xda")
+    assert data[idx + 4] == 3  # interleaved 3-component scan as written
+    data[idx + 4] = 1  # claim a one-component scan against a 3-comp frame
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bytes(data))
+    data[idx + 4] = 0
+    with pytest.raises(ValueError, match="zero scan components"):
+        decode_jpeg(bytes(data))
+
+
 def test_zigzag_order_is_the_spec_table():
     # first and last few entries of the T.81 zigzag scan
     assert _ZZ[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]

@@ -236,6 +236,66 @@ def test_stream_dedup_ingest_uses_and_updates_state(spark, tmp_path):
         spark.catalog.clearCache()
 
 
+def test_stream_dedup_ingest_replay_after_state_append_crash(spark, tmp_path):
+    """Round-7 ADVICE: the one non-atomic seam is a crash between
+    state-append (step 4) and ledger-write (step 5). On replay the
+    batch's own rows are already IN the state, so without the
+    self-pair guard every survivor matched ITSELF at jaccard 1.0 —
+    clean became empty and (with dup_path set) the dup partition was
+    dynamically overwritten, mislabeling every survivor as a 'corpus'
+    duplicate. The replay must reproduce the original outputs."""
+    from hadoop_20_warehouse_fix_spark.catalog import load_table
+    from hadoop_20_warehouse_fix_spark.operators.dedup import minhash_state_write
+    from hadoop_20_warehouse_fix_spark.streaming import stream_dedup_ingest
+
+    corpus = load_table(spark, SF, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    corpus_text = corpus.filter(F.col("doc_id") == 5).collect()[0].text
+    fresh = " ".join(f"crashw{i}" for i in range(30))
+    state = "mh_state_crash"
+    d = str(tmp_path / "landing_crash")
+    out_p, dup_p = str(tmp_path / "clean_crash"), str(tmp_path / "dup_crash")
+    try:
+        minhash_state_write(
+            corpus, "doc_id", "text", state, num_buckets=4,
+            path=str(tmp_path / "state_crash"),
+        )
+        spark.createDataFrame(
+            [(30000, corpus_text), (30001, fresh)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+        def drain(ckpt):
+            sdf = spark.readStream.schema("doc_id long, text string").parquet(d)
+            stream_dedup_ingest(
+                sdf, "doc_id", "text", state, out_p, ckpt,
+                threshold=0.5, dup_path=dup_p,
+            )
+
+        drain(str(tmp_path / "ckpt_crash_1"))
+        want_clean = {r.doc_id for r in spark.read.parquet(out_p).collect()}
+        want_dups = {(r.doc_id, r.reason) for r in spark.read.parquet(dup_p).collect()}
+        assert want_clean == {30001}
+        assert want_dups == {(30000, "corpus")}
+        # simulate the crash seam: state holds batch 0's survivors (the
+        # append ran), but the ledger write never happened — then replay
+        # from a fresh checkpoint so foreachBatch re-fires batch 0.
+        log_t = f"{state}_ingest_log"
+        spark.createDataFrame([], "batch_id long").write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(log_t)
+        drain(str(tmp_path / "ckpt_crash_2"))
+        assert {r.doc_id for r in spark.read.parquet(out_p).collect()} == want_clean
+        assert {
+            (r.doc_id, r.reason) for r in spark.read.parquet(dup_p).collect()
+        } == want_dups
+        assert sorted(r.batch_id for r in spark.table(log_t).collect()) == [0]
+    finally:
+        for t in ("bands", "shingles", "meta", "tombstones", "ingest_log"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
+
+
 def test_stream_dedup_ingest_respects_tombstones(spark, tmp_path):
     """Integration of the round-7 lifecycle: a corpus doc DELETED from
     the LSH state (tombstone) must not suppress a new copy arriving in

@@ -72,6 +72,23 @@ def test_rejects_non_avi_and_non_mjpeg():
         decode_avi_frames(avi)
 
 
+def test_deeply_nested_lists_do_not_blow_the_stack():
+    """Round-7 ADVICE: a crafted ~60KB AVI with thousands of nested
+    LIST chunks raised RecursionError through the recursive walk —
+    escaping the (ValueError, NotImplementedError) contract and killing
+    the Spark task. The walk is now an explicit-stack loop; deep
+    nesting must parse (or refuse) like any other payload."""
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    inner = chunk(b"00dc", b"FRAME_X")
+    for _ in range(5000):  # ~60KB of pure nesting, >> the recursion limit
+        inner = chunk(b"LIST", b"junk" + inner)
+    body = b"AVI " + inner
+    meta = parse_avi(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert meta["frames"] == [b"FRAME_X"]  # in-order traversal unchanged
+
+
 def test_parser_exception_contract_fuzz():
     """Contract fuzz (derandomized, same discipline as test_jpeg):
     garbage, truncations, and corruptions raise only
@@ -85,7 +102,7 @@ def test_parser_exception_contract_fuzz():
     @given(
         junk=st.binary(min_size=0, max_size=48),
         cut=st.integers(min_value=0, max_value=400),
-        base=st.sampled_from(["junk", "cut", "corrupt"]),
+        base=st.sampled_from(["junk", "cut", "corrupt", "nest"]),
         seed=st.integers(min_value=0, max_value=10_000),
     )
     def fuzz(junk, cut, base, seed):
@@ -97,6 +114,16 @@ def test_parser_exception_contract_fuzz():
             for _ in range(3):
                 v[int(rng.integers(0, len(v)))] = int(rng.integers(0, 256))
             payload = bytes(v)
+        elif base == "nest":
+            # deep LIST nesting around junk, possibly truncated (the
+            # round-7 ADVICE RecursionError class)
+            inner = junk
+            for _ in range(1500 + seed % 1500):
+                inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"junk" + inner
+            body = b"AVI " + inner
+            payload = (b"RIFF" + struct.pack("<I", len(body)) + body)[
+                : max(12, len(body) + 8 - cut)
+            ]
         else:
             payload = b"RIFF\x00\x00\x00\x00AVI " + junk
         try:
