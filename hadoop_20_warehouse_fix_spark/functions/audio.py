@@ -261,3 +261,130 @@ def spectral_features(samples: np.ndarray, rate: int, frame: int = 256, hop: int
         "dominant_freq_hz": float(freqs[int(mean_mag.argmax())]),
         "spectral_centroid_hz": float((freqs * mean_mag).sum() / total) if total > 0 else None,
     }
+
+
+def audio_fingerprint(
+    samples: np.ndarray,
+    rate: int,
+    n_time: int = 8,
+    n_bands: int = 9,
+    fmin: float = 100.0,
+    fmax: float = 2000.0,
+    frame_ms: int = 64,
+) -> int:
+    """64-bit spectral fingerprint — the audio member of the near-dup
+    matrix: an (8 time-segments x 9 log-spaced-bands) energy grid, bit
+    (t, b) = 1 iff band b's energy exceeds segment t's MEAN band energy
+    (b = 0..7; band 8 contributes to the mean only). The
+    energy-comparison-sign idea is Haitsma & Kalker 2002 ("A Highly
+    Robust Audio Fingerprinting System", public); the mean-reference
+    form (rather than adjacent-band differences) keeps discrimination
+    on SPARSE tonal spectra, where empty guard bands make adjacent
+    comparisons blind to amplitude ordering. Collapsing to one 64-bit
+    clip hash makes it a drop-in for
+    :func:`~..operators.dedup.hamming_pairs_from_bands`.
+
+    Invariances (pytest-pinned, analytic):
+    - GAIN: exact — scaling the signal scales every grid cell by the
+      same factor, preserving every comparison (the +40-brightness
+      analog of dHash).
+    - RESAMPLE: approximate — the frame length is a fixed DURATION
+      (``frame_ms``), so STFT bins map to absolute Hz at any sample
+      rate, and band edges are Hz; time segments are relative. fmax
+      must stay under the lower Nyquist for this to hold.
+
+    Raises ValueError for clips too short to fill every time segment
+    with at least one STFT frame (a fingerprint of silence-padding
+    would manufacture pairs — callers drop + count, the
+    ``image_dhash_bands`` discipline)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)
+    if rate < 1:
+        raise ValueError(f"sample rate must be >= 1, got {rate}")
+    frame = max(int(round(rate * frame_ms / 1000.0)), 2)
+    hop = max(frame // 2, 1)
+    mag = stft_magnitudes(s, frame=frame, hop=hop)
+    n_frames = mag.shape[0]
+    if n_frames < n_time:
+        raise ValueError(
+            f"clip too short to fingerprint: {n_frames} STFT frames < "
+            f"{n_time} time segments"
+        )
+    energy = mag**2
+    # log-spaced band edges in absolute Hz; bin k sits at k*rate/frame Hz
+    edges = fmin * (fmax / fmin) ** (np.arange(n_bands + 1) / n_bands)
+    bin_hz = np.arange(mag.shape[1]) * rate / frame
+    band_of_bin = np.searchsorted(edges, bin_hz, side="right") - 1
+    in_range = (band_of_bin >= 0) & (band_of_bin < n_bands)
+    seg_of_frame = np.arange(n_frames) * n_time // n_frames
+    # two indicator matmuls (BLAS) instead of scatter-adds:
+    # grid[t, b] = sum over frames in segment t, bins in band b
+    band_ind = band_of_bin[in_range][:, None] == np.arange(n_bands)[None, :]
+    seg_ind = seg_of_frame[:, None] == np.arange(n_time)[None, :]
+    grid = seg_ind.T.astype(np.float64) @ (energy[:, in_range] @ band_ind)
+    # bit (t, b): band b above segment t's mean band energy (b < n_bands-1)
+    row_sum = grid.sum(axis=1, keepdims=True)
+    bits = (grid[:, :-1] * n_bands > row_sum).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def audio_fingerprint_bands(media, observation=None):
+    """Each decodable WAV payload's fingerprint as (id, band0..band3)
+    16-bit bands — the exact input shape of
+    :func:`~..operators.dedup.hamming_pairs_from_bands`, completing the
+    near-dup matrix text/image/AUDIO on ONE pair engine. Undecodable
+    or too-short payloads are dropped (no fingerprint, no manufactured
+    pairs) and counted via ``observation`` (``rows`` / ``decoded_rows``
+    / ``sniffed_fallback_rows``)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                status = 0
+                bands = (None, None, None, None)
+                if _looks_like_wav(b[:12]):
+                    try:
+                        samples, rate = decode_wav(b)
+                        v = audio_fingerprint(samples, rate)
+                        bands = tuple((v >> (16 * i)) & 0xFFFF for i in range(4))
+                        status = 1
+                    except (ValueError, NotImplementedError):
+                        status = 2
+                rows.append((int(mid), status, *bands))
+            yield pd.DataFrame(
+                rows, columns=["id", "_status", "band0", "band1", "band2", "band3"]
+            )
+
+    feats = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="id long, _status int, band0 int, band1 int, band2 int, band3 int",
+    )
+    if observation is not None:
+        feats = feats.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("_status") == 1).cast("long")).alias("decoded_rows"),
+            F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
+        )
+    return feats.filter(F.col("_status") == 1).drop("_status")
+
+
+def audio_near_dup_pairs(media, max_hamming: int = 3, observation=None):
+    """Audio near-duplicate pairs: spectral fingerprints -> pigeonhole
+    banding -> Hamming verify — the text-SimHash / image-dHash physics
+    applied to sound. Output (id_a, id_b, hamming); candidates come
+    from equality joins on 16-bit bands, never an all-pairs compare."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import hamming_pairs_from_bands
+
+    return hamming_pairs_from_bands(
+        audio_fingerprint_bands(media, observation=observation), max_hamming
+    )

@@ -162,3 +162,68 @@ def test_stft_pure_tone_hits_its_bin():
     assert sf(np.zeros(10), rate)["dominant_freq_hz"] is None
     with pytest.raises(ValueError, match="window"):
         stft_magnitudes(tone, window="blackman")
+
+
+def test_audio_fingerprint_invariances_and_discrimination():
+    """Round-8 brief #2: the spectral fingerprint's analytic contract.
+    Gain scaling is EXACTLY invariant (energy comparisons scale
+    together — the dHash +40-brightness analog); resampling moves the
+    hash by at most a few bits (fixed-duration frames -> absolute-Hz
+    bands); a clip with the opposite band-energy ordering differs in
+    most bits; too-short clips refuse."""
+    from hadoop_20_warehouse_fix_spark.functions.audio import audio_fingerprint
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate  # 2 s
+    # band-center tones with strictly decreasing amplitudes -> robust
+    # comparison signs (energies well separated between bands)
+    freqs = [120, 240, 480, 900, 1600]
+    amps = [1.0, 0.7, 0.5, 0.35, 0.2]
+    clip = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+    rev = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, reversed(amps)))
+
+    v = audio_fingerprint(clip, rate)
+    assert v == audio_fingerprint(0.25 * clip, rate)  # gain: exact
+    resampled = resample_linear(clip, rate, 6000)
+    d_resample = bin(v ^ audio_fingerprint(resampled, 6000)).count("1")
+    assert d_resample <= 3, d_resample
+    d_rev = bin(v ^ audio_fingerprint(rev, rate)).count("1")
+    assert d_rev > 10, d_rev  # different spectral shape: far away
+    with pytest.raises(ValueError, match="too short"):
+        audio_fingerprint(np.zeros(100), rate)
+
+
+def test_audio_near_dup_pairs_operator(spark):
+    """End-to-end on the shared Hamming band machinery: original +
+    gain-shifted copy pair at hamming 0, resampled copy pairs under
+    the threshold, a different clip stays unpaired, non-WAV payloads
+    are dropped and counted."""
+    from pyspark.sql import Observation
+
+    from hadoop_20_warehouse_fix_spark.functions.audio import audio_near_dup_pairs
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    freqs = [120, 240, 480, 900, 1600]
+    amps = [1.0, 0.7, 0.5, 0.35, 0.2]
+    clip = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+    other = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, reversed(amps)))
+    rows = [
+        (1, bytearray(encode_wav(clip, rate))),
+        (2, bytearray(encode_wav(0.5 * clip, rate))),  # gain-shifted copy
+        (3, bytearray(encode_wav(resample_linear(clip, rate, 6000), 6000))),
+        (4, bytearray(encode_wav(other, rate))),
+        (5, bytearray(b"not audio at all")),  # never sniffs as WAV
+        (6, bytearray(encode_wav(np.zeros(100), rate))),  # too short to fingerprint
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    obs = Observation("audio_fp")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_near_dup_pairs(media, max_hamming=3, observation=obs).collect()
+    }
+    assert obs.get["rows"] == 6 and obs.get["decoded_rows"] == 4
+    assert obs.get["sniffed_fallback_rows"] == 1  # the too-short WAV
+    assert pairs[(1, 2)] == 0  # exact gain invariance
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3  # resample near-dup
+    assert not any(4 in p or 5 in p or 6 in p for p in pairs)
