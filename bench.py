@@ -45,8 +45,41 @@ def _wait_for_quiet(
     }
 
 
+def _own_cpu_seconds() -> float | None:
+    """Cumulative CPU seconds of this process AND its descendants (the
+    py4j-spawned JVM is a live child, so RUSAGE_CHILDREN — reaped
+    children only — would miss all executor work). Linux /proc walk;
+    None where /proc is unavailable."""
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+        stats = {}  # pid -> (ppid, utime+stime ticks)
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as fh:
+                    raw = fh.read()
+            except OSError:
+                continue  # process exited mid-walk
+            # field 2 (comm) may contain spaces; parse after the last ')'
+            rest = raw.rsplit(")", 1)[1].split()
+            stats[int(entry)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        mine = {os.getpid()}
+        grew = True
+        while grew:  # transitive closure over the ppid tree
+            grew = False
+            for pid, (ppid, _) in stats.items():
+                if ppid in mine and pid not in mine:
+                    mine.add(pid)
+                    grew = True
+        return sum(stats[p][1] for p in mine if p in stats) / tick
+    except Exception:  # noqa: BLE001 — diagnostics must never kill the bench
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    bench_t0 = time.monotonic()
     from hadoop_20_warehouse_fix_spark.queries import load_all
     from hadoop_20_warehouse_fix_spark.session import build_session
 
@@ -198,6 +231,31 @@ def main() -> None:
         "load_gate": gate,
         "runs": run_counts,
     }
+    # End-load accounting (round-7 verdict "what's wrong" #1: the gate
+    # only checked load at START; r7's box went 2.88 -> 5.97 DURING the
+    # run and the driver artifact read 25% above the same-code quiet-box
+    # number). Estimate the bench's OWN average core usage from the
+    # process tree's cumulative CPU over the bench wall, subtract it
+    # from the end 1-min loadavg, and caveat when the residual —
+    # other people's work — exceeds the gate threshold.
+    own_cpu = _own_cpu_seconds()
+    wall = time.monotonic() - bench_t0
+    load_end = os.getloadavg()[0]
+    if own_cpu is not None and wall > 0:
+        own_avg_cores = round(own_cpu / wall, 2)
+        ambient_end = round(max(0.0, load_end - own_avg_cores), 2)
+        payload["load_end"] = {
+            "load_1min": round(load_end, 2),
+            "own_avg_cores": own_avg_cores,
+            "ambient_estimate": ambient_end,
+        }
+        if gate["satisfied"] and ambient_end >= gate["threshold"]:
+            payload["caveat"] = (
+                f"box loaded up DURING the run: end 1-min loadavg {load_end:.2f}"
+                f" minus our own ~{own_avg_cores} avg cores leaves ambient "
+                f"~{ambient_end} >= gate {gate['threshold']} — totals are "
+                "load-confounded despite the satisfied start gate"
+            )
     if not gate["satisfied"]:
         payload["caveat"] = (
             f"ambient 1-min loadavg {gate['load_at_start']} never dropped below "

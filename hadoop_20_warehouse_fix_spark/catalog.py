@@ -134,6 +134,77 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark size conf ("128MB", "4194304b", "33554432") to bytes."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    num, mult = raw, 1
+    for suffix in ("kb", "mb", "gb", "tb", "b", "k", "m", "g", "t"):
+        if raw.endswith(suffix):
+            num, mult = raw[: -len(suffix)], units[suffix[0]]
+            break
+    try:
+        return int(float(num) * mult)
+    except ValueError:
+        return default
+
+
+def estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many partitions a file scan will plan WITHOUT
+    converting the plan through the RDD path (round-7 review: the old
+    ``df.rdd.getNumPartitions()`` probe analyzed the whole plan through
+    the Python RDD conversion on every flagship-query build). This
+    replays Spark's own public split-planning arithmetic
+    (``FilePartition.maxSplitBytes`` + ``getFilePartitions``'s greedy
+    bin-fill): bytesPerCore = (totalSize + files*openCost)/
+    defaultParallelism; maxSplit = min(maxPartitionBytes, max(openCost,
+    bytesPerCore)); files chopped into maxSplit pieces, sorted
+    size-descending, packed while currentSize + split <= maxSplit with
+    openCost charged per split. Returns None when the inputs aren't
+    driver-listable local files (this catalog's local-path contract —
+    same posture as ``stream_table``'s isdir probe); callers treat
+    unknown as "big enough", the right default for a remote FS."""
+
+    import os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    spark = df.sparkSession
+    sizes = []
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            sizes.append(os.path.getsize(p.path or f))
+        except OSError:
+            return None
+    open_cost = _size_conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    mpb = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    cores = spark.sparkContext.defaultParallelism
+    bytes_per_core = (sum(sizes) + open_cost * len(sizes)) / max(cores, 1)
+    max_split = min(mpb, max(open_cost, bytes_per_core))
+    splits: list[int] = []
+    for sz in sizes:
+        while sz > max_split:
+            splits.append(int(max_split))
+            sz -= max_split
+        splits.append(int(sz))
+    splits.sort(reverse=True)
+    parts, cur = 0, 0
+    for s in splits:
+        if cur + s > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += s + open_cost
+    return parts + (1 if cur > 0 else 0) or 1
+
+
 def fan_out_small_scan(df: DataFrame, min_fraction_of_cores: float = 0.5) -> DataFrame:
     """Round-robin fan-out for a scan that yields fewer partitions than
     the cluster has cores to spend — the NLineInputFormat idea
@@ -146,10 +217,14 @@ def fan_out_small_scan(df: DataFrame, min_fraction_of_cores: float = 0.5) -> Dat
     parallelism for the projection. A no-op whenever the scan already
     carries enough splits — at 100 TB the condition never fires, so
     this is purely the small-corpus/dev-scale ergonomic, costing
-    nothing where the data is big enough to split naturally."""
+    nothing where the data is big enough to split naturally. The split
+    probe is a driver-side file listing (:func:`estimate_scan_partitions`
+    — no RDD-path plan conversion, no job); unknown layouts (remote FS,
+    non-file relations) are treated as big and left alone."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(int(cores * min_fraction_of_cores), 1):
+    est = estimate_scan_partitions(df)
+    if est is not None and est < max(int(cores * min_fraction_of_cores), 1):
         return df.repartition(cores)
     return df
 

@@ -257,3 +257,39 @@ def test_badrecords_engines_agree_on_null_and_typed_values(spark):
         ]
     assert outs["pandas"] == outs["python_row"]
     assert outs["pandas"] == ["2.0|2000|3", "null-x", "6.0|2001|3"]
+
+
+def test_fan_out_small_scan_probe_and_equality(spark, tmp_path):
+    """Round-7 review nit: the fan-out probe must not convert the plan
+    through the RDD path. The file-listing estimate must (a) fan a
+    single small file out to full core width, (b) leave a many-split
+    scan alone, (c) never change results, and (d) report None (treated
+    as big -> no-op) for non-file relations."""
+    from hadoop_20_warehouse_fix_spark.catalog import (
+        estimate_scan_partitions,
+        fan_out_small_scan,
+    )
+
+    src = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    small = str(tmp_path / "one_small_file")
+    src.coalesce(1).write.parquet(small)
+    df = spark.read.parquet(small)
+    cores = spark.sparkContext.defaultParallelism
+    assert estimate_scan_partitions(df) == 1
+    fanned = fan_out_small_scan(df)
+    # the fan-out is a repartition to core width (RDD probe is test-side only)
+    assert fanned.rdd.getNumPartitions() == cores
+    assert sorted(map(tuple, fanned.collect())) == sorted(map(tuple, src.collect()))
+    # a relation with no files (in-memory range) probes None -> no-op
+    mem = spark.range(10)
+    assert estimate_scan_partitions(mem) is None
+    assert fan_out_small_scan(mem) is mem
+    # many-files case: enough natural splits -> untouched plan object
+    many = str(tmp_path / "many_files")
+    src.repartition(max(cores, 2)).write.parquet(many)
+    df_many = spark.read.parquet(many)
+    est = estimate_scan_partitions(df_many)
+    assert est is not None and est >= max(cores, 2) // 2
+    assert fan_out_small_scan(df_many) is df_many
