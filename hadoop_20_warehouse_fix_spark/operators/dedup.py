@@ -962,6 +962,73 @@ def _table_file_count(spark, table: str) -> int:
     return spark.table(table).select(F.input_file_name().alias("f")).distinct().count()
 
 
+def compact_bucketed_table(
+    spark,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    tomb_ids: DataFrame | None = None,
+    tomb_col: str = "id",
+) -> tuple[int, int]:
+    """The shared bucketed-table compaction engine (round 8: factored
+    out of :func:`minhash_state_compact` so the IVF index state can
+    reuse it verbatim): rewrite ``table`` in one pass, repartitioned to
+    align shuffle partitions with bucket ids (one writer task per
+    bucket -> ~one file per bucket), filtering out ``tomb_ids`` (joined
+    on ``tomb_col``) — then swap into the catalog name via rename-aside
+    alternating between two stable locations. Returns (files_before,
+    files_after). All crash-recovery and location-ping-pong semantics
+    as documented on :func:`minhash_state_compact`."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+
+    before = _table_file_count(spark, table)
+    loc = _table_location(spark, table)
+    # Alternate between TWO stable locations so repeated compactions
+    # ping-pong <base>__a <-> <base>__b instead of growing the path.
+    base = loc.rstrip("/")
+    while base.endswith("__compacting"):  # pre-round-7 legacy suffixes
+        base = base[: -len("__compacting")]
+    for suf in ("__a", "__b"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+            break
+    tmp_loc = base + ("__b" if loc.rstrip("/").endswith("__a") else "__a")
+    tmp_t = f"{table}__compacting"
+    _fs_delete(spark, tmp_loc)  # leftovers from a crashed prior run
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__old")
+    # Read the FILES, not the catalog table: the bucketed scan
+    # reports HashPartitioning on the bucket columns, so Catalyst
+    # elides the repartition as redundant and every scan partition
+    # writes its own per-bucket file — exactly the fragmentation
+    # being compacted. A plain path scan carries no partitioning
+    # claim; the repartition then aligns one shuffle partition per
+    # bucket (same murmur3 pmod), giving ~one output file each.
+    rewritten = spark.read.parquet(loc)
+    if tomb_ids is not None:
+        rewritten = rewritten.join(
+            F.broadcast(tomb_ids.select(F.col("id").alias(tomb_col))),
+            tomb_col,
+            "left_anti",
+        )
+    write_bucketed(
+        rewritten.repartition(num_buckets, *bucket_cols),
+        tmp_t,
+        bucket_cols,
+        num_buckets=num_buckets,
+        path=tmp_loc,
+    )
+    # Rename-aside swap: the live data keeps a catalog name at every
+    # step, so a crash anywhere leaves state recoverable by rename
+    # (round-6 review: DROP-then-RENAME had a window where the state
+    # table vanished from the catalog with data stranded on disk).
+    spark.sql(f"ALTER TABLE {table} RENAME TO {table}__old")
+    spark.sql(f"ALTER TABLE {tmp_t} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {table}__old")
+    _fs_delete(spark, loc)  # external drop leaves files; managed already gone
+    return (before, _table_file_count(spark, table))
+
+
 def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
     """Compact the persisted LSH state's bucketed tables (round-5 brief
     #5): every daily ``minhash_state_append`` lays down one new file set
@@ -1005,48 +1072,9 @@ def minhash_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
     report: dict[str, tuple[int, int]] = {}
     for suffix, cols in (("bands", ["band", "bh"]), ("shingles", ["id"])):
         t = f"{state_name}_{suffix}"
-        before = _table_file_count(spark, t)
-        loc = _table_location(spark, t)
-        # Alternate between TWO stable locations so repeated compactions
-        # ping-pong <base>__a <-> <base>__b instead of growing the path.
-        base = loc.rstrip("/")
-        while base.endswith("__compacting"):  # pre-round-7 legacy suffixes
-            base = base[: -len("__compacting")]
-        for suf in ("__a", "__b"):
-            if base.endswith(suf):
-                base = base[: -len(suf)]
-                break
-        tmp_loc = base + ("__b" if loc.rstrip("/").endswith("__a") else "__a")
-        tmp_t = f"{t}__compacting"
-        _fs_delete(spark, tmp_loc)  # leftovers from a crashed prior run
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_t}")
-        spark.sql(f"DROP TABLE IF EXISTS {t}__old")
-        # Read the FILES, not the catalog table: the bucketed scan
-        # reports HashPartitioning on the bucket columns, so Catalyst
-        # elides the repartition as redundant and every scan partition
-        # writes its own per-bucket file — exactly the fragmentation
-        # being compacted. A plain path scan carries no partitioning
-        # claim; the repartition then aligns one shuffle partition per
-        # bucket (same murmur3 pmod), giving ~one output file each.
-        rewritten = spark.read.parquet(loc)
-        if tomb_ids is not None:
-            rewritten = rewritten.join(F.broadcast(tomb_ids), "id", "left_anti")
-        write_bucketed(
-            rewritten.repartition(m.num_buckets, *cols),
-            tmp_t,
-            cols,
-            num_buckets=m.num_buckets,
-            path=tmp_loc,
+        report[t] = compact_bucketed_table(
+            spark, t, cols, m.num_buckets, tomb_ids=tomb_ids, tomb_col="id"
         )
-        # Rename-aside swap: the live data keeps a catalog name at every
-        # step, so a crash anywhere leaves state recoverable by rename
-        # (round-6 review: DROP-then-RENAME had a window where the state
-        # table vanished from the catalog with data stranded on disk).
-        spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")
-        spark.sql(f"ALTER TABLE {tmp_t} RENAME TO {t}")
-        spark.sql(f"DROP TABLE {t}__old")
-        _fs_delete(spark, loc)  # external drop leaves files; managed already gone
-        report[t] = (before, _table_file_count(spark, t))
     # Tombstones are now physically applied — clear them LAST so a crash
     # mid-compaction leaves them pending (re-applied next run), never
     # half-forgotten.

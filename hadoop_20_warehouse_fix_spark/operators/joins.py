@@ -396,3 +396,96 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
     return l.join(r, on=keys + ["_salt"]).drop("_salt")
+
+
+def estimate_key_skew(
+    df: DataFrame, on: str | Sequence[str], fraction: float = 0.02, seed: int = 7
+) -> float:
+    """Approximate max single-key row share of ``df`` from one seeded
+    sample job (the ``measured_strategy`` probe discipline: a scalar to
+    the driver, never the rows). 0.5 means half of all rows carry one
+    key — the planted-skew shape of SCALING.md r8's study. Returns 0.0
+    for an empty sample (no evidence of skew)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    s = df.select(*keys).sample(fraction=fraction, seed=seed)
+    agg = s.groupBy(*keys).count().agg(
+        F.max("count").alias("top"), F.sum("count").alias("n")
+    ).first()
+    if not agg or not agg.n:
+        return 0.0
+    return float(agg.top) / float(agg.n)
+
+
+def choose_skew_join_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    broadcast_row_cap: int = 1_000_000,
+    skew_share_threshold: float = 0.05,
+    sample_fraction: float = 0.02,
+) -> tuple[str, dict]:
+    """Measured skew-join picker (round-8 study, SCALING.md r8 — the
+    numbers, 10M-row left with a 50%-hot key joining 1M-row right,
+    min of 2, noop-forced):
+
+    - ``broadcast`` 0.72 s — wins outright whenever the right side fits
+      (the study's 1M-row right is ~16 MB); probed by ONE count.
+    - ``aqe_skew`` 1.38 s — a plain shuffle join with AQE's skew split
+      beats explicit salting (2.03 s at 8 buckets, 2.96 s at 32) AND
+      held up in the join→aggregate shape (2.48 s vs salted 3.18 s).
+      CAVEAT the study surfaced: AQE's DEFAULTS never fired at this
+      scale — the 50%-hot partition (~80 MB) sits under the 256 MB
+      ``skewedPartitionThresholdInBytes``, so "AQE on" silently ran
+      unsplit (3.02 s) until the threshold was tuned to 8 MB. At
+      100 TB the hot partition dwarfs the default and AQE fires
+      unaided; at dev scale, tune or salt.
+    - ``salted`` — the deterministic, planner-visible fallback when AQE
+      is off (or its thresholds can't be touched): still 1.5× better
+      than the unsplit join at 8 buckets.
+    - ``plain`` — no measured skew above ``skew_share_threshold``;
+      salting would only pay replication cost.
+
+    Returns (strategy, diagnostics) — diagnostics carries the probed
+    right-side rows, the sampled max key share, and whether AQE skew
+    handling is live in this session, so callers can log the decision.
+    """
+    spark = left.sparkSession
+    n_right = right.count()
+    diag: dict = {"right_rows": n_right}
+    if n_right <= broadcast_row_cap:
+        return "broadcast", diag
+    share = estimate_key_skew(left, on, fraction=sample_fraction)
+    diag["max_key_share"] = round(share, 4)
+    aqe_live = (
+        spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+        and spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true") == "true"
+    )
+    diag["aqe_skew_live"] = aqe_live
+    if share >= skew_share_threshold:
+        return ("aqe_skew" if aqe_live else "salted"), diag
+    return "plain", diag
+
+
+def skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    strategy: str = "auto",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi join with the measured skew policy applied
+    (:func:`choose_skew_join_strategy`): same rows as a plain
+    ``left.join(right, on)`` under EVERY strategy (pytest-pinned) —
+    only the physical plan differs."""
+    if strategy == "auto":
+        strategy, _ = choose_skew_join_strategy(left, right, on)
+    keys = [on] if isinstance(on, str) else list(on)
+    if strategy == "broadcast":
+        return left.join(F.broadcast(right), on=keys)
+    if strategy == "salted":
+        return salted_join(left, right, on, salt_buckets=salt_buckets)
+    if strategy in ("plain", "aqe_skew"):
+        # aqe_skew IS the plain join — the split happens at runtime;
+        # the name records that the picker verified AQE is live.
+        return left.join(right, on=keys)
+    raise ValueError(f"unknown skew-join strategy {strategy!r}")

@@ -917,3 +917,53 @@ def test_with_global_rank_auto_selects_form_and_forms_agree(spark):
     with _pytest.raises(ValueError):
         with_global_rank(df, ["k", "id"], form="bogus")
     spark.catalog.clearCache()  # distributed form persists its input
+
+
+def test_skew_join_strategy_picker_and_equality(spark):
+    """Round-8 brief #4: the measured skew policy (SCALING.md r8 —
+    broadcast when the right fits, AQE skew split over explicit
+    salting when live, salted as the AQE-off fallback, plain when no
+    skew) — and every strategy returns the same rows."""
+    from hadoop_20_warehouse_fix_spark.operators.joins import (
+        choose_skew_join_strategy,
+        estimate_key_skew,
+        skew_join,
+    )
+
+    # planted skew: half the rows on key 0, rest uniform
+    left = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    uniform = spark.range(20_000).select(F.col("id").alias("k"), F.col("id").alias("lv"))
+    right = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("rv"))
+
+    assert estimate_key_skew(left, "k", fraction=0.2) > 0.3
+    assert estimate_key_skew(uniform, "k", fraction=0.2) < 0.05
+    assert estimate_key_skew(left.filter("k < 0"), "k") == 0.0  # empty: no evidence
+
+    # small right side -> broadcast, whatever the skew
+    s, diag = choose_skew_join_strategy(left, right, "k")
+    assert s == "broadcast" and diag["right_rows"] == 5_000
+    # big right + skew -> AQE skew split when live, salted when off
+    s, diag = choose_skew_join_strategy(left, right, "k", broadcast_row_cap=100)
+    assert s == "aqe_skew" and diag["aqe_skew_live"] and diag["max_key_share"] > 0.3
+    old = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        s, _ = choose_skew_join_strategy(left, right, "k", broadcast_row_cap=100)
+        assert s == "salted"
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old)
+    # big right + no skew -> plain
+    s, _ = choose_skew_join_strategy(uniform, right, "k", broadcast_row_cap=100)
+    assert s == "plain"
+
+    want = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
+    for strategy in ("broadcast", "salted", "plain", "aqe_skew", "auto"):
+        got = {(r.k, r.lv, r.rv) for r in skew_join(left, right, "k", strategy=strategy).collect()}
+        assert got == want, strategy
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown"):
+        skew_join(left, right, "k", strategy="yolo")

@@ -584,3 +584,76 @@ def test_image_dhash_near_dup_pairs(spark):
     assert pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0  # gradient invariance
     assert (1, 4) not in pairs and (3, 4) not in pairs
     assert all(5 not in p for p in pairs)
+
+
+def test_ivf_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
+    """Round-8 brief #3: the ANN index as persisted state. Probe against
+    the written state must equal ivf_topk(assign='vectorized') with the
+    SAME codebook; append folds new vectors in (probe ≡ rebuild over
+    corpus ∪ batch); delete tombstones out (probe ≡ search over the
+    survivors); compaction shrinks files, physically removes tombstoned
+    rows, and changes no answer."""
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        ivf_state_append,
+        ivf_state_compact,
+        ivf_state_delete,
+        ivf_state_probe,
+        ivf_state_write,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    queries = emb.filter(F.col("vec_id") < 10)
+    state = "ivf_state_t"
+
+    def ref(c):
+        cb = [
+            (int(r.cid), [float(x) for x in r.cvec])
+            for r in spark.table(f"{state}_codebook").collect()
+        ]
+        return (
+            ivf_topk(c, queries, k=5, assign="vectorized", precomputed_codebook=cb)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+
+    def probe():
+        return (
+            ivf_state_probe(queries, "vec_id", "embedding", state, k=5, nprobe=4)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+
+    try:
+        ivf_state_write(
+            corpus, "vec_id", "embedding", state,
+            n_centroids=16, codebook="sample_md5", num_buckets=4,
+            path=str(tmp_path / "ivf"),
+        )
+        assert probe() == ref(corpus)
+        # append: probe now ≡ rebuild over corpus ∪ batch (same codebook)
+        ivf_state_append(batch, "vec_id", "embedding", state)
+        assert probe() == ref(corpus.unionByName(batch))
+        # delete: tombstoned ids vanish from answers before compaction
+        gone = [r.vec_id for r in batch.select("vec_id").limit(20).collect()]
+        ivf_state_delete(spark, state, gone)
+        survivors = corpus.unionByName(batch.filter(~F.col("vec_id").isin(gone)))
+        assert probe() == ref(survivors)
+        with pytest.raises(ValueError, match="do not cast"):
+            ivf_state_delete(spark, state, ["not-an-id"])
+        # compact: files drop, tombstones physically gone, answers equal
+        report = ivf_state_compact(spark, state)
+        (before, after) = report[f"{state}_lists"]
+        assert after < before
+        assert not spark.catalog.tableExists(f"{state}_tombstones")
+        left = {r.neighbor_id for r in spark.table(f"{state}_lists").collect()}
+        assert left.isdisjoint(set(gone))
+        assert probe() == ref(survivors)
+    finally:
+        for t in ("lists", "codebook", "meta", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
