@@ -510,8 +510,8 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     oracle="""
     SELECT o_orderstatus,
-           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS cheapest_order,
+           (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS priciest_order,
            CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
            CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price
     FROM orders GROUP BY o_orderstatus
@@ -519,16 +519,23 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin/argmax aggregates (which ROW holds the extreme, not just
-    the extreme value): Spark ``min_by``/``max_by`` == DuckDB
-    ``arg_min``/``arg_max``. Single-pass mergeable state (value,
+    the extreme value). Single-pass mergeable state (value,
     ordering-key) per group — no window, no self-join, the common
     replacement for the 'top-1 per group via row_number' anti-pattern.
-    Deterministic here because o_totalprice is unique per status group
-    at these SFs (ties would be engine-order dependent)."""
+
+    Round 8: expressed as min/max over a (price, orderkey) STRUCT
+    (lexicographic, both engines) instead of bare ``min_by``/``max_by``
+    — the 10× key-shifted replay manufactured exact price ties and
+    caught the bare form's tie being engine-order dependent (Spark and
+    DuckDB returned different orderkeys; SCALING.md r8). The struct
+    form pins the tie: smallest orderkey among the cheapest, largest
+    among the priciest — same plan shape, now total-order
+    deterministic at ANY scale."""
     o = load_table(spark, sf_dir, "orders")
+    pk = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
     return o.groupBy("o_orderstatus").agg(
-        F.expr("min_by(o_orderkey, o_totalprice)").alias("cheapest_order"),
-        F.expr("max_by(o_orderkey, o_totalprice)").alias("priciest_order"),
+        F.min(pk)["k"].alias("cheapest_order"),
+        F.max(pk)["k"].alias("priciest_order"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
