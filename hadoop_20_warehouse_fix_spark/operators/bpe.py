@@ -359,3 +359,78 @@ def pack_by_bpe_budget(
     return pack_by_budget(with_w, order_col, "_bpe_n", budget, out_name=out_name).drop(
         "_bpe_n"
     )
+
+
+def bpe_save_merges(spark, merges: list[tuple[str, str]], table: str) -> None:
+    """Persist a learned merge table as a catalog table (rank, a, b) —
+    the tokenizer artifact is corpus-derived state like the LSH/IVF
+    indexes, and training sets must be re-encodable MONTHS later with
+    byte-identical tokens, so the merges live next to the data, not in
+    a driver variable. Rank preserves learned order (the semantics)."""
+    if not merges:
+        raise ValueError("refusing to save an empty merge table")
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, a string, b string"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def bpe_load_merges(spark, table: str) -> list[tuple[str, str]]:
+    """Load a merge table saved by :func:`bpe_save_merges`, in learned
+    order. Round-trips byte-identically (pytest-pinned)."""
+    return [
+        (r.a, r.b)
+        for r in spark.table(table).orderBy("rank").collect()
+    ]
+
+
+UNK_TOKEN = "<unk>"
+
+
+def bpe_vocab(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Deterministic vocabulary for a trained tokenizer, as an ordered
+    token list (index = token id): ``<unk>`` at 0, the corpus's base
+    characters in code-point order, ``</w>``, then merged tokens in
+    LEARNED order (a re-learned pair keeps its first rank). The base
+    alphabet is collected from the distinct-words table — bounded by
+    the writing system, never the corpus."""
+    char_rows = (
+        bpe_word_counts(df, text_col)
+        .select(F.explode(F.split(F.col("word"), "")).alias("c"))
+        .distinct()
+        .collect()
+    )
+    vocab = [UNK_TOKEN] + sorted(r.c for r in char_rows) + [END_OF_WORD]
+    seen = set(vocab)
+    for a, b in merges:
+        if a + b not in seen:
+            vocab.append(a + b)
+            seen.add(a + b)
+    return vocab
+
+
+def bpe_encode_ids_column(
+    text_col: str | Column, merges: list[tuple[str, str]], vocab: list[str]
+) -> Column:
+    """``array<int>`` token IDS of a text column — the tensor a trainer
+    actually consumes (string pieces are a debugging view). Same encode
+    path as :func:`bpe_encode_column`; characters unseen at train time
+    map to ``vocab[0]`` (``<unk>``). Row-local, zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+    ids = {tok: i for i, tok in enumerate(vocab)}
+
+    @pandas_udf("array<int>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, tuple[str, ...]] = {}
+        out = []
+        for t in texts:
+            row: list[int] = []
+            for w in split_words(t):
+                row.extend(ids.get(s, 0) for s in encode_word(w, merge_list, cache))
+            out.append(row)
+        return pd.Series(out)
+
+    return enc(F.col(text_col) if isinstance(text_col, str) else text_col)

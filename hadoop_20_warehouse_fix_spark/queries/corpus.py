@@ -348,6 +348,7 @@ def corpus_prepare_training_set(
     span_dedup: bool = False,
     span_window: int = 50,
     span_stride: int = 1,
+    tokenizer_merges: list[tuple[str, str]] | None = None,
     handles: list | None = None,
 ) -> DataFrame:
     """CAPSTONE composition — the full LLM training-data prep flow as
@@ -387,6 +388,16 @@ def corpus_prepare_training_set(
        doc_id order via the distributed prefix sum (val/test carry
        shard_id NULL — shards are a training-loader concept).
 
+    ``tokenizer_merges`` (round 8): hand in a learned BPE merge table
+    (:func:`~..operators.bpe.bpe_train`) and every downstream token
+    budget — mixing proportions, shard packing — is accounted in REAL
+    tokenizer tokens instead of the whitespace proxy: ``n_tokens`` is
+    recomputed from the surviving text via the row-local Arrow encode
+    (zero extra shuffles; one extra column pass). This is the
+    production posture — a trainer's context budget is tokenizer
+    tokens, and a proxy mis-sizes shards exactly where text is
+    punctuation- or CJK-heavy.
+
     Output: (doc_id, n_tokens, quality, split, shard_id).
 
     100 TB posture is inherited stage-by-stage (each documented at its
@@ -417,11 +428,22 @@ def corpus_prepare_training_set(
     docs = load_table(spark, sf_dir, "documents").select(*cols)
     cleaned = corpus_clean(spark, sf_dir, near_dup=near_dup, repetition_gate=True)
     evalset = docs.filter(F.col("doc_id") % eval_modulus == 0)
-    survivors = (
-        cleaned.filter(F.col("doc_id") % eval_modulus != 0)
-        .join(docs, "doc_id")
-        .persist()
-    )
+
+    def n_tokens_of(text_col):
+        if tokenizer_merges is not None:
+            from hadoop_20_warehouse_fix_spark.operators.bpe import (
+                bpe_token_count_column,
+            )
+
+            return bpe_token_count_column(text_col, tokenizer_merges).cast("long")
+        return ws_token_count(text_col).cast("long")
+
+    survivors = cleaned.filter(F.col("doc_id") % eval_modulus != 0).join(docs, "doc_id")
+    if tokenizer_merges is not None:
+        # re-account n_tokens in real tokenizer tokens (the clean stage
+        # counted whitespace tokens; budgets below must match a trainer)
+        survivors = survivors.withColumn("n_tokens", n_tokens_of(F.col("text")))
+    survivors = survivors.persist()
     if handles is not None:
         handles.append(survivors)
     if span_dedup:
@@ -432,9 +454,7 @@ def corpus_prepare_training_set(
         survivors = remove_repeated_spans(
             survivors, "doc_id", "text",
             window=span_window, stride=span_stride, handles=handles,
-        ).withColumn(
-            "n_tokens", ws_token_count(F.col("text")).cast("long")
-        ).persist()
+        ).withColumn("n_tokens", n_tokens_of(F.col("text"))).persist()
         if handles is not None:
             handles.append(survivors)
     decontaminated = decontaminate(

@@ -210,3 +210,85 @@ def test_detokenize_inverts_encode(spark):
         0: "newest widest lower low",
         1: "low",
     }
+
+
+def test_bpe_save_load_merges_roundtrip(spark):
+    from hadoop_20_warehouse_fix_spark.operators.bpe import (
+        bpe_load_merges,
+        bpe_save_merges,
+    )
+
+    df = spark.createDataFrame([(d,) for d in PINNED_DOCS], ["text"])
+    merges = bpe_train(df, "text", 10, strategy="local")
+    try:
+        bpe_save_merges(spark, merges, "bpe_merges_rt")
+        assert bpe_load_merges(spark, "bpe_merges_rt") == merges
+        with pytest.raises(ValueError, match="empty"):
+            bpe_save_merges(spark, [], "bpe_merges_rt2")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bpe_merges_rt")
+
+
+def test_capstone_budgets_in_real_tokens(spark):
+    """The capstone pipeline with tokenizer_merges: n_tokens is the
+    REAL tokenizer count of the surviving text (not the whitespace
+    proxy), and shard packing replays sequentially on those counts."""
+    from tests.conftest import SF_CORRECT
+
+    from hadoop_20_warehouse_fix_spark.catalog import load_table
+    from hadoop_20_warehouse_fix_spark.queries.corpus import (
+        corpus_prepare_training_set,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", 20, strategy="local")
+    try:
+        out = corpus_prepare_training_set(
+            spark, SF_CORRECT, token_budget=800, tokenizer_merges=merges
+        ).collect()
+        assert out
+        enc = {
+            r.doc_id: len(r.t)
+            for r in bpe_encode(docs, "text", merges, "t").collect()
+        }
+        for r in out:
+            assert r.n_tokens == enc[r.doc_id], r.doc_id
+        train = sorted((r for r in out if r.split == "train"), key=lambda r: r.doc_id)
+        cum = 0
+        for r in train:
+            assert r.shard_id == cum // 800
+            cum += r.n_tokens
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_bpe_vocab_and_id_encoding(spark):
+    """The trainer-facing tensor: vocab is deterministic (<unk>, sorted
+    base chars, </w>, merges in learned order), ids round-trip through
+    the vocab list, and train-time-unseen characters map to <unk>."""
+    from hadoop_20_warehouse_fix_spark.operators.bpe import (
+        UNK_TOKEN,
+        bpe_encode_ids_column,
+        bpe_vocab,
+    )
+
+    df = spark.createDataFrame([(d,) for d in PINNED_DOCS], ["text"])
+    merges = bpe_train(df, "text", 10, strategy="local")
+    vocab = bpe_vocab(df, "text", merges)
+    assert vocab[0] == UNK_TOKEN and END_OF_WORD in vocab
+    assert len(vocab) == len(set(vocab))  # no duplicate ids
+    base = sorted(set("".join(_counts(PINNED_DOCS))))
+    assert vocab[1 : 1 + len(base)] == base  # code-point-ordered alphabet
+    probe = spark.createDataFrame([(0, "newest low"), (1, "zebra!")], ["doc_id", "text"])
+    toks = {r.doc_id: r.t for r in bpe_encode(probe, "text", merges, "t").collect()}
+    got = {
+        r.doc_id: r.i
+        for r in probe.select(
+            "doc_id", bpe_encode_ids_column("text", merges, vocab).alias("i")
+        ).collect()
+    }
+    idx = {tok: i for i, tok in enumerate(vocab)}
+    assert got[0] == [idx[t] for t in toks[0]]  # ids mirror the string pieces
+    # 'z', 'b', 'r', 'a', '!' were never in the training corpus -> <unk>=0
+    assert 0 in got[1]
+    assert [vocab[i] for i in got[0]] == toks[0]  # round-trip through vocab
