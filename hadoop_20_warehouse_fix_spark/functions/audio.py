@@ -317,6 +317,14 @@ def audio_fingerprint(
     bin_hz = np.arange(mag.shape[1]) * rate / frame
     band_of_bin = np.searchsorted(edges, bin_hz, side="right") - 1
     in_range = (band_of_bin >= 0) & (band_of_bin < n_bands)
+    if not in_range.any():
+        # a rate so low no STFT bin lands inside [fmin, fmax) would
+        # hash EVERY such clip to the constant 0 — manufactured pairs,
+        # the exact failure the too-short guard above exists for
+        raise ValueError(
+            f"sample rate {rate} puts no spectral bin inside the "
+            f"[{fmin}, {fmax}) Hz band range — clip cannot be fingerprinted"
+        )
     seg_of_frame = np.arange(n_frames) * n_time // n_frames
     # two indicator matmuls (BLAS) instead of scatter-adds:
     # grid[t, b] = sum over frames in segment t, bins in band b

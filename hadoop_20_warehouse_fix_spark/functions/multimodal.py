@@ -461,17 +461,14 @@ def image_features(media: DataFrame, observation=None) -> DataFrame:
     return feats.drop("_status")
 
 
-def dhash_image(payload: bytes) -> int:
-    """64-bit difference hash (dHash — the public perceptual-hash
-    recipe): decode, grayscale (channel mean), nearest-neighbor
-    downsample to 9x8, bit (y, x) = 1 iff px[y, x] > px[y, x+1].
-    Gradient-based, so it is EXACTLY invariant to global brightness
-    shifts (adding a constant preserves every comparison) and robust
-    to small recompression noise — the right fingerprint for
-    near-duplicate image detection, where byte hashes see nothing."""
+def dhash_pixels(arr) -> int:
+    """dHash of an already-decoded (H, W, 3) uint8 array — the pixel
+    half of :func:`dhash_image`, factored out so VIDEO frames (already
+    pixels after :mod:`.video`'s MJPEG decode) hash on the identical
+    recipe."""
     import numpy as np
 
-    arr = decode_image(payload).astype(np.int32)
+    arr = np.asarray(arr).astype(np.int32)
     gray = arr.sum(axis=2)  # 3x channel mean — monotone equivalent, exact ints
     h, w = gray.shape
     yi = (np.arange(8) * h) // 8
@@ -483,6 +480,17 @@ def dhash_image(payload: bytes) -> int:
         if b:
             v |= 1 << i
     return v
+
+
+def dhash_image(payload: bytes) -> int:
+    """64-bit difference hash (dHash — the public perceptual-hash
+    recipe): decode, grayscale (channel mean), nearest-neighbor
+    downsample to 9x8, bit (y, x) = 1 iff px[y, x] > px[y, x+1].
+    Gradient-based, so it is EXACTLY invariant to global brightness
+    shifts (adding a constant preserves every comparison) and robust
+    to small recompression noise — the right fingerprint for
+    near-duplicate image detection, where byte hashes see nothing."""
+    return dhash_pixels(decode_image(payload))
 
 
 def image_dhash_bands(media: DataFrame, observation=None) -> DataFrame:

@@ -331,3 +331,87 @@ def extract_audio_track(media, observation=None):
             F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
         )
     return out.drop("_status")
+
+
+def dhash_video(data: bytes, n_frames: int = 3) -> int:
+    """64-bit perceptual video fingerprint: dHash
+    (:func:`~.multimodal.dhash_pixels` — the image recipe, unchanged)
+    of ``n_frames`` evenly-sampled DECODED frames, combined by
+    per-bit MAJORITY vote. Majority absorbs a single divergent frame
+    (an inserted title card, a re-encode artifact burst) while
+    inheriting dHash's exact brightness-shift invariance per frame;
+    re-encoding the same frames at a different JPEG quality moves only
+    the bits whose 9x8 cells sit near a comparison boundary.
+    Raises like the container/codec stack (ValueError /
+    NotImplementedError) for undecodable payloads."""
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import dhash_pixels
+
+    meta = parse_avi(data)
+    total = len(meta["frames"])
+    if not total:
+        raise ValueError("AVI contains no video frame chunks")
+    picks = sorted({min(i * total // n_frames, total - 1) for i in range(n_frames)})
+    hashes = [dhash_pixels(fr) for fr in decode_avi_frames(data, picks)]
+    v = 0
+    for bit in range(64):
+        if sum((h >> bit) & 1 for h in hashes) * 2 > len(hashes):
+            v |= 1 << bit
+    return v
+
+
+def video_fingerprint_bands(media, n_frames: int = 3, observation=None):
+    """Each decodable MJPEG-AVI payload's video fingerprint as
+    (id, band0..band3) 16-bit bands — the near-dup matrix's VIDEO
+    member on the shared
+    :func:`~..operators.dedup.hamming_pairs_from_bands` machinery
+    (text SimHash, image dHash, audio spectral, video frame-dHash:
+    ONE pair engine, four modalities). Undecodable payloads are
+    dropped + counted (``rows`` / ``decoded_rows`` /
+    ``sniffed_fallback_rows``)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                status = 0
+                bands = (None, None, None, None)
+                if _looks_like_avi(b[:12]):
+                    try:
+                        v = dhash_video(b, n_frames=n_frames)
+                        bands = tuple((v >> (16 * i)) & 0xFFFF for i in range(4))
+                        status = 1
+                    except (ValueError, NotImplementedError):
+                        status = 2
+                rows.append((int(mid), status, *bands))
+            yield pd.DataFrame(
+                rows, columns=["id", "_status", "band0", "band1", "band2", "band3"]
+            )
+
+    feats = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="id long, _status int, band0 int, band1 int, band2 int, band3 int",
+    )
+    if observation is not None:
+        feats = feats.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("_status") == 1).cast("long")).alias("decoded_rows"),
+            F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
+        )
+    return feats.filter(F.col("_status") == 1).drop("_status")
+
+
+def video_near_dup_pairs(media, max_hamming: int = 3, n_frames: int = 3, observation=None):
+    """Video near-duplicate pairs: frame-dHash fingerprints ->
+    pigeonhole banding -> Hamming verify. Output (id_a, id_b,
+    hamming); candidates from equality joins on 16-bit bands, never an
+    all-pairs compare."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import hamming_pairs_from_bands
+
+    return hamming_pairs_from_bands(
+        video_fingerprint_bands(media, n_frames=n_frames, observation=observation),
+        max_hamming,
+    )

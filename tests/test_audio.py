@@ -227,3 +227,12 @@ def test_audio_near_dup_pairs_operator(spark):
     assert pairs[(1, 2)] == 0  # exact gain invariance
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3  # resample near-dup
     assert not any(4 in p or 5 in p or 6 in p for p in pairs)
+
+
+def test_audio_fingerprint_refuses_sub_band_rates():
+    """A rate so low no STFT bin lands in the band range would hash
+    every such clip to constant 0 (manufactured pairs) — refuse."""
+    from hadoop_20_warehouse_fix_spark.functions.audio import audio_fingerprint
+
+    with pytest.raises(ValueError, match="no spectral bin"):
+        audio_fingerprint(np.sin(np.arange(400) / 5.0), rate=150)

@@ -211,3 +211,44 @@ def test_extract_audio_track_composes_with_audio_features(spark):
     assert feats[1].decoded and feats[1].sample_rate == 4000
     assert feats[1].rms == pytest.approx(0.8, abs=2e-3)
     assert feats[1].zero_crossing_rate == pytest.approx(1.0)
+
+
+def test_video_near_dup_pairs_operator(spark):
+    """The near-dup matrix's video member on the shared Hamming band
+    machinery: a brightness-shifted copy pairs at hamming 0 (dHash
+    invariance per frame), a re-encode at a different JPEG quality
+    pairs under the threshold, a different video stays unpaired,
+    non-AVI payloads are dropped and counted."""
+    from pyspark.sql import Observation
+
+    from hadoop_20_warehouse_fix_spark.functions.video import (
+        dhash_video,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(40, 160, size=(6, 24, 24, 3)).astype(np.uint8)
+    frames = [base[i] for i in range(6)]
+    brighter = [np.clip(f.astype(int) + 40, 0, 255).astype(np.uint8) for f in frames]
+    other = [np.full((24, 24, 3), 200 - 20 * i, dtype=np.uint8) for i in range(6)]
+    rows = [
+        (1, bytearray(encode_avi_mjpeg(frames, quant=1))),
+        (2, bytearray(encode_avi_mjpeg(brighter, quant=1))),  # +40 brightness
+        (3, bytearray(encode_avi_mjpeg(frames, quant=4))),  # re-encode
+        (4, bytearray(encode_avi_mjpeg(other, quant=1))),
+        (5, bytearray(b"definitely not a video")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    obs = Observation("video_fp")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in video_near_dup_pairs(media, max_hamming=3, observation=obs).collect()
+    }
+    assert obs.get["rows"] == 5 and obs.get["decoded_rows"] == 4
+    assert obs.get["sniffed_fallback_rows"] == 0  # non-AVI never sniffs
+    assert pairs[(1, 2)] == 0  # per-frame dHash brightness invariance
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3  # re-encode near-dup
+    assert not any(4 in p or 5 in p for p in pairs)
+    # pure-function contract: undecodable raises inside the usual envelope
+    with pytest.raises(ValueError):
+        dhash_video(b"RIFF\x00\x00\x00\x00AVI junkjunk")
