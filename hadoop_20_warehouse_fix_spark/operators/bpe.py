@@ -226,6 +226,7 @@ def bpe_train(
     min_pair_count: int = 2,
     strategy: str = "auto",
     max_local_words: int = 1_000_000,
+    min_word_count: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from a corpus. Returns the merge
     table (list of (a, b) pairs in learned order) — O(vocab) driver
@@ -248,12 +249,22 @@ def bpe_train(
     Early-stops when the best pair's count drops below
     ``min_pair_count`` (default 2: a pair seen once generalizes to
     nothing and would make training order data-layout-dependent only
-    through ties, which the (count, pair) tie-break already pins)."""
+    through ties, which the (count, pair) tie-break already pins).
+
+    ``min_word_count`` is the web-scale knob (standard in every
+    production BPE trainer): prune words below the threshold from the
+    counts table BEFORE the merge loop. Zipf means a small threshold
+    removes the vast hapax tail — usually enough to bring distinct
+    words under ``max_local_words`` so the fast local path applies —
+    while barely moving pair statistics (each pruned word contributes
+    < threshold to any pair)."""
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     if strategy not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r}")
     wc = bpe_word_counts(df, text_col)
+    if min_word_count > 1:
+        wc = wc.filter(F.col("count") >= min_word_count)
     if strategy == "auto":
         strategy = "local" if wc.count() <= max_local_words else "distributed"
     if strategy == "local":
@@ -434,3 +445,80 @@ def bpe_encode_ids_column(
         return pd.Series(out)
 
     return enc(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+) -> list[float]:
+    """Train a unigram language model over the tokenizer's id space:
+    returns ``logprobs`` where ``logprobs[token_id]`` is the add-one-
+    smoothed natural log probability. The CCNet recipe's shape (Wenzek
+    et al. 2020 trained a KenLM on a clean reference corpus and
+    filtered crawl text by perplexity — public): train on in-domain
+    text, score candidates, gate on the score. A unigram model is the
+    zero-dependency member of that family — order-free, exactly
+    mergeable (ONE token-count aggregation bounded by the vocab), and
+    deterministic to the bit (integer counts, float64 log at the
+    driver).
+
+    100 TB: the corpus pass is encode (row-local) + one combine-
+    friendly groupBy over token ids whose cardinality is the VOCAB,
+    not the corpus; the model itself is O(vocab) floats."""
+    import math
+
+    counts = {
+        r.tid: r.cnt
+        for r in df.select(
+            F.explode(bpe_encode_ids_column(text_col, merges, vocab)).alias("tid")
+        )
+        .groupBy("tid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    v = len(vocab)
+    total = sum(counts.values()) + v  # add-one over the whole id space
+    return [math.log((counts.get(i, 0) + 1) / total) for i in range(v)]
+
+
+def lm_score_column(
+    text_col: str | Column,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+    logprobs: list[float],
+) -> Column:
+    """Per-document mean negative log probability per token (nats;
+    LOWER = more like the training corpus) under the unigram LM — the
+    model-based quality signal that complements the rule-based gates
+    in ``corpus_clean`` (a doc can pass every length/punct/stopword
+    rule and still be gibberish the LM has never seen: its tokens fall
+    to rare-char pieces and `<unk>`, and the score blows up). NULL for
+    docs that encode to zero tokens. Row-local Arrow batch, model
+    broadcast in the closure — zero shuffle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+    ids = {tok: i for i, tok in enumerate(vocab)}
+    lp = np.asarray(logprobs, dtype=np.float64)
+    if len(lp) != len(vocab):
+        raise ValueError(
+            f"logprobs length {len(lp)} != vocab length {len(vocab)}"
+        )
+
+    @pandas_udf("double")
+    def score(texts: pd.Series) -> pd.Series:
+        cache: dict[str, tuple[str, ...]] = {}
+        out = []
+        for t in texts:
+            acc, n = 0.0, 0
+            for w in split_words(t):
+                for s in encode_word(w, merge_list, cache):
+                    acc -= lp[ids.get(s, 0)]
+                    n += 1
+            out.append(acc / n if n else None)
+        return pd.Series(out, dtype="float64")
+
+    return score(F.col(text_col) if isinstance(text_col, str) else text_col)

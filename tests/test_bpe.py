@@ -292,3 +292,65 @@ def test_bpe_vocab_and_id_encoding(spark):
     # 'z', 'b', 'r', 'a', '!' were never in the training corpus -> <unk>=0
     assert 0 in got[1]
     assert [vocab[i] for i in got[0]] == toks[0]  # round-trip through vocab
+
+
+def test_unigram_lm_scores_in_domain_below_gibberish(spark):
+    """The CCNet-shaped model gate: train tokenizer + unigram LM on an
+    in-domain corpus, score candidates — in-domain text must score
+    (mean -logprob/token) strictly below character gibberish the
+    tokenizer shatters into rare pieces; empty docs are NULL; the
+    model is deterministic across partitionings (integer counts)."""
+    from hadoop_20_warehouse_fix_spark.operators.bpe import (
+        bpe_vocab,
+        lm_score_column,
+        unigram_lm_train,
+    )
+
+    train = spark.createDataFrame([(d,) for d in PINNED_DOCS * 3], ["text"])
+    merges = bpe_train(train, "text", 12, strategy="local")
+    vocab = bpe_vocab(train, "text", merges)
+    lp1 = unigram_lm_train(train, "text", merges, vocab)
+    lp2 = unigram_lm_train(train.repartition(7), "text", merges, vocab)
+    assert lp1 == lp2  # exact counts -> bit-identical model
+    import math
+
+    assert abs(sum(math.exp(p) for p in lp1) - 1.0) < 1e-9  # proper distribution
+    probe = spark.createDataFrame(
+        [(0, "newest newest low lower"), (1, "zqxj vwkp gfhd"), (2, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.s
+        for r in probe.select(
+            "doc_id", lm_score_column("text", merges, vocab, lp1).alias("s")
+        ).collect()
+    }
+    assert got[2] is None
+    assert got[0] < got[1], got  # in-domain scores strictly better
+
+
+def test_unicode_word_split_and_strategy_parity(spark):
+    """Supplementary-plane (emoji), CJK, and combining-accent text:
+    JVM split('') yields code points exactly like Python tuple(word),
+    so local and distributed trainers stay byte-identical beyond the
+    BMP (pinned — a UTF-16 surrogate-half split would silently diverge
+    the two paths)."""
+    docs = ["😀a 😀a 😀b 😀b 日本 日本 café café"]
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    loc = bpe_train(df, "text", 6, strategy="local")
+    dist = bpe_train(df, "text", 6, strategy="distributed")
+    assert loc == dist and len(loc) == 6
+    assert any("é" in a + b for a, b in loc)  # non-ASCII merges as symbols
+
+
+def test_min_word_count_prunes_the_hapax_tail(spark):
+    """The web-scale knob: words under the threshold leave the counts
+    table before the merge loop, equivalent to training on the corpus
+    with those words removed."""
+    docs = [("low low low low newest newest hapax1 hapax2 hapax3",)]
+    df = spark.createDataFrame(docs, ["text"])
+    pruned = bpe_train(df, "text", 8, strategy="local", min_word_count=2)
+    wc = {w: c for w, c in _counts([docs[0][0]]).items() if c >= 2}
+    want, _ = ref_train(wc, 8)
+    assert pruned == want
+    assert not any("h" in a + b for a, b in pruned)  # hapax chars never merge
