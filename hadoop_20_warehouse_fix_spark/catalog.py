@@ -169,7 +169,7 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
     unknown as "big enough", the right default for a remote FS."""
 
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
     if not files:
@@ -181,7 +181,10 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
         if p.scheme not in ("", "file"):
             return None
         try:
-            sizes.append(os.path.getsize(p.path or f))
+            # inputFiles() returns URIs: a path with a space arrives
+            # %20-encoded and getsize on the raw form raises, silently
+            # disabling the fan-out (round-8 review) — decode first.
+            sizes.append(os.path.getsize(unquote(p.path) or f))
         except OSError:
             return None
     open_cost = _size_conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)

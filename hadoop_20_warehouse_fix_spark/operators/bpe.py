@@ -136,14 +136,43 @@ def _train_distributed(
     materialized via localCheckpoint so the plan never stacks
     ``num_merges`` aggregates. Only the 1-row argmax ever reaches the
     driver per iteration; fully-merged words (single symbol left)
-    retire from the loop — they can never pair again."""
+    retire from the loop — they can never pair again.
+
+    Checkpoint storage is BOUNDED at two copies of the words table
+    (round-8 review: each eager localCheckpoint pins a block-manager
+    copy and ContextCleaner frees orphans only on GC — a 32k-merge run
+    would stack thousands): each new checkpoint's RDD ids are diffed
+    from the persistent-RDD registry and the PREVIOUS iteration's are
+    unpersisted explicitly once the new one (computed from the old) is
+    materialized. Worst case under a concurrent writer on the same
+    session is unpersisting a stranger's cache block — a perf nick,
+    never a wrong answer."""
+    spark = word_counts.sparkSession
+    jsc = spark.sparkContext._jsc.sc()
+
+    def _persistent_ids() -> set[int]:
+        it = jsc.getPersistentRDDs().keysIterator()
+        out: set[int] = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    def _checkpoint(df: DataFrame, prev_ids: set[int]) -> tuple[DataFrame, set[int]]:
+        before = _persistent_ids()
+        out = df.localCheckpoint()  # eager: materialized from prev's blocks
+        mine = _persistent_ids() - before
+        for rid in prev_ids:
+            jsc.unpersistRDD(rid, False)
+        return out, mine
+
     chars = F.concat(
         F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
     )
-    words = (
-        word_counts.select(chars.alias("toks"), F.col("count"))
-        .filter(F.size("toks") >= 2)
-        .localCheckpoint()
+    words, ckpt_ids = _checkpoint(
+        word_counts.select(chars.alias("toks"), F.col("count")).filter(
+            F.size("toks") >= 2
+        ),
+        set(),
     )
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -159,11 +188,14 @@ def _train_distributed(
             break
         a, b = best[0].a, best[0].b
         merges.append((a, b))
-        words = (
-            words.select(_apply_merge_expr(F.col("toks"), a, b).alias("toks"), "count")
-            .filter(F.size("toks") >= 2)
-            .localCheckpoint()
+        words, ckpt_ids = _checkpoint(
+            words.select(
+                _apply_merge_expr(F.col("toks"), a, b).alias("toks"), "count"
+            ).filter(F.size("toks") >= 2),
+            ckpt_ids,
         )
+    for rid in ckpt_ids:
+        jsc.unpersistRDD(rid, False)
     return merges
 
 
@@ -265,12 +297,20 @@ def bpe_train(
     wc = bpe_word_counts(df, text_col)
     if min_word_count > 1:
         wc = wc.filter(F.col("count") >= min_word_count)
-    if strategy == "auto":
-        strategy = "local" if wc.count() <= max_local_words else "distributed"
-    if strategy == "local":
-        rows = [(r["word"], r["count"]) for r in wc.collect()]
-        return _train_local(rows, num_merges, min_pair_count)
-    return _train_distributed(wc, num_merges, min_pair_count)
+    # Persist across the strategy probe: count() AND the winning branch
+    # both consume wc, and without the barrier the full-corpus word
+    # aggregation — the single most expensive stage — would run twice
+    # (round-8 review; the "corpus touched exactly once" contract).
+    wc = wc.persist()
+    try:
+        if strategy == "auto":
+            strategy = "local" if wc.count() <= max_local_words else "distributed"
+        if strategy == "local":
+            rows = [(r["word"], r["count"]) for r in wc.collect()]
+            return _train_local(rows, num_merges, min_pair_count)
+        return _train_distributed(wc, num_merges, min_pair_count)
+    finally:
+        wc.unpersist()
 
 
 def encode_word(
@@ -344,12 +384,27 @@ def bpe_token_count_column(
 
 
 def detokenize_column(tokens_col: str | Column) -> Column:
-    """Reconstruct text from a BPE token array: concatenate, turn each
-    ``</w>`` back into a space, trim the trailing one. Exact inverse of
-    encode on whole-word windows (a window cut mid-word reconstructs
-    the partial word, which is the standard context-window behavior)."""
+    """Reconstruct text from a BPE token array: strip each token's
+    TRAILING ``</w>`` marker to a space, concatenate, trim the final
+    one. Inverse of encode on whole-word windows up to two documented
+    lossy cases inherent to the word model (a window cut mid-word
+    reconstructs the partial word; whitespace RUNS collapse to one
+    space — the split never kept which whitespace it ate), plus one
+    residual ambiguity: the marker lives at token SUFFIX position, so
+    only text whose literal characters ``< / w >`` merge into a token
+    ENDING in that sequence can alias the marker (round-8 review: the
+    old whole-string ``replace`` corrupted EVERY literal ``</w>``
+    occurrence mid-token too — e.g. crawled markup ``a</w>b``)."""
     c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    return F.rtrim(F.replace(F.array_join(c, ""), F.lit(END_OF_WORD), F.lit(" ")))
+    n = len(END_OF_WORD)
+    stripped = F.transform(
+        c,
+        lambda t: F.when(
+            t.endswith(END_OF_WORD),
+            F.concat(F.substring(t, 1, F.length(t) - n), F.lit(" ")),
+        ).otherwise(t),
+    )
+    return F.rtrim(F.array_join(stripped, ""))
 
 
 def pack_by_bpe_budget(

@@ -135,35 +135,17 @@ def chunk_documents(
 
     Output: ``(id_col, chunk_idx, n_tokens, out_name)`` where
     ``chunk_idx`` is 0-based window order and ``n_tokens`` the
-    window's actual token count (< max_tokens only for the last)."""
-    if max_tokens < 1:
-        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
-    if stride is None:
-        stride = max_tokens
-    if not 1 <= stride <= max_tokens:
-        raise ValueError(
-            f"stride must be in [1, max_tokens], got {stride} (max_tokens={max_tokens})"
-        )
+    window's actual token count (< max_tokens only for the last).
+
+    Round 8: ONE window engine — this is :func:`chunk_token_arrays`
+    over the whitespace-word array with a final space-join (the engine
+    was factored out for BPE windows and the duplicate arithmetic here
+    was a divergence bug waiting; pytest coverage contract unchanged)."""
     words = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda w: w != ""
     )
-    n = F.size(words)
-    # smallest k with k*stride >= n - max_tokens, then +1 windows total
-    n_chunks = F.greatest(F.ceil((n - F.lit(max_tokens)) / F.lit(stride)) + 1, F.lit(1))
-    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
-    chunks: Column = F.transform(
-        starts, lambda s: F.slice(words, s + 1, max_tokens)  # slice is 1-based
+    out = chunk_token_arrays(
+        df.select(F.col(id_col), words.alias("_words")),
+        id_col, "_words", max_tokens, stride, min_tokens, "_w",
     )
-    return (
-        df.filter(n >= min_tokens)
-        .select(
-            F.col(id_col),
-            F.posexplode(chunks).alias("chunk_idx", "_w"),
-        )
-        .select(
-            id_col,
-            "chunk_idx",
-            F.size("_w").alias("n_tokens"),
-            F.array_join("_w", " ").alias(out_name),
-        )
-    )
+    return out.withColumn(out_name, F.array_join("_w", " ")).drop("_w")

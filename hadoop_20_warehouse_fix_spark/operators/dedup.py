@@ -820,6 +820,11 @@ def minhash_state_write(
     from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
 
     spark = df.sparkSession
+    # A rebuild under a reused state name must not inherit the previous
+    # state's tombstones (round-8 review, found on the IVF twin): stale
+    # tombstones would suppress — and the next compact physically
+    # delete — valid docs of the fresh state.
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
     write_bucketed(
         banded_signature_rows(df, id_col, text_col, n, num_hashes, bands),
         f"{state_name}_bands",
@@ -905,31 +910,37 @@ def minhash_state_delete(spark, state_name: str, ids) -> None:
             return  # nothing to tombstone (schema inference would fail anyway)
         ids = spark.createDataFrame([(i,) for i in ids], ["id"])
     bands_id_type = spark.table(f"{state_name}_bands").schema["id"].dataType
-    cast_ids = ids.select(
-        F.col("id").alias("_orig"), F.col("id").try_cast(bands_id_type).alias("id")
-    )
-    # Fail fast on lossy casts (round-7 ADVICE): an id incompatible with
-    # the state's id type (e.g. a non-numeric string against a long
-    # column) try_casts to NULL (a plain cast would abort the job with
-    # an opaque ANSI error), and NULL never matches in the probe's
-    # anti-join or the compaction filter — the deletion would silently
-    # be a no-op, which is exactly wrong for the takedown use case this
-    # function exists for. ids are small by contract, so the extra
-    # validation job is cheap.
-    bad = cast_ids.filter(F.col("id").isNull() & F.col("_orig").isNotNull()).count()
+    bad = _lossy_cast_count(ids, bands_id_type)
     if bad:
         raise ValueError(
-            f"minhash_state_delete: {bad} id(s) do not cast to the state's "
-            f"id type {bands_id_type.simpleString()} — deletion would "
-            "silently miss them"
+            f"minhash_state_delete: {bad} id(s) do not cast LOSSLESSLY to "
+            f"the state's id type {bands_id_type.simpleString()} — deletion "
+            "would silently miss them or tombstone the wrong row"
         )
+    cast_ids = ids.select(F.col("id").try_cast(bands_id_type).alias("id"))
     (
-        cast_ids.select("id")
-        .distinct()
+        cast_ids.distinct()
         .write.mode("append")
         .format("parquet")
         .saveAsTable(f"{state_name}_tombstones")
     )
+
+
+def _lossy_cast_count(ids: DataFrame, target_type) -> int:
+    """Rows whose ``id`` does not survive a round trip through
+    ``target_type``. Catches BOTH lossy classes (round-7 ADVICE + the
+    round-8 review refinement): incompatible values that try_cast to
+    NULL (non-numeric string vs long — plain cast would abort the job
+    with an opaque ANSI error), AND truncating numeric casts (5.7 as a
+    double try_casts to long 5 without NULL — the tombstone would land
+    on the WRONG row). ids are small by contract; one scalar job."""
+    orig_type = ids.schema["id"].dataType
+    cast = F.col("id").try_cast(target_type)
+    back = cast.try_cast(orig_type)
+    lossy = (F.col("id").isNotNull() & cast.isNull()) | (
+        cast.isNotNull() & (back.isNull() | (back != F.col("id")))
+    )
+    return ids.filter(lossy).count()
 
 
 def _state_tombstones(spark, state_name: str) -> DataFrame | None:

@@ -421,6 +421,7 @@ def choose_skew_join_strategy(
     right: DataFrame,
     on: str | Sequence[str],
     broadcast_row_cap: int = 1_000_000,
+    broadcast_byte_cap: int = 512 << 20,
     skew_share_threshold: float = 0.05,
     sample_fraction: float = 0.02,
 ) -> tuple[str, dict]:
@@ -453,7 +454,21 @@ def choose_skew_join_strategy(
     n_right = right.count()
     diag: dict = {"right_rows": n_right}
     if n_right <= broadcast_row_cap:
-        return "broadcast", diag
+        # A row cap alone is blind to WIDE rows (round-8 review: 1M
+        # document/embedding rows are GBs, over the broadcast hard
+        # limit where a shuffle join succeeds). Estimate bytes from a
+        # bounded sample's JSON width — an overestimate, which errs
+        # toward the safe (shuffle) side.
+        sample = right.limit(min(n_right, 200) or 1)
+        avg = (
+            sample.select(
+                F.avg(F.length(F.to_json(F.struct(*right.columns)))).alias("b")
+            ).first().b
+            or 0.0
+        )
+        diag["right_bytes_est"] = int(avg * n_right)
+        if diag["right_bytes_est"] <= broadcast_byte_cap:
+            return "broadcast", diag
     share = estimate_key_skew(left, on, fraction=sample_fraction)
     diag["max_key_share"] = round(share, 4)
     aqe_live = (

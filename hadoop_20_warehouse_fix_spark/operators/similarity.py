@@ -772,6 +772,11 @@ def ivf_state_write(
     from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
 
     spark = corpus.sparkSession
+    # A rebuild under a reused state name must not inherit the previous
+    # index's tombstones (round-8 review: stale tombstones silently
+    # suppressed — and the next compact physically deleted — valid
+    # vectors of the fresh index).
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
     cents = ivf_codebook(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
         seed=seed, codebook=codebook,
@@ -826,6 +831,22 @@ def _state_codebook(spark, state_name: str) -> list[tuple[int, list[float]]]:
     ]
 
 
+def _check_state_dim(df: DataFrame, vec_col: str, want_dim: int, op: str) -> None:
+    """Fail loudly on a dimension-mismatched batch (round-8 review: a
+    re-embedded 128-dim batch appended to a 64-dim index degraded to a
+    SILENT no-op — every row assigned NULL, filtered at the door, and
+    the caller believed the index had it; mismatched probes returned
+    empty instead of erroring). One-row probe, the ``lsh_topk`` guard
+    idiom."""
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).where(F.col("d") >= 0).first()
+    if probe is not None and probe.d != want_dim:
+        raise ValueError(
+            f"{op}: batch embeddings have length {probe.d} but the index "
+            f"was built on dim {want_dim} — every row would silently "
+            "drop/miss; re-embed or rebuild the index"
+        )
+
+
 def ivf_state_append(new_df: DataFrame, id_col: str, vec_col: str, state_name: str) -> None:
     """Fold new vectors INTO the index: assign cells with the STORED
     codebook (K driver rows — never a corpus pass), append bucketed
@@ -836,6 +857,7 @@ def ivf_state_append(new_df: DataFrame, id_col: str, vec_col: str, state_name: s
 
     spark = new_df.sparkSession
     m = spark.table(f"{state_name}_meta").collect()[0]
+    _check_state_dim(new_df, vec_col, m.dim, "ivf_state_append")
     cents = _state_codebook(spark, state_name)
     write_bucketed(
         _assigned_lists(new_df, id_col, vec_col, cents),
@@ -877,6 +899,8 @@ def ivf_state_probe(
     from hadoop_20_warehouse_fix_spark.operators.dedup import _state_tombstones
 
     spark = queries.sparkSession
+    m = spark.table(f"{state_name}_meta").collect()[0]
+    _check_state_dim(queries, vec_col, m.dim, "ivf_state_probe")
     cents = _state_codebook(spark, state_name)
     lists = spark.table(f"{state_name}_lists")
     tomb = _state_tombstones(spark, state_name)
@@ -921,23 +945,23 @@ def ivf_state_delete(spark, state_name: str, ids) -> None:
     :func:`ivf_state_compact` physically removes them. Same lossy-cast
     fail-fast contract as ``dedup.minhash_state_delete`` (the lists
     table's id column is ``neighbor_id``)."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import _lossy_cast_count
+
     if not isinstance(ids, DataFrame):
         ids = list(ids)
         if not ids:
             return
         ids = spark.createDataFrame([(i,) for i in ids], ["id"])
     id_type = spark.table(f"{state_name}_lists").schema["neighbor_id"].dataType
-    cast_ids = ids.select(
-        F.col("id").alias("_orig"), F.col("id").try_cast(id_type).alias("id")
-    )
-    bad = cast_ids.filter(F.col("id").isNull() & F.col("_orig").isNotNull()).count()
+    bad = _lossy_cast_count(ids, id_type)
     if bad:
         raise ValueError(
-            f"ivf_state_delete: {bad} id(s) do not cast to the index id type "
-            f"{id_type.simpleString()} — deletion would silently miss them"
+            f"ivf_state_delete: {bad} id(s) do not cast LOSSLESSLY to the "
+            f"index id type {id_type.simpleString()} — deletion would "
+            "silently miss them or tombstone the wrong row"
         )
     (
-        cast_ids.select("id")
+        ids.select(F.col("id").try_cast(id_type).alias("id"))
         .distinct()
         .write.mode("append")
         .format("parquet")

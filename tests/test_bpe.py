@@ -354,3 +354,33 @@ def test_min_word_count_prunes_the_hapax_tail(spark):
     want, _ = ref_train(wc, 8)
     assert pruned == want
     assert not any("h" in a + b for a, b in pruned)  # hapax chars never merge
+
+
+def test_detokenize_survives_literal_marker_text(spark):
+    """Round-8 review: text literally containing '</w>' (crawled
+    markup) used to be corrupted by the whole-string replace; the
+    per-token suffix strip keeps mid-token literals intact."""
+    from hadoop_20_warehouse_fix_spark.operators.bpe import detokenize_column
+
+    df = spark.createDataFrame([(0, "a</w>b c"), (1, "x\ty  z")], ["doc_id", "text"])
+    merges: list = []  # char-level: no merges, markers only at word ends
+    out = {
+        r.doc_id: r.back
+        for r in bpe_encode(df, "text", merges, "t")
+        .select("doc_id", detokenize_column("t").alias("back"))
+        .collect()
+    }
+    assert out[0] == "a</w>b c"  # literal marker text survives
+    assert out[1] == "x y z"  # whitespace runs collapse (documented)
+
+
+def test_distributed_trainer_storage_is_bounded(spark):
+    """Round-8 review: per-iteration localCheckpoints used to pile up
+    until GC. The explicit unpersist chain returns the persistent-RDD
+    registry to its starting size when training ends."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(d,) for d in PINNED_DOCS], ["text"])
+    merges = bpe_train(df, "text", 10, strategy="distributed")
+    assert len(merges) == 10
+    assert jsc.getPersistentRDDs().size() <= before  # nothing leaked

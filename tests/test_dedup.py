@@ -1347,3 +1347,53 @@ def test_minhash_state_compact_preserves_probe_and_drops_files(spark, tmp_path):
         for t in (f"{state}_bands", f"{state}_shingles", f"{state}_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.catalog.clearCache()
+
+
+def test_minhash_state_rebuild_clears_tombstones_and_lossy_numeric_delete(spark, tmp_path):
+    """Round-8 review pair: (a) rebuilding a state under a reused name
+    must not inherit the old state's tombstones (they would suppress —
+    then physically delete — valid docs of the fresh state); (b) a
+    TRUNCATING numeric id (5.7 as double -> long 5) must fail the
+    delete loudly, not tombstone the wrong doc."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_state_delete,
+        minhash_state_write,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    probe = corpus.select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    state = "mh_state_rebuild"
+
+    def hits(st):
+        return {
+            r.id_a
+            for r in minhash_lsh_pairs_incremental(
+                probe, "doc_id", "text", st, threshold=0.99
+            ).collect()
+        }
+
+    try:
+        minhash_state_write(
+            corpus, "doc_id", "text", state, num_buckets=4,
+            path=str(tmp_path / "s1"),
+        )
+        full = hits(state)
+        victim = sorted(full)[0]
+        minhash_state_delete(spark, state, [victim])
+        assert victim not in hits(state)
+        # rebuild same name: the tombstone must NOT survive
+        minhash_state_write(
+            corpus, "doc_id", "text", state, num_buckets=4,
+            path=str(tmp_path / "s2"),
+        )
+        assert hits(state) == full
+        # truncating numeric cast refuses loudly
+        bad = spark.createDataFrame([(5.7,)], ["id"])
+        with pytest.raises(ValueError, match="LOSSLESSLY"):
+            minhash_state_delete(spark, state, bad)
+    finally:
+        for t in ("bands", "shingles", "meta", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()

@@ -967,3 +967,26 @@ def test_skew_join_strategy_picker_and_equality(spark):
 
     with pytest.raises(ValueError, match="unknown"):
         skew_join(left, right, "k", strategy="yolo")
+
+
+def test_skew_join_broadcast_cap_respects_row_width(spark):
+    """Round-8 review: the broadcast pick must consider BYTES, not just
+    rows — wide rows under the row cap must fall through to the
+    shuffle strategies."""
+    from hadoop_20_warehouse_fix_spark.operators.joins import (
+        choose_skew_join_strategy,
+    )
+
+    left = spark.range(5_000).select(F.col("id").alias("k"), F.col("id").alias("lv"))
+    wide = spark.range(2_000).select(
+        F.col("id").alias("k"), F.repeat(F.lit("x"), 5000).alias("blob")
+    )
+    s, diag = choose_skew_join_strategy(
+        left, wide, "k", broadcast_byte_cap=1 << 20
+    )
+    assert s != "broadcast" and diag["right_bytes_est"] > 1 << 20
+    narrow = wide.select("k")
+    s2, diag2 = choose_skew_join_strategy(
+        left, narrow, "k", broadcast_byte_cap=1 << 20
+    )
+    assert s2 == "broadcast" and diag2["right_bytes_est"] <= 1 << 20

@@ -657,3 +657,60 @@ def test_ivf_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
         for t in ("lists", "codebook", "meta", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
         spark.catalog.clearCache()
+
+
+def test_ivf_state_rebuild_clears_tombstones_and_dim_guard(spark, tmp_path):
+    """Round-8 review pair on the IVF lifecycle: (a) a rebuild under a
+    reused state name must not inherit tombstones; (b) a dimension-
+    mismatched append/probe must raise, not silently no-op."""
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        ivf_state_append,
+        ivf_state_delete,
+        ivf_state_probe,
+        ivf_state_write,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    queries = emb.filter(F.col("vec_id") < 5)
+    state = "ivf_state_rebuild"
+    try:
+        ivf_state_write(
+            corpus, "vec_id", "embedding", state, n_centroids=8,
+            codebook="sample_md5", num_buckets=4, path=str(tmp_path / "i1"),
+        )
+        full = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_state_probe(queries, "vec_id", "embedding", state).collect()
+        }
+        victims = sorted({n for _, n in full})[:3]
+        ivf_state_delete(spark, state, victims)
+        after_del = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_state_probe(queries, "vec_id", "embedding", state).collect()
+        }
+        assert not {p for p in after_del if p[1] in victims}
+        # rebuild same name: tombstones must not survive
+        ivf_state_write(
+            corpus, "vec_id", "embedding", state, n_centroids=8,
+            codebook="sample_md5", num_buckets=4, path=str(tmp_path / "i2"),
+        )
+        again = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_state_probe(queries, "vec_id", "embedding", state).collect()
+        }
+        assert again == full
+        # dim guard: a 128-dim batch against the 64-dim index refuses
+        wide = corpus.limit(5).select(
+            "vec_id", F.concat("embedding", "embedding").alias("embedding")
+        )
+        with pytest.raises(ValueError, match="dim 64"):
+            ivf_state_append(wide, "vec_id", "embedding", state)
+        with pytest.raises(ValueError, match="dim 64"):
+            ivf_state_probe(wide, "vec_id", "embedding", state).collect()
+    finally:
+        for t in ("lists", "codebook", "meta", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()

@@ -293,3 +293,16 @@ def test_fan_out_small_scan_probe_and_equality(spark, tmp_path):
     est = estimate_scan_partitions(df_many)
     assert est is not None and est >= max(cores, 2) // 2
     assert fan_out_small_scan(df_many) is df_many
+
+
+def test_fan_out_probe_handles_percent_encoded_paths(spark, tmp_path):
+    """Round-8 review: inputFiles() returns URIs, so a path with a
+    space arrives %20-encoded — the probe must decode before getsize
+    or the fan-out silently disables on such layouts."""
+    from hadoop_20_warehouse_fix_spark.catalog import estimate_scan_partitions
+
+    d = tmp_path / "dir with space"
+    d.mkdir()
+    spark.range(100).coalesce(1).write.parquet(str(d / "t.parquet"))
+    df = spark.read.parquet(str(d / "t.parquet"))
+    assert estimate_scan_partitions(df) == 1  # decoded, sized, estimated
