@@ -7,23 +7,33 @@ registry with pure-Java fallbacks for every native codec); this module
 is the JPEG entry of :mod:`multimodal`'s dispatch, used only when
 PIL/OpenCV is absent (the library remains the fast path).
 
-Implements the baseline sequential DCT process from the public JPEG
-specification (ITU-T T.81 / ISO 10918-1):
+Implements the baseline sequential AND progressive Huffman DCT
+processes from the public JPEG specification (ITU-T T.81 /
+ISO 10918-1):
 
-- decoder: SOI/APPn/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI marker parse,
+- decoder: SOI/APPn/DQT/SOF0/1/2/DHT/DRI/SOS/RSTn/EOI marker parse,
   canonical Huffman entropy decode (byte-destuffed, restart-interval
   aware), dequantize, vectorized 2D IDCT (the orthonormal DCT-II
   matrix identity — T.81's FDCT/IDCT in A.3.3 equal the orthonormal
   transform, so one matmul per block array), nearest-neighbor chroma
   upsample for any integer sampling factors (4:4:4, 4:2:2, 4:2:0),
-  JFIF YCbCr->RGB. Progressive (SOF2), arithmetic coding, and 12-bit
-  precision raise ``NotImplementedError`` (library-gated, as before).
+  JFIF YCbCr->RGB. PROGRESSIVE (SOF2, round 8 — previously
+  library-gated): multi-scan coefficient accumulation with spectral
+  selection bands, successive approximation (DC and AC first/refine,
+  T.81 Annex G), EOB runs, interleaved DC scans, one reconstruction
+  at EOI. Arithmetic coding, lossless/hierarchical, and 12-bit
+  precision still raise ``NotImplementedError`` (library-gated).
 - encoder: grayscale or color (4:4:4 / 4:2:0), flat-or-custom
   quantization, canonical Huffman tables built from the data with
   EQUAL code lengths per table (counts[L] = k, k <= 2^L - 1, so the
   all-ones code is never assigned — T.81 C.2's reserved-codepoint
   rule) — not compression-optimal, but every bit is spec-valid, and
   simplicity keeps the encoder honest as a test-fixture generator.
+  ``encode_jpeg_progressive`` emits the SOF2 form (full scan script:
+  spectral selection + successive approximation, jcphuff.c-style
+  refinement bit buffering) and decodes to EXACTLY the baseline
+  encoder's pixels at equal quant (pytest-pinned) — progression
+  reorders the bits, never the final coefficients.
 
 Scale note: entropy decode is sequential per scan BY SPEC (bit-level
 Huffman with byte stuffing), so the pure path is a per-row Python
@@ -202,6 +212,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], list] = {}  # (class, id) -> 16-bit-prefix LUT
     frame = None  # (H, W, [(comp_id, h, v, tq), ...])
     restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # progressive: per-comp zigzag state
     pos, n = 2, len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -231,7 +243,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 for k, (y, x) in enumerate(_ZZ):
                     t[y, x] = vals[k]
                 qt[tq] = t
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline/extended, SOF2 progressive
+            progressive = marker == 0xC2
             precision, height, width, nf = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG (pure decoder is 8-bit)")
@@ -253,10 +266,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     raise ValueError(f"corrupt SOF: sampling factors {h}x{v}")
                 comps.append((cid, h, v, tq))
             frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (progressive/arithmetic/lossless)"
-                " — pure decoder is baseline sequential; install PIL/OpenCV"
+                f"JPEG process SOF{marker - 0xC0} (arithmetic/lossless/hierarchical)"
+                " — pure decoder is baseline + progressive Huffman; install PIL/OpenCV"
             )
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             i = 0
@@ -268,23 +281,12 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 i += 17 + nsym
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS — start of the (single, baseline) scan
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             if ns == 0:
                 raise ValueError("corrupt SOS: zero scan components")
-            if ns != len(frame[2]):
-                # Spec-legal non-interleaved baseline (one scan per
-                # component, T.81 §B.2.3) — the decoder below assumes ONE
-                # interleaved scan covering every frame component, so
-                # route these to a library instead of misparsing the
-                # entropy stream against the frame-wide MCU grid.
-                raise NotImplementedError(
-                    f"non-interleaved JPEG scan ({ns} of {len(frame[2])} "
-                    "components) — pure decoder is single-scan interleaved;"
-                    " install PIL/OpenCV"
-                )
             scan = []  # (comp_idx, dc_table, ac_table)
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -293,10 +295,226 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     raise ValueError(f"SOS references undefined component id {cs}")
                 idx = matches[0]
                 scan.append((idx, tdta >> 4, tdta & 0x0F))
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                segs, pos = _split_entropy(data, pos + seglen)
+                _decode_progressive_scan(
+                    frame, scan, coefs, ss, se, ahal >> 4, ahal & 0x0F,
+                    huff, restart_interval, segs,
+                )
+                continue  # more scans (or EOI) follow
+            if ns != len(frame[2]):
+                # Spec-legal non-interleaved baseline (one scan per
+                # component, T.81 §B.2.3) — the sequential decoder below
+                # assumes ONE interleaved scan covering every frame
+                # component, so route these to a library instead of
+                # misparsing the entropy stream against the frame-wide
+                # MCU grid.
+                raise NotImplementedError(
+                    f"non-interleaved JPEG scan ({ns} of {len(frame[2])} "
+                    "components) — pure decoder is single-scan interleaved;"
+                    " install PIL/OpenCV"
+                )
             segs, pos = _split_entropy(data, pos + seglen)
             return _decode_scan(frame, scan, qt, huff, restart_interval, segs)
         pos += seglen
+    if progressive and coefs is not None:
+        return _finish(frame, qt, _zz_planes_to_natural(frame, coefs))
     raise ValueError("no SOS scan found")
+
+
+# ------------------------------------------------- progressive (T.81 G)
+
+
+def _frame_grids(frame):
+    H, W, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    return hmax, vmax, -(-W // (8 * hmax)), -(-H // (8 * vmax))
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """Per-component zigzag coefficient state, padded to the MCU grid
+    (interleaved DC scans cover padding blocks; non-interleaved AC
+    scans cover only the component grid — the rest stays zero, exactly
+    the baseline padding semantics)."""
+    _, _, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _frame_grids(frame)
+    return [
+        np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int32)
+        for _, h, v, _ in comps
+    ]
+
+
+def _comp_block_grid(frame, ci) -> tuple[int, int]:
+    """Non-interleaved data-unit grid (T.81 A.2.2): ceil over the
+    COMPONENT's sample dimensions, not the MCU-padded frame grid."""
+    H, W, comps = frame
+    hmax, vmax, _, _ = _frame_grids(frame)
+    _, h, v, _ = comps[ci]
+    ys, xs = -(-H * v // vmax), -(-W * h // hmax)
+    return -(-ys // 8), -(-xs // 8)
+
+
+def _decode_progressive_scan(
+    frame, scan, coefs, ss, se, ah, al, huff, restart_interval, segs
+) -> None:
+    """One progressive scan (T.81 G.2): DC first/refine (possibly
+    interleaved), AC first/refine (single component by spec), spectral
+    selection bands, successive approximation, EOB runs, restart
+    intervals. Mutates ``coefs`` in place; reconstruction happens once
+    at EOI."""
+    _, _, comps = frame
+    if not (ss <= se <= 63) or al > 13 or (ah and ah != al + 1):
+        raise ValueError(f"invalid progressive scan header Ss={ss} Se={se} Ah={ah} Al={al}")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0 (T.81 G.1.1.1.1)")
+        _progressive_dc_scan(frame, scan, coefs, ah, al, huff, restart_interval, segs)
+        return
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must carry exactly one component")
+    _progressive_ac_scan(frame, scan[0], coefs, ss, se, ah, al, huff, restart_interval, segs)
+
+
+def _progressive_dc_scan(frame, scan, coefs, ah, al, huff, restart_interval, segs):
+    _, _, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _frame_grids(frame)
+    br, seg_idx = _BitReader(segs[0]), 0
+    pred = [0] * len(comps)
+    if len(scan) == 1:
+        ci, dc_t, _ = scan[0]
+        bh, bw = _comp_block_grid(frame, ci)
+        units = [(ci, dc_t, by, bx) for by in range(bh) for bx in range(bw)]
+    else:
+        units = []
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, dc_t, _ in scan:
+                _, h, v, _ = comps[ci]
+                for b in range(h * v):
+                    by, bx = divmod(b, h)
+                    units.append((ci, dc_t, my * v + by, mx * h + bx))
+        restart_interval = restart_interval * (len(units) // max(mcus_x * mcus_y, 1))
+        # restart counts MCUs; with a uniform unit stream the boundary
+        # falls every (units-per-MCU * Ri) units, which the scaling above
+        # encodes so ONE unit loop serves both orderings
+    done = 0
+    per = restart_interval
+    for ci, dc_t, by, bx in units:
+        if per and done and done % per == 0:
+            seg_idx += 1
+            br = _BitReader(segs[seg_idx])
+            pred = [0] * len(comps)
+        done += 1
+        if ah == 0:
+            t = br.decode_huff(huff[(0, dc_t)])
+            diff = _extend(br.read_bits(t), t) if t else 0
+            pred[ci] += diff
+            coefs[ci][by, bx, 0] = pred[ci] << al
+        elif br.read_bit():
+            coefs[ci][by, bx, 0] |= 1 << al
+
+
+def _progressive_ac_scan(frame, comp_scan, coefs, ss, se, ah, al, huff, restart_interval, segs):
+    ci, _, ac_t = comp_scan
+    lut = huff[(1, ac_t)]
+    bh, bw = _comp_block_grid(frame, ci)
+    br, seg_idx = _BitReader(segs[0]), 0
+    eobrun = 0
+    done = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and done and done % restart_interval == 0:
+                seg_idx += 1
+                br = _BitReader(segs[seg_idx])
+                eobrun = 0
+            done += 1
+            zz = coefs[ci][by, bx]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.decode_huff(lut)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (br.read_bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past spectral band end")
+                    zz[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:
+                eobrun = _refine_ac_block(br, lut, zz, ss, se, al, eobrun)
+
+
+def _refine_ac_block(br, lut, zz, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3; the control flow mirrors the public libjpeg jdphuff.c):
+    newly-significant coefficients arrive as s=1 symbols whose run
+    counts ZERO-HISTORY positions; every nonzero-history coefficient
+    crossed (and, once EOB fires, every one left in the band) consumes
+    a correction bit — appended 1-bits add 1<<Al toward the sign."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huff(lut)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                    break
+                # ZRL: pass 16 zero-history positions, refining along the way
+            elif s == 1:
+                val = p1 if br.read_bit() else m1
+            else:
+                raise ValueError("AC refinement magnitude must be 1")
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    bit = br.read_bit()
+                    if bit and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                bit = br.read_bit()
+                if bit and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _zz_planes_to_natural(frame, coefs) -> list[np.ndarray]:
+    planes = []
+    for zz in coefs:
+        by, bx, _ = zz.shape
+        nat = np.zeros((by, bx, 8, 8), dtype=np.int32)
+        for k, (y, x) in enumerate(_ZZ):
+            nat[:, :, y, x] = zz[:, :, k]
+        planes.append(nat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return planes
 
 
 def _decode_scan(frame, scan, qt, huff, restart_interval, segs) -> np.ndarray:
@@ -324,7 +542,15 @@ def _decode_scan(frame, scan, qt, huff, restart_interval, segs) -> np.ndarray:
                 block = _decode_block(br, huff[(0, dc_t)], huff[(1, ac_t)], pred, ci)
                 y0, x0 = (my * v + by) * 8, (mx * h + bx) * 8
                 planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    # dequantize + IDCT, whole component at once (the vectorized half)
+    return _finish(frame, qt, planes)
+
+
+def _finish(frame, qt, planes) -> np.ndarray:
+    """Shared reconstruction tail (baseline + progressive): dequantize,
+    vectorized IDCT, chroma upsample, color transform."""
+    height, width, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
     out_planes = []
     for ci, (_, h, v, tq) in enumerate(comps):
         if hmax % h or vmax % v:
@@ -457,6 +683,37 @@ def _block_symbols(qblocks: np.ndarray, pred: int) -> tuple[list, int]:
     return out, pred
 
 
+def _prepare_planes(arr, quant, subsample):
+    """Shared encoder front half (baseline + progressive): validate,
+    color-transform, subsample, pad. Returns (arr, planes, samp, q, h, w)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
+    q = np.full((8, 8), int(quant), dtype=np.int32) if np.isscalar(quant) else np.asarray(quant, dtype=np.int32).reshape(8, 8)
+    if not (1 <= q.min() and q.max() <= 255):
+        raise ValueError("quantization values must be in [1, 255] (8-bit DQT)")
+    h, w = arr.shape[:2]
+    if arr.ndim == 2:
+        return arr, [arr.astype(np.float64)], [(1, 1)], q, h, w
+    r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample == "420":
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # Y padded so the MCU grid (16x16) is whole; chroma to 8s.
+        yh, yw = -(-h // 16) * 16, -(-w // 16) * 16
+        y = np.pad(y, ((0, yh - h), (0, yw - w)), mode="edge")
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    return arr, [np.clip(p, 0, 255) for p in (y, cb, cr)], samp, q, h, w
+
+
 def _plane_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
     """Pad (edge-replicate) to 8-multiples, FDCT, quantize-round."""
     h, w = plane.shape
@@ -473,35 +730,7 @@ def encode_jpeg(arr: np.ndarray, quant: int | np.ndarray = 16, subsample: str = 
     convenient: reconstruction error per coefficient <= quant/2), or a
     full 64-value table in natural (row-major) order.
     ``subsample``: "444" or "420" (color only)."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if subsample not in ("444", "420"):
-        raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
-    q = np.full((8, 8), int(quant), dtype=np.int32) if np.isscalar(quant) else np.asarray(quant, dtype=np.int32).reshape(8, 8)
-    if not (1 <= q.min() and q.max() <= 255):
-        raise ValueError("quantization values must be in [1, 255] (8-bit DQT)")
-    h, w = arr.shape[:2]
-    gray = arr.ndim == 2
-    if gray:
-        planes = [arr.astype(np.float64)]
-        samp = [(1, 1)]
-    else:
-        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample == "420":
-            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
-            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
-            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
-            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-            # Y padded so the MCU grid (16x16) is whole; chroma to 8s.
-            yh, yw = -(-h // 16) * 16, -(-w // 16) * 16
-            y = np.pad(y, ((0, yh - h), (0, yw - w)), mode="edge")
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+    arr, planes, samp, q, h, w = _prepare_planes(arr, quant, subsample)
     qblocks = [_plane_blocks(p, q) for p in planes]
 
     # MCU-interleave block order (matches the decoder's scan order)
@@ -577,4 +806,242 @@ def encode_jpeg(arr: np.ndarray, quant: int | np.ndarray = 16, subsample: str = 
     sos += b"\x00\x3f\x00"  # Ss=0, Se=63, AhAl=0 (baseline)
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+
+def _render_ops(ops: list) -> tuple[bytes, tuple[list[int], bytes]]:
+    """Render a scan's op stream (("sym", s) Huffman symbols intermixed
+    with ("raw", value, nbits) appended bits) against an equal-length
+    canonical table built from the scan's own symbol set. Returns
+    (entropy_bytes, (counts, symbols)) — one DHT per scan, the
+    spec-legal redefine-between-scans form."""
+    syms = [s for op in ops if op[0] == "sym" for s in (op[1],)]
+    counts, symbols = _equal_length_table(syms or [0x00])
+    codes = _encode_codes(counts, symbols)
+    bw = _BitWriter()
+    for op in ops:
+        if op[0] == "sym":
+            c, length = codes[op[1]]
+            bw.write(c, length)
+        else:
+            bw.write(op[1], op[2])
+    return bw.flush(), (counts, symbols)
+
+
+def _flush_eob(ops: list, eobrun: int, pending: list[int]) -> int:
+    """Emit an EOBn symbol for the accumulated run, then the buffered
+    correction bits (refinement scans; empty list for first scans)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        ops.append(("sym", r << 4))
+        if r:
+            ops.append(("raw", eobrun - (1 << r), r))
+        for b in pending:
+            ops.append(("raw", b, 1))
+        pending.clear()
+    return 0
+
+
+def _tz(v: int, a: int) -> int:
+    """AC point transform: magnitude shift (truncation toward zero)."""
+    return abs(int(v)) >> a
+
+
+def _ac_first_ops(zz_blocks, band, al) -> list:
+    """AC first scan (Ah=0): significant = |v|>>Al != 0, runs over the
+    rest, eager ZRL every 16, EOB runs accumulated across blocks."""
+    lo, hi = band
+    ops: list = []
+    eobrun = 0
+    for zz in zz_blocks:
+        tvals = [_tz(zz[k], al) for k in range(lo, hi + 1)]
+        if not any(tvals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eob(ops, eobrun, [])
+            continue
+        eobrun = _flush_eob(ops, eobrun, [])
+        last = max(i for i, t in enumerate(tvals) if t)
+        r = 0
+        for i in range(last + 1):
+            t = tvals[i]
+            if t == 0:
+                r += 1
+                if r == 16:
+                    ops.append(("sym", 0xF0))  # ZRL
+                    r = 0
+                continue
+            s = t.bit_length()
+            v = t if zz[lo + i] > 0 else -t
+            ops.append(("sym", (r << 4) | s))
+            ops.append(("raw", _mag_bits(v, s), s))
+            r = 0
+        if last < hi - lo:
+            eobrun += 1
+    _flush_eob(ops, eobrun, [])
+    return ops
+
+
+def _ac_refine_ops(zz_blocks, band, al) -> list:
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients as
+    s=1 symbols whose run counts ZERO-HISTORY positions; correction
+    bits for nonzero-history coefficients buffered and appended after
+    the next symbol (or the EOB run) in position-then-block order —
+    the jcphuff.c bit-buffering discipline, mirrored by
+    :func:`_refine_ac_block` on the decode side."""
+    lo, hi = band
+    ops: list = []
+    eobrun = 0
+    pending: list[int] = []
+    for zz in zz_blocks:
+        tvals = [_tz(zz[k], al) for k in range(lo, hi + 1)]
+        newly = [i for i, t in enumerate(tvals) if t == 1]
+        if not newly:
+            eobrun += 1
+            pending.extend(t & 1 for t in tvals if t > 1)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eob(ops, eobrun, pending)
+            continue
+        eobrun = _flush_eob(ops, eobrun, pending)
+        last = newly[-1]
+        r = 0
+        for i in range(last + 1):
+            t = tvals[i]
+            if t == 0:
+                r += 1
+                if r == 16:
+                    ops.append(("sym", 0xF0))
+                    for b in pending:
+                        ops.append(("raw", b, 1))
+                    pending.clear()
+                    r = 0
+                continue
+            if t > 1:
+                pending.append(t & 1)
+                continue
+            ops.append(("sym", (r << 4) | 1))
+            ops.append(("raw", 1 if zz[lo + i] > 0 else 0, 1))
+            for b in pending:
+                ops.append(("raw", b, 1))
+            pending.clear()
+            r = 0
+        tail = [t & 1 for t in tvals[last + 1 :] if t > 1]
+        if last < hi - lo:
+            eobrun += 1
+            pending.extend(tail)
+    _flush_eob(ops, eobrun, pending)
+    return ops
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant: int | np.ndarray = 16,
+    subsample: str = "444",
+    al: int = 1,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2) with spectral selection AND
+    successive approximation — the scan script is DC first (interleaved,
+    Al=al) → AC first per band per component (Al=al) → DC refinement
+    bit scans (Al=al-1..0) → AC refinement per band per component.
+    Decodes to the SAME pixels as the baseline encoder at equal quant
+    (pytest-pinned roundtrip) — progression changes the ORDER bits
+    arrive, never the final coefficients. ``al=0`` gives the
+    spectral-selection-only form (no refinement scans)."""
+    if al < 0 or al > 13:
+        raise ValueError(f"al must be in [0, 13], got {al}")
+    got = [k for lo, hi in bands for k in range(lo, hi + 1)]
+    if got != list(range(1, 64)):
+        raise ValueError("bands must partition 1..63 in ascending order")
+    arr, planes, samp, q, h, w = _prepare_planes(arr, quant, subsample)
+    qblocks = [_plane_blocks(p, q) for p in planes]
+    zz_idx = np.array(_ZZ)
+    zzs = [qb[:, zz_idx[:, 0], zz_idx[:, 1]] for qb in qblocks]  # (nblk, 64)
+    # block grids of the PADDED planes (_plane_blocks pads to 8-multiples
+    # internally — shape//8 under-counted whenever a dim wasn't a multiple)
+    grids = [(-(-p.shape[0] // 8), -(-p.shape[1] // 8)) for p in planes]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    frame = (h, w, [(ci + 1, sh, sv, 0 if ci == 0 else (1 if len(planes) > 1 else 0)) for ci, (sh, sv) in enumerate(samp)])
+
+    # interleaved MCU unit order for the DC scans (baseline's ordering)
+    dc_units: list[tuple[int, int]] = []  # (comp, block_index_in_plane)
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(samp):
+            cols = grids[ci][1]
+            for b in range(sh * sv):
+                by, bx = divmod(b, sh)
+                dc_units.append((ci, (my * sv + by) * cols + (mx * sh + bx)))
+    if len(planes) == 1:
+        # single-component scans are non-interleaved by spec: the unit
+        # grid is the component grid, which may be smaller than padding
+        bh, bw_ = _comp_block_grid(frame, 0)
+        cols = grids[0][1]
+        dc_units = [(0, by * cols + bx) for by in range(bh) for bx in range(bw_)]
+
+    def ac_blocks(ci):
+        bh, bw_ = _comp_block_grid(frame, ci)
+        cols = grids[ci][1]
+        return [zzs[ci][by * cols + bx] for by in range(bh) for bx in range(bw_)]
+
+    scans: list[tuple[bytes, tuple, list[int], int, int, int, int]] = []
+    # 1. DC first (all components, Al=al)
+    ops: list = []
+    pred = [0] * len(planes)
+    for ci, bi in dc_units:
+        d = int(zzs[ci][bi, 0]) >> al  # DC point transform: arithmetic shift
+        diff = d - pred[ci]
+        pred[ci] = d
+        t = _size_cat(diff)
+        ops.append(("sym", t))
+        if t:
+            ops.append(("raw", _mag_bits(diff, t), t))
+    entropy, table = _render_ops(ops)
+    scans.append((entropy, (0, table), list(range(len(planes))), 0, 0, 0, al))
+    # 2. AC first per band per component (Al=al)
+    for ci in range(len(planes)):
+        blocks = ac_blocks(ci)
+        for lo, hi in bands:
+            entropy, table = _render_ops(_ac_first_ops(blocks, (lo, hi), al))
+            scans.append((entropy, (1, table), [ci], lo, hi, 0, al))
+    # 3. DC refinement bit scans (raw bits, no table)
+    for a in range(al - 1, -1, -1):
+        ops = [("raw", (int(zzs[ci][bi, 0]) >> a) & 1, 1) for ci, bi in dc_units]
+        entropy, _ = _render_ops([op for op in ops])  # table unused: all raw
+        scans.append((entropy, None, list(range(len(planes))), 0, 0, a + 1, a))
+    # 4. AC refinement per band per component
+    for a in range(al - 1, -1, -1):
+        for ci in range(len(planes)):
+            blocks = ac_blocks(ci)
+            for lo, hi in bands:
+                entropy, table = _render_ops(_ac_refine_ops(blocks, (lo, hi), a))
+                scans.append((entropy, (1, table), [ci], lo, hi, a + 1, a))
+
+    # headers
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(int(q[y, x]) for y, x in _ZZ)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + zz_q
+    if len(planes) > 1:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + zz_q
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else (1 if len(planes) > 1 else 0)])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for entropy, table, comp_ids, ss, se, ah, a in scans:
+        if table is not None:
+            tc, (counts, symbols) = table
+            body = bytes([(tc << 4) | 0]) + bytes(counts) + symbols
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        sos = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])  # Td=0, Ta=0 (redefined per scan)
+        sos += bytes([ss, se, (ah << 4) | a])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += entropy
+    out += b"\xff\xd9"
     return bytes(out)

@@ -7,9 +7,10 @@ Codecs: ``decode_image`` REALLY decodes PPM, BMP, zlib-compressed PNG
 (all five scanline filters), and baseline JPEG (pure-python Huffman +
 vectorized IDCT, :mod:`.jpeg`) with numpy + stdlib only; PIL/OpenCV is
 feature-detected as the FAST path for JPEG and the only path for
-exotic variants (progressive JPEG, 16-bit/palette/interlaced PNG —
-neither library ships in this container, so those raise
-NotImplementedError here).
+exotic variants (16-bit/palette/interlaced PNG, arithmetic/12-bit
+JPEG — neither library ships in this container, so those raise
+NotImplementedError here). Progressive JPEG (SOF2) decodes PURE as
+of round 8 (:mod:`.jpeg`'s multi-scan path).
 ``fake_features`` remains the deterministic embed stand-in that
 exercises the same batch shapes as a real extractor.
 
@@ -120,12 +121,13 @@ def decode_image(payload: bytes):
       stdlib zlib inflate + all five scanline filters unfiltered in
       numpy (:func:`_decode_png`); genuinely compressed input.
 
-    - baseline JPEG (SOF0, Huffman, 8-bit, any integer subsampling) —
-      pure-python marker parse + Huffman + vectorized IDCT
-      (:mod:`.jpeg`; round-6 brief #7 — the last stubbed format).
+    - baseline AND progressive JPEG (SOF0/SOF2, Huffman, 8-bit, any
+      integer subsampling) — pure-python marker parse + Huffman +
+      vectorized IDCT, multi-scan coefficient accumulation for SOF2
+      (:mod:`.jpeg`; rounds 6-8).
 
-    Exotic PNG variants (16-bit, palette, interlaced) and non-baseline
-    JPEG (progressive SOF2, arithmetic, 12-bit) go through PIL/OpenCV
+    Exotic PNG variants (16-bit, palette, interlaced) and non-Huffman
+    JPEG (arithmetic, 12-bit, lossless) go through PIL/OpenCV
     when one is installed (feature-detected once per process —
     :func:`_image_library`, and the library is preferred for JPEG even
     when the pure decoder could cope: it is the fast path); without a
