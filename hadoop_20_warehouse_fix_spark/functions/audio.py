@@ -21,10 +21,13 @@ multimedia spec, as mirrored by every public implementation):
   deterministic numpy stand-in for a polyphase resampler, exact for
   the piecewise-linear signals tests pin.
 
-Compressed audio (MP3/AAC/FLAC/OGG) stays library-gated: the sniff in
+Compressed audio: FLAC decodes PURE and bit-exact as of round 8
+(:mod:`.flac` — lossless, so exact recovery is the test contract; it
+is also what real speech corpora like LibriSpeech ship as). Lossy
+codecs (MP3/AAC/Vorbis/Opus) stay library-gated: the sniff in
 :func:`audio_features` routes undecodable payloads onto the byte
 stand-in and counts them, exactly like ``resize_batch`` does for
-non-baseline JPEG.
+non-baseline-JPEG images.
 """
 
 from __future__ import annotations
@@ -144,6 +147,23 @@ def _looks_like_wav(head: bytes) -> bool:
     return len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"WAVE"
 
 
+def _looks_like_audio(head: bytes) -> bool:
+    """Sniff for the decodable audio containers: RIFF/WAVE or FLAC."""
+    return _looks_like_wav(head) or head[:4] == b"fLaC"
+
+
+def decode_audio(data: bytes):
+    """ONE audio decode chokepoint: WAV via :func:`decode_wav`, FLAC
+    via :func:`~.flac.decode_flac` (round 8 — lossless compressed
+    audio decodes pure and bit-exact; lossy codecs stay
+    library-gated). Returns (samples, rate), the shared contract."""
+    if data[:4] == b"fLaC":
+        from hadoop_20_warehouse_fix_spark.functions.flac import decode_flac
+
+        return decode_flac(data)
+    return decode_wav(data)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, decoded boolean, duration_ms long, sample_rate int, "
     "channels int, rms double, peak double, zero_crossing_rate double"
@@ -152,7 +172,7 @@ AUDIO_FEATURES_SCHEMA = (
 
 def audio_features(media, observation=None):
     """Arrow-batched audio feature extraction over binary payloads:
-    RIFF/WAVE payloads REALLY decode (``decode_wav``) and yield
+    RIFF/WAVE and FLAC payloads REALLY decode (``decode_audio``) and yield
     duration / rate / channels / RMS / peak / zero-crossing-rate
     (channel-mean signal); anything else — including compressed audio
     without a codec library — yields ``decoded=false`` with null
@@ -171,9 +191,9 @@ def audio_features(media, observation=None):
                 b = bytes(b) if b is not None else b""
                 status = 0
                 vals = (None, None, None, None, None, None)
-                if _looks_like_wav(b[:12]):
+                if _looks_like_audio(b[:12]):
                     try:
-                        s, rate = decode_wav(b)
+                        s, rate = decode_audio(b)
                         mono = s.mean(axis=1)
                         frames = s.shape[0]
                         zc = (
@@ -342,7 +362,7 @@ def audio_fingerprint(
 
 
 def audio_fingerprint_bands(media, observation=None):
-    """Each decodable WAV payload's fingerprint as (id, band0..band3)
+    """Each decodable WAV/FLAC payload's fingerprint as (id, band0..band3)
     16-bit bands — the exact input shape of
     :func:`~..operators.dedup.hamming_pairs_from_bands`, completing the
     near-dup matrix text/image/AUDIO on ONE pair engine. Undecodable
@@ -359,9 +379,9 @@ def audio_fingerprint_bands(media, observation=None):
                 b = bytes(b) if b is not None else b""
                 status = 0
                 bands = (None, None, None, None)
-                if _looks_like_wav(b[:12]):
+                if _looks_like_audio(b[:12]):
                     try:
-                        samples, rate = decode_wav(b)
+                        samples, rate = decode_audio(b)
                         v = audio_fingerprint(samples, rate)
                         bands = tuple((v >> (16 * i)) & 0xFFFF for i in range(4))
                         status = 1
