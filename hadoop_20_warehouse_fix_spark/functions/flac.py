@@ -330,7 +330,12 @@ def _decode_flac_impl(data: bytes) -> tuple[np.ndarray, int]:
         else:
             raise ValueError(f"reserved channel assignment {ch_code}")
         bits.align()
-        bits.read(16)  # frame CRC-16 (value verified end-to-end by tests)
+        crc_end = bits.bitpos >> 3
+        if bits.read(16) != _crc16(data[frame_start:crc_end]):
+            # round-8 review: without this check, single bit flips in
+            # the entropy data decoded SILENTLY to wrong samples — the
+            # spec ships the frame CRC-16 exactly to catch that
+            raise ValueError("frame CRC-16 mismatch (corrupt FLAC)")
         for c in range(channels):
             chans[c].extend(int(x) for x in subs[c])
         if total and len(chans[0]) >= total:
@@ -398,6 +403,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16) -> bytes:
     quantized integers EXACTLY (pytest-pinned)."""
     if bps != 16:
         raise NotImplementedError("encoder writes 16-bit FLAC only")
+    if not 1 <= sample_rate <= 655350:  # spec max; field is 20 bits
+        raise ValueError(f"sample_rate must be in [1, 655350], got {sample_rate}")
     s = np.asarray(samples, dtype=np.float64)
     if s.ndim == 1:
         s = s[:, None]
@@ -419,7 +426,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16) -> bytes:
 
     for fi, start in enumerate(range(0, max(nframes, 1), 4096)):
         block = ints[start : start + 4096]
-        bsize = len(block) if len(block) else 0
+        bsize = len(block)
         if bsize == 0:
             break
         bw = _BitsW()
@@ -461,9 +468,9 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16) -> bytes:
                 resid = list(x[order:])
                 for i, cc in enumerate(coefs):
                     resid = [r - cc * int(x[order + j - i - 1]) for j, r in enumerate(resid)]
-                # rice parameter: best of 0..14 by exact cost
-                costs = [( _rice_cost(resid, p) + p * 0, p) for p in range(15)]
-                cost, param = min(costs)
+                # rice parameter: best of 0..14 by exact cost (the
+                # param width is charged inside _rice_cost's 1+param)
+                cost, param = min((_rice_cost(resid, p), p) for p in range(15))
                 cost += order * 16
                 if best is None or cost < best[0]:
                     best = (cost, order, param, resid)

@@ -144,8 +144,11 @@ def chunk_documents(
     words = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda w: w != ""
     )
+    # the engine writes the token ARRAY under out_name; replace it in
+    # place with the joined text (no intermediate name — an internal
+    # "_w" collided with out_name="_w", second-pass review)
     out = chunk_token_arrays(
-        df.select(F.col(id_col), words.alias("_words")),
-        id_col, "_words", max_tokens, stride, min_tokens, "_w",
+        df.select(F.col(id_col), words.alias("__ctk_words")),
+        id_col, "__ctk_words", max_tokens, stride, min_tokens, out_name,
     )
-    return out.withColumn(out_name, F.array_join("_w", " ")).drop("_w")
+    return out.withColumn(out_name, F.array_join(F.col(out_name), " "))

@@ -820,11 +820,6 @@ def minhash_state_write(
     from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
 
     spark = df.sparkSession
-    # A rebuild under a reused state name must not inherit the previous
-    # state's tombstones (round-8 review, found on the IVF twin): stale
-    # tombstones would suppress — and the next compact physically
-    # delete — valid docs of the fresh state.
-    spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
     write_bucketed(
         banded_signature_rows(df, id_col, text_col, n, num_hashes, bands),
         f"{state_name}_bands",
@@ -848,6 +843,12 @@ def minhash_state_write(
     if path:
         w = w.option("path", f"{path}/meta")
     w.saveAsTable(f"{state_name}_meta")
+    # A rebuild under a reused state name must not inherit the previous
+    # state's tombstones (round-8 review) — dropped LAST, after every
+    # new table landed, so a rebuild that fails partway leaves the
+    # still-live OLD state's tombstones in force (a takedown must not
+    # resurface because a later rebuild crashed; second-pass review).
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
 
 
 def minhash_state_append(
@@ -928,17 +929,27 @@ def minhash_state_delete(spark, state_name: str, ids) -> None:
 
 def _lossy_cast_count(ids: DataFrame, target_type) -> int:
     """Rows whose ``id`` does not survive a round trip through
-    ``target_type``. Catches BOTH lossy classes (round-7 ADVICE + the
-    round-8 review refinement): incompatible values that try_cast to
+    ``target_type`` BY VALUE. Catches both lossy classes (round-7
+    ADVICE + round-8 review): incompatible values that try_cast to
     NULL (non-numeric string vs long — plain cast would abort the job
     with an opaque ANSI error), AND truncating numeric casts (5.7 as a
     double try_casts to long 5 without NULL — the tombstone would land
-    on the WRONG row). ids are small by contract; one scalar job."""
+    on the WRONG row). Value, not format: a zero-padded string id
+    ("007" against a long column) round-trips to "7" — different
+    string, same value, perfectly deletable (second-pass review caught
+    the format-equality version hard-failing such ids). ids are small
+    by contract; one scalar job."""
     orig_type = ids.schema["id"].dataType
-    cast = F.col("id").try_cast(target_type)
+    orig = F.col("id")
+    cast = orig.try_cast(target_type)
     back = cast.try_cast(orig_type)
-    lossy = (F.col("id").isNotNull() & cast.isNull()) | (
-        cast.isNotNull() & (back.isNull() | (back != F.col("id")))
+    value_equal = (back == orig) | (
+        orig.try_cast("double").isNotNull()
+        & back.try_cast("double").isNotNull()
+        & (orig.try_cast("double") == back.try_cast("double"))
+    )
+    lossy = (orig.isNotNull() & cast.isNull()) | (
+        cast.isNotNull() & ~F.coalesce(value_equal, F.lit(False))
     )
     return ids.filter(lossy).count()
 

@@ -772,11 +772,6 @@ def ivf_state_write(
     from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
 
     spark = corpus.sparkSession
-    # A rebuild under a reused state name must not inherit the previous
-    # index's tombstones (round-8 review: stale tombstones silently
-    # suppressed — and the next compact physically deleted — valid
-    # vectors of the fresh index).
-    spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
     cents = ivf_codebook(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
         seed=seed, codebook=codebook,
@@ -806,6 +801,14 @@ def ivf_state_write(
     if path:
         w = w.option("path", f"{path}/meta")
     w.saveAsTable(f"{state_name}_meta")
+    # A rebuild under a reused state name must not inherit the previous
+    # index's tombstones (round-8 review: stale tombstones silently
+    # suppressed — and the next compact physically deleted — valid
+    # vectors of the fresh index). Dropped LAST, only after every new
+    # table landed: a rebuild that fails partway must leave the
+    # still-live OLD state's tombstones in force, or a taken-down
+    # vector would resurface in its probes (second-pass review).
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
 
 
 def _assigned_lists(
@@ -899,9 +902,10 @@ def ivf_state_probe(
     from hadoop_20_warehouse_fix_spark.operators.dedup import _state_tombstones
 
     spark = queries.sparkSession
-    m = spark.table(f"{state_name}_meta").collect()[0]
-    _check_state_dim(queries, vec_col, m.dim, "ivf_state_probe")
     cents = _state_codebook(spark, state_name)
+    # dim comes from the codebook the probe collects anyway — reading
+    # the meta table added a whole extra job per serving call
+    _check_state_dim(queries, vec_col, len(cents[0][1]), "ivf_state_probe")
     lists = spark.table(f"{state_name}_lists")
     tomb = _state_tombstones(spark, state_name)
     if tomb is not None:

@@ -115,3 +115,15 @@ def test_chunking_reconstruction_and_plan(spark):
     plan = chunks._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # chunking itself never shuffles
     assert "InMemoryTableScan" in plan or "Scan" in plan
+
+
+def test_chunk_documents_out_name_underscore_w(spark):
+    """Second-pass review: out_name colliding with the refactor's old
+    internal column name must still produce the text column."""
+    from hadoop_20_warehouse_fix_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", max_tokens=3, stride=2, out_name="_w")
+    rows = sorted(out.collect(), key=lambda r: r.chunk_idx)
+    assert out.columns == ["doc_id", "chunk_idx", "n_tokens", "_w"]
+    assert [r._w for r in rows] == ["a b c", "c d e"]

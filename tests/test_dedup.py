@@ -1397,3 +1397,21 @@ def test_minhash_state_rebuild_clears_tombstones_and_lossy_numeric_delete(spark,
         for t in ("bands", "shingles", "meta", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
         spark.catalog.clearCache()
+
+
+def test_lossy_cast_guard_is_by_value_not_format(spark):
+    """Second-pass review: a zero-padded string id ("007" vs a long
+    column) round-trips to a DIFFERENT string but the SAME value — it
+    must delete fine; truncating numerics must still refuse."""
+    from pyspark.sql.types import LongType, StringType
+
+    from hadoop_20_warehouse_fix_spark.operators.dedup import _lossy_cast_count
+
+    strings = spark.createDataFrame([("007",), ("5",)], ["id"])
+    assert _lossy_cast_count(strings, LongType()) == 0
+    doubles = spark.createDataFrame([(5.7,), (3.0,)], ["id"])
+    assert _lossy_cast_count(doubles, LongType()) == 1  # only 5.7
+    bad = spark.createDataFrame([("takedown-123",)], ["id"])
+    assert _lossy_cast_count(bad, LongType()) == 1
+    same = spark.createDataFrame([("alpha",), ("007",)], ["id"])
+    assert _lossy_cast_count(same, StringType()) == 0  # identity casts

@@ -239,3 +239,33 @@ def test_audio_operators_decode_flac(spark):
     # WAV x32767 vs FLAC x32768 quantization: sub-LSB gain difference,
     # which the fingerprint's gain invariance absorbs exactly
     assert pairs.get((1, 2)) == 0
+
+
+def test_frame_crc16_catches_entropy_corruption():
+    """Second-pass review: the frame CRC-16 must be VERIFIED — without
+    it, single bit flips in the entropy data decoded silently to wrong
+    samples. Every entropy-region bit flip now raises (or, rarely,
+    breaks the parse earlier)."""
+    rng = np.random.default_rng(2)
+    valid = encode_flac(rng.uniform(-0.5, 0.5, 3000), 8000)
+    # locate the frame region: everything after STREAMINFO (4 + 4 + 34 + 16)
+    frame_start = len(b"fLaC") + 4 + 34 + 16
+    silent = 0
+    for off in range(frame_start + 12, min(frame_start + 212, len(valid) - 2)):
+        v = bytearray(valid)
+        v[off] ^= 0x10
+        try:
+            out, _ = decode_flac(bytes(v))
+            ref, _ = decode_flac(valid)
+            if not np.array_equal(out, ref):
+                silent += 1
+        except (ValueError, NotImplementedError):
+            pass
+    assert silent == 0, f"{silent} corruptions decoded silently wrong"
+
+
+def test_encoder_validates_sample_rate():
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_flac(np.zeros(100), 0)
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_flac(np.zeros(100), 1_048_576 + 8000)
