@@ -49,10 +49,16 @@ def _own_cpu_seconds() -> float | None:
     """Cumulative CPU seconds of this process AND its descendants (the
     py4j-spawned JVM is a live child, so RUSAGE_CHILDREN — reaped
     children only — would miss all executor work). Linux /proc walk;
-    None where /proc is unavailable."""
+    None where /proc is unavailable. Each live process contributes
+    utime+stime PLUS cutime+cstime (CPU of its already-reaped children
+    — round-8 ADVICE: omitting those undercounts our own finished
+    Python workers and can false-positive the ambient caveat); reaped
+    children are gone from /proc so the two terms never double-count.
+    Descendants reparented to init before we walk remain invisible —
+    a residual undercount the caveat wording acknowledges."""
     try:
         tick = os.sysconf("SC_CLK_TCK")
-        stats = {}  # pid -> (ppid, utime+stime ticks)
+        stats = {}  # pid -> (ppid, utime+stime+cutime+cstime ticks)
         for entry in os.listdir("/proc"):
             if not entry.isdigit():
                 continue
@@ -63,7 +69,8 @@ def _own_cpu_seconds() -> float | None:
                 continue  # process exited mid-walk
             # field 2 (comm) may contain spaces; parse after the last ')'
             rest = raw.rsplit(")", 1)[1].split()
-            stats[int(entry)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            cpu = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            stats[int(entry)] = (int(rest[1]), cpu)
         mine = {os.getpid()}
         grew = True
         while grew:  # transitive closure over the ppid tree
@@ -254,7 +261,9 @@ def main() -> None:
                 f"box loaded up DURING the run: end 1-min loadavg {load_end:.2f}"
                 f" minus our own ~{own_avg_cores} avg cores leaves ambient "
                 f"~{ambient_end} >= gate {gate['threshold']} — totals are "
-                "load-confounded despite the satisfied start gate"
+                "load-confounded despite the satisfied start gate (own-cores "
+                "excludes descendants reparented away before exit, so true "
+                "ambient may be smaller)"
             )
     if not gate["satisfied"]:
         payload["caveat"] = (

@@ -175,7 +175,27 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
     if not files:
         return None
     spark = df.sparkSession
+    # Bucketed catalog tables don't follow split arithmetic at all —
+    # the scan plans ONE partition per bucket regardless of file sizes
+    # (round-8 ADVICE: replaying FilePartition math here made
+    # fan_out_small_scan repartition a layout whose bucket co-location
+    # is the point). Treat as unknown/big, the remote-FS posture. The
+    # analyzed plan is already materialized (analysis is eager), so
+    # walking its leaves costs no extra planning.
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            rel = leaves.apply(i).relation()
+            if rel.bucketSpec().isDefined():
+                return None
+    except Exception:  # noqa: BLE001 — non-LogicalRelation leaves, non-FS relations
+        pass
+    # Non-splittable inputs (compressed text: one split per FILE, never
+    # chopped — parquet/orc stay splittable whatever their codec, and
+    # their files end in .parquet/.orc, not these suffixes).
+    whole_file = (".gz", ".zip", ".deflate", ".snappy", ".lz4", ".zst", ".br")
     sizes = []
+    unsplittable = []
     for f in files:
         p = urlparse(f)
         if p.scheme not in ("", "file"):
@@ -184,15 +204,21 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
             # inputFiles() returns URIs: a path with a space arrives
             # %20-encoded and getsize on the raw form raises, silently
             # disabling the fan-out (round-8 review) — decode first.
-            sizes.append(os.path.getsize(unquote(p.path) or f))
+            sz = os.path.getsize(unquote(p.path) or f)
         except OSError:
             return None
+        if f.lower().endswith(whole_file):
+            unsplittable.append(sz)
+        else:
+            sizes.append(sz)
     open_cost = _size_conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
     mpb = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     cores = spark.sparkContext.defaultParallelism
-    bytes_per_core = (sum(sizes) + open_cost * len(sizes)) / max(cores, 1)
+    n_files = len(sizes) + len(unsplittable)
+    total = sum(sizes) + sum(unsplittable)
+    bytes_per_core = (total + open_cost * n_files) / max(cores, 1)
     max_split = min(mpb, max(open_cost, bytes_per_core))
-    splits: list[int] = []
+    splits: list[int] = [int(sz) for sz in unsplittable]  # one split per file
     for sz in sizes:
         while sz > max_split:
             splits.append(int(max_split))

@@ -415,7 +415,13 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16) -> bytes:
 
     out = bytearray(b"fLaC")
     si = _BitsW()
-    si.write(4096, 16); si.write(4096, 16)
+    # STREAMINFO min/max blocksize must describe the stream's ACTUAL
+    # frames: a single-frame stream shorter than 4096 samples has no
+    # "trailing short frame" for the spec's last-frame exemption to
+    # cover, so strict validators flag a 4096/4096 claim (round-8
+    # ADVICE). Field legal range is 16..65535, hence the floor.
+    bs_field = max(min(nframes, 4096), 16) if nframes else 4096
+    si.write(bs_field, 16); si.write(bs_field, 16)
     si.write(0, 24); si.write(0, 24)
     si.write(sample_rate, 20)
     si.write(channels - 1, 3)

@@ -914,9 +914,10 @@ def minhash_state_delete(spark, state_name: str, ids) -> None:
     bad = _lossy_cast_count(ids, bands_id_type)
     if bad:
         raise ValueError(
-            f"minhash_state_delete: {bad} id(s) do not cast LOSSLESSLY to "
-            f"the state's id type {bands_id_type.simpleString()} — deletion "
-            "would silently miss them or tombstone the wrong row"
+            f"minhash_state_delete: {bad} id(s) are NULL or do not cast "
+            f"LOSSLESSLY to the state's id type "
+            f"{bands_id_type.simpleString()} — deletion would silently "
+            "miss them or tombstone the wrong row"
         )
     cast_ids = ids.select(F.col("id").try_cast(bands_id_type).alias("id"))
     (
@@ -937,8 +938,10 @@ def _lossy_cast_count(ids: DataFrame, target_type) -> int:
     on the WRONG row). Value, not format: a zero-padded string id
     ("007" against a long column) round-trips to "7" — different
     string, same value, perfectly deletable (second-pass review caught
-    the format-equality version hard-failing such ids). ids are small
-    by contract; one scalar job."""
+    the format-equality version hard-failing such ids). NULL ids are
+    counted as lossy too (round-8 ADVICE: a NULL tombstone anti-joins
+    NOTHING — the delete would silently no-op). ids are small by
+    contract; one scalar job."""
     orig_type = ids.schema["id"].dataType
     orig = F.col("id")
     cast = orig.try_cast(target_type)
@@ -948,9 +951,7 @@ def _lossy_cast_count(ids: DataFrame, target_type) -> int:
         & back.try_cast("double").isNotNull()
         & (orig.try_cast("double") == back.try_cast("double"))
     )
-    lossy = (orig.isNotNull() & cast.isNull()) | (
-        cast.isNotNull() & ~F.coalesce(value_equal, F.lit(False))
-    )
+    lossy = orig.isNull() | cast.isNull() | ~F.coalesce(value_equal, F.lit(False))
     return ids.filter(lossy).count()
 
 

@@ -471,9 +471,13 @@ def choose_skew_join_strategy(
             return "broadcast", diag
     share = estimate_key_skew(left, on, fraction=sample_fraction)
     diag["max_key_share"] = round(share, 4)
+    # Conf values are user-set strings: 'TRUE'/'True' are live AQE too
+    # (round-8 ADVICE — the case-sensitive compare silently downgraded
+    # to the salted strategy: correct rows, slower plan).
     aqe_live = (
-        spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
-        and spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true") == "true"
+        str(spark.conf.get("spark.sql.adaptive.enabled", "true")).lower() == "true"
+        and str(spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")).lower()
+        == "true"
     )
     diag["aqe_skew_live"] = aqe_live
     if share >= skew_share_threshold:

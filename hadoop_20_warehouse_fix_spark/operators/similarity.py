@@ -960,9 +960,9 @@ def ivf_state_delete(spark, state_name: str, ids) -> None:
     bad = _lossy_cast_count(ids, id_type)
     if bad:
         raise ValueError(
-            f"ivf_state_delete: {bad} id(s) do not cast LOSSLESSLY to the "
-            f"index id type {id_type.simpleString()} — deletion would "
-            "silently miss them or tombstone the wrong row"
+            f"ivf_state_delete: {bad} id(s) are NULL or do not cast "
+            f"LOSSLESSLY to the index id type {id_type.simpleString()} — "
+            "deletion would silently miss them or tombstone the wrong row"
         )
     (
         ids.select(F.col("id").try_cast(id_type).alias("id"))

@@ -1415,3 +1415,10 @@ def test_lossy_cast_guard_is_by_value_not_format(spark):
     assert _lossy_cast_count(bad, LongType()) == 1
     same = spark.createDataFrame([("alpha",), ("007",)], ["id"])
     assert _lossy_cast_count(same, StringType()) == 0  # identity casts
+    # Round-8 ADVICE: NULL ids count as lossy — a NULL tombstone
+    # anti-joins NOTHING, so the delete would silently no-op.
+    with_null = spark.createDataFrame(
+        [(n,) for n in ("9", None, "11")], schema="id string"
+    )
+    assert _lossy_cast_count(with_null, LongType()) == 1
+    assert _lossy_cast_count(with_null, StringType()) == 1  # even identity

@@ -269,3 +269,24 @@ def test_encoder_validates_sample_rate():
         encode_flac(np.zeros(100), 0)
     with pytest.raises(ValueError, match="sample_rate"):
         encode_flac(np.zeros(100), 1_048_576 + 8000)
+
+
+def test_streaminfo_blocksize_reflects_single_short_frame():
+    """Round-8 ADVICE: a single-frame stream shorter than 4096 samples
+    must not claim min/max blocksize 4096 — the spec's last-frame
+    exemption covers trailing short frames, not the only frame. The
+    fields live at byte offsets 8..11 (after fLaC magic + 4-byte block
+    header): 16-bit min, 16-bit max."""
+    import struct as _struct
+
+    rng = np.random.default_rng(7)
+    for n, expect in [(1000, 1000), (10, 16), (4096, 4096), (5000, 4096)]:
+        s = rng.uniform(-0.4, 0.4, n)
+        blob = encode_flac(s, 8000)
+        mn, mx = _struct.unpack(">HH", blob[8:12])
+        assert (mn, mx) == (expect, expect), (n, mn, mx)
+        out, rate = decode_flac(blob)
+        assert rate == 8000
+        assert np.array_equal(
+            out[:, 0] * 32768.0, np.clip(np.round(s * 32768.0), -32768, 32767)
+        )

@@ -990,3 +990,53 @@ def test_skew_join_broadcast_cap_respects_row_width(spark):
         left, narrow, "k", broadcast_byte_cap=1 << 20
     )
     assert s2 == "broadcast" and diag2["right_bytes_est"] <= 1 << 20
+
+
+def test_skew_strategy_aqe_probe_case_insensitive(spark):
+    """Round-8 ADVICE: a user-set 'TRUE' must still classify AQE as
+    live — the case-sensitive compare silently downgraded to the
+    salted strategy."""
+    from hadoop_20_warehouse_fix_spark.operators.joins import choose_skew_join_strategy
+
+    left = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(5_000).select(F.col("id").alias("k"))
+    old_a = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_s = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "TRUE")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "True")
+        s, diag = choose_skew_join_strategy(left, right, "k", broadcast_row_cap=100)
+        assert diag["aqe_skew_live"] and s == "aqe_skew"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_a)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_s)
+
+
+def test_bench_own_cpu_includes_reaped_children():
+    """Round-8 ADVICE: _own_cpu_seconds must count CPU of descendants
+    that already EXITED (cutime/cstime of live ancestors) — otherwise
+    the bench's own finished workers read as ambient load and
+    false-positive the end-load caveat."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        from bench import _own_cpu_seconds
+    finally:
+        sys.path.pop(0)
+
+    before = _own_cpu_seconds()
+    assert before is not None
+    # burn ~0.5s of CPU in a child, then REAP it (it leaves /proc)
+    subprocess.run(
+        [sys.executable, "-c",
+         "t=__import__('time').process_time()\n"
+         "while __import__('time').process_time()-t<0.5: pass"],
+        check=True,
+    )
+    after = _own_cpu_seconds()
+    assert after - before >= 0.4, (before, after)

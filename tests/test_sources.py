@@ -306,3 +306,50 @@ def test_fan_out_probe_handles_percent_encoded_paths(spark, tmp_path):
     spark.range(100).coalesce(1).write.parquet(str(d / "t.parquet"))
     df = spark.read.parquet(str(d / "t.parquet"))
     assert estimate_scan_partitions(df) == 1  # decoded, sized, estimated
+
+
+def test_fan_out_probe_bucketed_and_unsplittable(spark, tmp_path):
+    """Round-8 ADVICE: (a) a bucketed catalog table plans one partition
+    per BUCKET, not per split — the probe must answer None (unknown/
+    big) so fan_out_small_scan never repartitions away the bucket
+    co-location; (b) a gzip text file is non-splittable — one split per
+    FILE, never chopped by the split arithmetic."""
+    from hadoop_20_warehouse_fix_spark.catalog import (
+        estimate_scan_partitions,
+        fan_out_small_scan,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS probe_bucketed_advice")
+    (
+        spark.range(2000)
+        .select(F.col("id"), (F.col("id") % 7).alias("k"))
+        .write.bucketBy(4, "k")
+        .sortBy("k")
+        .mode("overwrite")
+        .saveAsTable("probe_bucketed_advice")
+    )
+    try:
+        tbl = spark.table("probe_bucketed_advice")
+        assert estimate_scan_partitions(tbl) is None
+        assert fan_out_small_scan(tbl) is tbl  # layout left alone
+    finally:
+        spark.sql("DROP TABLE IF EXISTS probe_bucketed_advice")
+
+    gz = str(tmp_path / "gz_text")
+    spark.range(50_000).select(
+        F.concat(F.lit("line-"), F.col("id")).alias("value")
+    ).coalesce(2).write.option("compression", "gzip").text(gz)
+    df = spark.read.text(gz)
+    # tiny maxPartitionBytes would chop a SPLITTABLE file into many
+    # pieces; a .gz file must still count one split per file
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+        est = estimate_scan_partitions(df)
+        assert est == 2  # == file count, matching the actual scan
+        assert df.rdd.getNumPartitions() == 2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
