@@ -580,6 +580,105 @@ def _looks_like_image(head: bytes) -> bool:
     )
 
 
+def media_fingerprint_bands(
+    media: DataFrame, n_frames: int = 3, observation=None
+) -> DataFrame:
+    """Modality-dispatched fingerprint bands over a MIXED media corpus
+    — the decode gate + fingerprint stage of the multimodal training-
+    set pipeline in ONE ``mapInPandas`` pass. Each payload is sniffed
+    by magic (the three families are disjoint: image P6/BM/PNG/JPEG;
+    audio RIFF-WAVE/fLaC; video RIFF-AVI) and routed to its modality's
+    64-bit fingerprint: image dHash (:func:`dhash_image`), audio
+    spectral (:func:`~.audio.audio_fingerprint`), video frame-dHash
+    (:func:`~.video.dhash_video`). Output is the shared band shape
+    (id, modality, band0..band3) for
+    :func:`~..operators.dedup.hamming_pairs_from_bands` with
+    ``key_cols=["modality"]`` — pairs form only WITHIN a modality, so
+    a numerically-colliding image/audio fingerprint can never pair.
+
+    The gate contract mirrors the per-modality band extractors:
+    undecodable-but-sniffed payloads and unrecognized formats are
+    DROPPED from the output (a fingerprint of a failed decode would
+    manufacture pairs) and counted via ``observation`` as the
+    pipeline's dropped-media ledger: ``rows`` / ``decoded_rows`` /
+    ``failed_decode_rows`` / ``unrecognized_rows``, plus per-modality
+    ``decoded_image_rows`` / ``decoded_audio_rows`` /
+    ``decoded_video_rows``.
+
+    100 TB: row-local Arrow-batched work (decode cost is the payload's
+    own bytes), zero shuffle; the scan prunes to (media_id, payload).
+    Reference analog: the heterogeneous-doc index pipeline
+    (``/root/reference/X/index/.../main/UpdateIndex.java:66``) feeding
+    one update stream from mixed input formats."""
+    from hadoop_20_warehouse_fix_spark.functions.audio import (
+        _looks_like_audio,
+        audio_fingerprint,
+        decode_audio,
+    )
+    from hadoop_20_warehouse_fix_spark.functions.video import (
+        _looks_like_avi,
+        dhash_video,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                head = b[:12]
+                modality, status, bands = None, 0, (None, None, None, None)
+                try:
+                    if _looks_like_avi(head):  # RIFF-AVI before RIFF-WAVE
+                        modality, status = "video", 2
+                        v = dhash_video(b, n_frames=n_frames)
+                    elif _looks_like_audio(head):
+                        modality, status = "audio", 2
+                        samples, rate = decode_audio(b)
+                        v = audio_fingerprint(samples, rate)
+                    elif _looks_like_image(head[:8]):
+                        modality, status = "image", 2
+                        v = dhash_image(b)
+                    else:
+                        rows.append((int(mid), None, 0, *bands))
+                        continue
+                    bands = tuple((v >> (16 * i)) & 0xFFFF for i in range(4))
+                    status = 1
+                except (ValueError, NotImplementedError):
+                    bands = (None, None, None, None)
+                rows.append((int(mid), modality, status, *bands))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "modality", "_status", "band0", "band1", "band2", "band3"],
+            )
+
+    feats = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "id long, modality string, _status int,"
+            " band0 int, band1 int, band2 int, band3 int"
+        ),
+    )
+    if observation is not None:
+        decoded = F.col("_status") == 1
+        feats = feats.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(decoded.cast("long")).alias("decoded_rows"),
+            F.sum((F.col("_status") == 2).cast("long")).alias("failed_decode_rows"),
+            F.sum((F.col("_status") == 0).cast("long")).alias("unrecognized_rows"),
+            F.sum((decoded & (F.col("modality") == "image")).cast("long")).alias(
+                "decoded_image_rows"
+            ),
+            F.sum((decoded & (F.col("modality") == "audio")).cast("long")).alias(
+                "decoded_audio_rows"
+            ),
+            F.sum((decoded & (F.col("modality") == "video")).cast("long")).alias(
+                "decoded_video_rows"
+            ),
+        )
+    return feats.filter(F.col("_status") == 1).drop("_status")
+
+
 RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
 
 

@@ -23,6 +23,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -634,7 +636,9 @@ def simhash_pairs(
     )
 
 
-def hamming_pairs_from_bands(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+def hamming_pairs_from_bands(
+    sh: DataFrame, max_hamming: int = 3, key_cols: Sequence[str] = ()
+) -> DataFrame:
     """Pairs at Hamming distance <= ``max_hamming`` (<= 3) over ANY
     64-bit fingerprint presented as (id, band0..band3) 16-bit bands —
     by pigeonhole such pairs agree exactly on >= 1 band, so candidates
@@ -644,25 +648,36 @@ def hamming_pairs_from_bands(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
     the exploded form evaluates it twice (~40% faster at sf0.1). Join
     key (bi, bv) is exact-match blocking; full band vectors ride along
     for the Hamming verify. Works for any fingerprint with the band
-    layout: SimHash text sketches, image dHash, audio fingerprints."""
+    layout: SimHash text sketches, image dHash, audio fingerprints.
+
+    ``key_cols`` (round 9): extra columns folded into the equality key
+    so pairs only form WITHIN a group — the mixed-modality corpus path
+    passes ``["modality"]`` so an image dHash can never pair with a
+    numerically-colliding audio fingerprint. Same physics, one more
+    join column; default () is byte-identical to the old behavior."""
     bands = [f"band{i}" for i in range(4)]
+    keys = list(key_cols)
     banded = sh.select(
         "id",
+        *keys,
         *bands,
         F.explode(
             F.array(
                 *[F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bv")) for b in range(4)]
             )
         ).alias("bb"),
-    ).select("id", *bands, "bb.bi", "bb.bv")
+    ).select("id", *keys, *bands, "bb.bi", "bb.bv")
     a = banded.select(
-        F.col("id").alias("id_a"), *[F.col(c).alias(f"a{i}") for i, c in enumerate(bands)], "bi", "bv"
+        F.col("id").alias("id_a"), *keys, *[F.col(c).alias(f"a{i}") for i, c in enumerate(bands)], "bi", "bv"
     )
     b = banded.select(
-        F.col("id").alias("id_b"), *[F.col(c).alias(f"b{i}") for i, c in enumerate(bands)], "bi", "bv"
+        F.col("id").alias("id_b"), *keys, *[F.col(c).alias(f"b{i}") for i, c in enumerate(bands)], "bi", "bv"
     )
     cands = (
-        a.join(b, ["bi", "bv"]).filter(F.col("id_a") < F.col("id_b")).drop("bi", "bv").distinct()
+        a.join(b, ["bi", "bv", *keys])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("bi", "bv", *keys)
+        .distinct()
     )
     hamming = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")).bitwiseAND(F.lit(0xFFFF)))

@@ -484,3 +484,119 @@ def corpus_prepare_training_set(
         F.lit(None).cast("long").alias("shard_id"),
     )
     return train.unionByName(rest)
+
+
+def corpus_prepare_media_training_set(
+    spark: SparkSession,
+    media: DataFrame,
+    shard_budget_bytes: int = 1 << 20,
+    max_hamming: int = 3,
+    n_frames: int = 3,
+    splits: dict[str, float] | None = None,
+    observation=None,
+    handles: list | None = None,
+) -> DataFrame:
+    """MULTIMODAL capstone — the media-column twin of
+    :func:`corpus_prepare_training_set`, one engine pipeline over a
+    mixed image/audio/video corpus (pytest-covered function,
+    intentionally NOT a registered query: binary payloads and Hamming
+    pair generation are not DuckDB-replayable, and the registry is
+    held at 135):
+
+    1. exact dedup — keep-min ``media_id`` per ``md5(payload)``
+       (:func:`~..operators.dedup.exact_dedup_rows`, one
+       combine-friendly shuffle) BEFORE any decode: byte-identical
+       copies must not pay the codec;
+    2. decode gate + fingerprint —
+       :func:`~..functions.multimodal.media_fingerprint_bands`:
+       payloads sniffed by magic, routed to their modality's 64-bit
+       fingerprint (image dHash / audio spectral / video frame-dHash),
+       undecodable or unrecognized payloads COUNTED + DROPPED (the
+       dropped-media ledger rides ``observation``, filled when the
+       returned plan materializes);
+    3. near-dup removal — the shared pigeonhole band engine with
+       ``key_cols=["modality"]`` (pairs only within a modality), then
+       :func:`~..operators.dedup.connected_components` min-label
+       clustering and the keep-lowest policy: every non-representative
+       member of a cluster drops. This is what removes a WAV vs its
+       FLAC twin, a baseline vs its progressive JPEG re-encode, and a
+       re-encoded AVI — cross-FORMAT duplicates that byte-level md5
+       can never see;
+    4. split — content-addressed train/val/test
+       (:func:`~..sources.readers.assign_split` md5 coin on
+       ``media_id``);
+    5. pack — the train split packed into fixed-BYTE-budget shards in
+       ``media_id`` order via the distributed prefix sum (media has no
+       token count; a loader's unit of account is payload bytes).
+       val/test carry shard_id NULL, exactly like the text capstone.
+
+    Output: (media_id, modality, n_bytes, split, shard_id).
+
+    100 TB posture stage-by-stage: md5 dedup is one partial-agg
+    shuffle; the decode gate is row-local Arrow work that prunes the
+    scan to (media_id, payload); pair generation is band-equality
+    blocking (never all-pairs); components converge in diameter
+    rounds over near-clique duplicate clusters; split is a row-local
+    coin; packing is the two-pass prefix sum. The fingerprint stage
+    feeds two consumers (pair generation + the survivor base), so it
+    is persist-barriered — same JobControl lesson as the text
+    capstone's seams, where every integration bug of rounds 4-8 lived.
+
+    Cache lifetime: pass ``handles`` to unpersist after
+    materialization, else ``spark.catalog.clearCache()``."""
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        media_fingerprint_bands,
+    )
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        connected_components,
+        exact_dedup_rows,
+        hamming_pairs_from_bands,
+    )
+    from hadoop_20_warehouse_fix_spark.operators.sort import pack_by_budget
+    from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
+
+    if shard_budget_bytes <= 0:
+        raise ValueError(
+            f"shard_budget_bytes must be positive, got {shard_budget_bytes}"
+        )
+    slim = media.select("media_id", "payload")
+    deduped = exact_dedup_rows(slim, "media_id", F.md5(F.col("payload")))
+    sizes = deduped.select(
+        "media_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+    bands = media_fingerprint_bands(
+        deduped, n_frames=n_frames, observation=observation
+    ).persist()
+    if handles is not None:
+        handles.append(bands)
+    if observation is not None:
+        # Materialize the gate NOW, exactly once: the pair stage below
+        # self-joins `bands`, and two concurrent first-scans of a
+        # persisted plan race to populate the cache — some partitions
+        # fire the observe accumulator twice, some zero times, and the
+        # Observation row comes back corrupt (measured: obs.get raised
+        # a JVM assertion on degenerate corpora). One eager pass fills
+        # the cache, fires the metrics exactly once, and makes the
+        # ledger readable as soon as this function returns; downstream
+        # consumers read the cache, so no decode work is repeated.
+        bands.count()
+    pairs = hamming_pairs_from_bands(bands, max_hamming, key_cols=["modality"])
+    clusters = connected_components(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    survivors = (
+        bands.join(drop, "id", "left_anti")
+        .select(F.col("id").alias("media_id"), "modality")
+        .join(sizes, "media_id")
+    )
+    tagged = assign_split(survivors, "media_id", splits).persist()
+    if handles is not None:
+        handles.append(tagged)
+    train = pack_by_budget(
+        tagged.filter(F.col("split") == "train"), "media_id", "n_bytes",
+        budget=shard_budget_bytes,
+    ).select("media_id", "modality", "n_bytes", "split", "shard_id")
+    rest = tagged.filter(F.col("split") != "train").select(
+        "media_id", "modality", "n_bytes", "split",
+        F.lit(None).cast("long").alias("shard_id"),
+    )
+    return train.unionByName(rest)

@@ -1,0 +1,211 @@
+"""Round-9 brief #1: the MULTIMODAL capstone — media columns through
+the training-set pipeline. The near-dup matrix (image/audio/video on
+one Hamming band engine) and the capstone composition finally meet:
+decode gate -> modality fingerprint near-dup -> connected components
+keep-lowest -> split -> pack, as ONE pipeline over a MIXED corpus,
+with the dropped-media ledger the text path established.
+
+Planted duplicates are cross-FORMAT — the class byte-level md5 can
+never see: a WAV vs its FLAC twin (same samples, different
+container), a baseline vs its progressive JPEG re-encode
+(pixel-identical decode paths), a re-encoded AVI (different JPEG
+quality per frame). Reference analog: the heterogeneous-doc index
+pipeline (/root/reference/X/index/.../main/UpdateIndex.java:66)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.functions.audio import encode_wav
+from hadoop_20_warehouse_fix_spark.functions.flac import encode_flac
+from hadoop_20_warehouse_fix_spark.functions.jpeg import (
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+from hadoop_20_warehouse_fix_spark.functions.video import encode_avi_mjpeg
+from hadoop_20_warehouse_fix_spark.queries.corpus import (
+    corpus_prepare_media_training_set,
+)
+
+
+def _clip(seed: int) -> np.ndarray:
+    """~2s of band-rich audio (the spectral fingerprint needs real
+    structure; silence fingerprints degenerate)."""
+    t = np.arange(16000) / 8000.0
+    rng = np.random.default_rng(seed)
+    freqs = rng.uniform(100, 2000, 5)
+    amps = rng.uniform(0.2, 1.0, 5)
+    return sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps)) / 3.0
+
+
+def _img(seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(30, 220, size=(24, 24, 3)).astype(np.uint8)
+
+
+def _vid(seed: int) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 160, size=(6, 24, 24, 3)).astype(np.uint8)
+    return [base[i] for i in range(6)]
+
+
+def _mixed_corpus(spark):
+    """ids chosen so keep-lowest is checkable: each planted duplicate
+    pair is (low, high) and the HIGH id must drop."""
+    img_a, img_b = _img(1), _img(2)
+    clip_a, clip_b = _clip(3), _clip(4)
+    vid_a, vid_b = _vid(5), _vid(6)
+    rows = [
+        # --- images: 10 baseline, 11 progressive re-encode (dup), 12 distinct
+        (10, bytearray(encode_jpeg(img_a, quant=8))),
+        (11, bytearray(encode_jpeg_progressive(img_a, quant=8))),
+        (12, bytearray(encode_jpeg(img_b, quant=8))),
+        # --- audio: 20 WAV, 21 FLAC twin (dup), 22 distinct
+        (20, bytearray(encode_wav(clip_a, 8000))),
+        (21, bytearray(encode_flac(clip_a, 8000))),
+        (22, bytearray(encode_wav(clip_b, 8000))),
+        # --- video: 30 quant=1, 31 re-encode quant=4 (dup), 32 distinct
+        (30, bytearray(encode_avi_mjpeg(vid_a, quant=1))),
+        (31, bytearray(encode_avi_mjpeg(vid_a, quant=4))),
+        (32, bytearray(encode_avi_mjpeg(vid_b, quant=1))),
+        # --- byte-identical copy of 12: exact dedup (md5) must drop 40
+        (40, bytearray(encode_jpeg(img_b, quant=8))),
+        # --- sniffed-but-undecodable: counted as failed_decode, dropped
+        (50, bytearray(b"RIFF\x00\x00\x00\x00AVI junkjunkjunk")),
+        # --- unrecognized container (MP3 magic): counted, dropped
+        (51, bytearray(b"ID3\x04\x00 not a decodable format here")),
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_media_fingerprint_bands_dispatch_and_ledger(spark):
+    """One pass dispatches every modality correctly and the ledger
+    counts decode outcomes per class."""
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        media_fingerprint_bands,
+    )
+
+    media = _mixed_corpus(spark)
+    obs = Observation("media_gate")
+    out = media_fingerprint_bands(media, observation=obs).collect()
+    got = {r.id: r.modality for r in out}
+    assert {i for i, m in got.items() if m == "image"} == {10, 11, 12, 40}
+    assert {i for i, m in got.items() if m == "audio"} == {20, 21, 22}
+    assert {i for i, m in got.items() if m == "video"} == {30, 31, 32}
+    assert obs.get["rows"] == 12
+    assert obs.get["decoded_rows"] == 10
+    assert obs.get["failed_decode_rows"] == 1  # the corrupt AVI
+    assert obs.get["unrecognized_rows"] == 1  # the MP3 magic
+    assert obs.get["decoded_image_rows"] == 4
+    assert obs.get["decoded_audio_rows"] == 3
+    assert obs.get["decoded_video_rows"] == 3
+    # every emitted fingerprint has all four bands
+    assert all(
+        r.band0 is not None and r.band3 is not None for r in out
+    )
+
+
+def test_hamming_band_key_cols_isolate_modalities(spark):
+    """key_cols folds extra columns into the pair engine's equality
+    key: identical band vectors in DIFFERENT modalities never pair;
+    within a modality the old behavior is untouched."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        hamming_pairs_from_bands,
+    )
+
+    rows = [
+        (1, "image", 7, 7, 7, 7),
+        (2, "audio", 7, 7, 7, 7),  # same fingerprint, other modality
+        (3, "image", 7, 7, 7, 6),  # hamming 1 from id 1 within image
+    ]
+    bands = spark.createDataFrame(
+        rows, "id long, modality string, band0 int, band1 int, band2 int, band3 int"
+    )
+    keyed = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs_from_bands(bands, 3, key_cols=["modality"]).collect()
+    }
+    assert keyed == {(1, 3): 1}
+    # without key_cols the collision DOES pair — the hazard the keyed
+    # form exists to prevent on mixed corpora
+    plain = {
+        (r.id_a, r.id_b)
+        for r in hamming_pairs_from_bands(bands.drop("modality"), 3).collect()
+    }
+    assert (1, 2) in plain
+
+
+def test_corpus_prepare_media_training_set_end_to_end(spark):
+    """The full pipeline over the mixed corpus: exact dup (40) gone via
+    md5, cross-format near-dups (11, 21, 31) gone via fingerprint
+    clustering keep-lowest, undecodables (50, 51) counted + dropped,
+    survivors split content-addressed and the train split packed into
+    byte-budget shards."""
+    media = _mixed_corpus(spark)
+    obs = Observation("media_capstone")
+    handles: list = []
+    out = corpus_prepare_media_training_set(
+        spark, media, shard_budget_bytes=4096, observation=obs, handles=handles
+    )
+    rows = out.collect()
+    try:
+        got = {r.media_id: r for r in rows}
+        # keep-lowest survivors only
+        assert set(got) == {10, 12, 20, 22, 30, 32}
+        assert {r.modality for r in rows} == {"image", "audio", "video"}
+        # ledger: exact dedup ran BEFORE the gate (11 rows enter, not 12)
+        assert obs.get["rows"] == 11
+        assert obs.get["decoded_rows"] == 9
+        assert obs.get["failed_decode_rows"] == 1
+        assert obs.get["unrecognized_rows"] == 1
+        # n_bytes is the payload's true size
+        sizes = {r.media_id: r.n_bytes for r in rows}
+        payloads = {r.media_id: len(r.payload) for r in media.collect()}
+        assert all(sizes[i] == payloads[i] for i in sizes)
+        # split is the shared md5 coin — replayable via assign_split
+        from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
+
+        want_split = {
+            r.media_id: r.split
+            for r in assign_split(
+                media.select("media_id"), "media_id"
+            ).collect()
+        }
+        assert all(got[i].split == want_split[i] for i in got)
+        # packing: train shards are monotone non-decreasing in media_id
+        # order and only the train split carries a shard id
+        train = sorted(
+            (r.media_id, r.shard_id) for r in rows if r.split == "train"
+        )
+        assert all(r.shard_id is None for r in rows if r.split != "train")
+        assert [s for _, s in train] == sorted(s for _, s in train)
+        if train:
+            assert train[0][1] == 0
+    finally:
+        for h in handles:
+            h.unpersist()
+
+
+def test_media_capstone_validates_budget(spark):
+    with pytest.raises(ValueError, match="shard_budget_bytes"):
+        corpus_prepare_media_training_set(
+            spark, _mixed_corpus(spark), shard_budget_bytes=0
+        )
+
+
+def test_media_capstone_empty_and_all_undecodable(spark):
+    """Degenerate corpora flow through: no rows, or nothing decodable —
+    empty result, ledger still filled, no crash in CC over zero pairs."""
+    empty = spark.createDataFrame([], "media_id long, payload binary")
+    assert corpus_prepare_media_training_set(spark, empty).count() == 0
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"garbage")), (2, bytearray(b"RIFF\0\0\0\0AVI junk"))],
+        "media_id long, payload binary",
+    )
+    obs = Observation("junk_gate")
+    out = corpus_prepare_media_training_set(spark, junk, observation=obs)
+    assert out.count() == 0
+    assert obs.get["rows"] == 2 and obs.get["decoded_rows"] == 0
+    assert obs.get["failed_decode_rows"] == 1
+    assert obs.get["unrecognized_rows"] == 1
