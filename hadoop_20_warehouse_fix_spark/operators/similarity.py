@@ -267,6 +267,33 @@ def pair_cosine_udf(dim: int):
     return pair_cosine
 
 
+def pair_cosine_q_udf(dim: int):
+    """Arrow-batched row-wise APPROXIMATE cosine over (query, int8-code)
+    pairs — the quantized-list scoring path of the IVF-SQ8 state:
+    ``cosine ≈ scale · dot(qv, codes) / (qn · cn)`` where ``codes`` are
+    the symmetric per-vector int8 codes (:func:`~..functions.embeddings.
+    quantize_int8` arithmetic) and ``cn`` is the TRUE norm of the
+    original vector — quantization error lives only in the numerator
+    (≤ scale/2 per element). Same NULL posture as
+    :func:`pair_cosine_udf`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine_q(
+        qs: pd.Series, codes: pd.Series, scale: pd.Series, qn: pd.Series, cn: pd.Series
+    ) -> pd.Series:
+        qm, qok = _stack_valid(qs, dim)
+        cm, cok = _stack_valid(codes, dim)
+        sc = scale.astype("float64").to_numpy()
+        denom = qn.astype("float64").to_numpy() * cn.astype("float64").to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = sc * np.einsum("ij,ij->i", qm, cm) / denom
+        bad = ~qok | ~cok | ~np.isfinite(denom) | (denom == 0)
+        return pd.Series(pd.array(out, dtype="Float64")).mask(bad)
+
+    return pair_cosine_q
+
+
 def ivf_codebook(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -755,6 +782,7 @@ def ivf_state_write(
     codebook: str = "kmeans",
     num_buckets: int = 8,
     path: str | None = None,
+    quantize: bool = False,
 ) -> None:
     """Materialize the IVF index as probe-able bucketed tables:
 
@@ -763,9 +791,21 @@ def ivf_state_write(
       never touch the raw corpus;
     - ``{state_name}_codebook`` (cid, cvec): K unit centroid rows;
     - ``{state_name}_meta``: one row pinning (n_centroids, dim,
-      num_buckets). As with the LSH state, probe/append take NO
-      codebook parameters — they read the stored codebook, so a
-      mismatch is impossible by construction.
+      num_buckets, quantized). As with the LSH state, probe/append
+      take NO codebook parameters — they read the stored codebook, so
+      a mismatch is impossible by construction.
+
+    ``quantize=True`` (round 9: IVF-SQ8) stores int8 CODES + one scale
+    per vector in the lists table instead of the float64 vector — the
+    probed-cell scan reads ~1/8 the bytes (the honest physics of
+    SCALING.md r8: probe cost is ~nprobe/K of the INDEX, so shrinking
+    what a probed cell stores is the lever that's left) — plus a
+    ``{state_name}_vectors`` side table (neighbor_id, cv, cn; bucketed
+    + sorted by neighbor_id for fetch pushdown) holding the full
+    vectors. Probes score the codes, keep a candidate pool, and
+    exact-RESCORE the pool from the side table, so returned cosines
+    are exact and the quantization costs only pool-miss recall (see
+    :func:`ivf_state_probe`).
 
     Assignment is the vectorized Arrow path (``assign_cell_udf``) —
     the 100 TB corpus-pass form; the corpus is touched exactly once."""
@@ -776,13 +816,34 @@ def ivf_state_write(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
         seed=seed, codebook=codebook,
     )
-    write_bucketed(
-        _assigned_lists(corpus, id_col, vec_col, cents),
-        f"{state_name}_lists",
-        ["cell"],
-        num_buckets,
-        path=f"{path}/lists" if path else None,
-    )
+    assigned = _assigned_lists(corpus, id_col, vec_col, cents)
+    if quantize:
+        write_bucketed(
+            _quantize_lists(assigned),
+            f"{state_name}_lists",
+            ["cell"],
+            num_buckets,
+            path=f"{path}/lists" if path else None,
+        )
+        write_bucketed(
+            assigned.select("neighbor_id", "cv", "cn"),
+            f"{state_name}_vectors",
+            ["neighbor_id"],
+            num_buckets,
+            sort_cols=["neighbor_id"],
+            path=f"{path}/vectors" if path else None,
+        )
+    else:
+        write_bucketed(
+            assigned,
+            f"{state_name}_lists",
+            ["cell"],
+            num_buckets,
+            path=f"{path}/lists" if path else None,
+        )
+        # a rebuild that flips quantize OFF must not leave a stale
+        # vectors side table shadowing the new state
+        spark.sql(f"DROP TABLE IF EXISTS {state_name}_vectors")
     cb = spark.createDataFrame(
         [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
         "cid long, cvec array<double>",
@@ -793,8 +854,8 @@ def ivf_state_write(
         w = w.option("path", f"{path}/codebook")
     w.saveAsTable(f"{state_name}_codebook")
     meta = spark.createDataFrame(
-        [(len(cents), len(cents[0][1]), num_buckets)],
-        "n_centroids int, dim int, num_buckets int",
+        [(len(cents), len(cents[0][1]), num_buckets, bool(quantize))],
+        "n_centroids int, dim int, num_buckets int, quantized boolean",
     )
     spark.sql(f"DROP TABLE IF EXISTS {state_name}_meta")
     w = meta.write.mode("overwrite").format("parquet")
@@ -825,6 +886,38 @@ def _assigned_lists(
     return lists.filter(F.col("cell").isNotNull()).select(
         "cell", "neighbor_id", "cv", "cn"
     )
+
+
+def _quantize_lists(assigned: DataFrame) -> DataFrame:
+    """(cell, neighbor_id, cv, cn) -> (cell, neighbor_id, codes, scale,
+    cn): symmetric per-vector int8 quantization, the exact
+    :func:`~..functions.embeddings.quantize_int8` arithmetic inlined on
+    the assigned-lists shape. ``cn`` stays the TRUE norm of the original
+    vector (exact denominator; codes only approximate the numerator).
+    The amax fold is a bound column in its own projection — the
+    O(d^2)-per-row lambda-capture trap documented at quantize_int8."""
+    amax_expr = F.aggregate(
+        F.col("cv"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    staged = assigned.select("cell", "neighbor_id", "cv", "cn", amax_expr.alias("_amax"))
+    amax = F.col("_amax")
+    scale = amax / F.lit(127.0)
+    codes = F.when(
+        amax == 0, F.transform(F.col("cv"), lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(F.col("cv"), lambda x: F.round(x.cast("double") / scale).cast("tinyint"))
+    )
+    return staged.select(
+        "cell", "neighbor_id", codes.alias("codes"), scale.alias("scale"), "cn"
+    )
+
+
+def _state_meta(spark, state_name: str):
+    """The meta row, with ``quantized`` defaulting False for states
+    written before round 9 (their meta has no such column)."""
+    m = spark.table(f"{state_name}_meta").collect()[0]
+    quantized = bool(getattr(m, "quantized", False))
+    return m, quantized
 
 
 def _state_codebook(spark, state_name: str) -> list[tuple[int, list[float]]]:
@@ -859,16 +952,40 @@ def ivf_state_append(new_df: DataFrame, id_col: str, vec_col: str, state_name: s
     from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
 
     spark = new_df.sparkSession
-    m = spark.table(f"{state_name}_meta").collect()[0]
+    m, quantized = _state_meta(spark, state_name)
     _check_state_dim(new_df, vec_col, m.dim, "ivf_state_append")
     cents = _state_codebook(spark, state_name)
-    write_bucketed(
-        _assigned_lists(new_df, id_col, vec_col, cents),
-        f"{state_name}_lists",
-        ["cell"],
-        num_buckets=m.num_buckets,
-        mode="append",
-    )
+    assigned = _assigned_lists(new_df, id_col, vec_col, cents)
+    if quantized:
+        # two consumers (codes + vectors) of one assignment pass —
+        # barrier it, or the Arrow cell assignment runs twice
+        assigned = assigned.persist()
+        try:
+            write_bucketed(
+                _quantize_lists(assigned),
+                f"{state_name}_lists",
+                ["cell"],
+                num_buckets=m.num_buckets,
+                mode="append",
+            )
+            write_bucketed(
+                assigned.select("neighbor_id", "cv", "cn"),
+                f"{state_name}_vectors",
+                ["neighbor_id"],
+                num_buckets=m.num_buckets,
+                sort_cols=["neighbor_id"],
+                mode="append",
+            )
+        finally:
+            assigned.unpersist()
+    else:
+        write_bucketed(
+            assigned,
+            f"{state_name}_lists",
+            ["cell"],
+            num_buckets=m.num_buckets,
+            mode="append",
+        )
 
 
 def ivf_state_probe(
@@ -879,6 +996,7 @@ def ivf_state_probe(
     k: int = 5,
     nprobe: int = 4,
     prune_scan: bool = True,
+    rescore_factor: int = 4,
 ) -> DataFrame:
     """Serve a query batch against the persisted index. Semantics ≡
     ``ivf_topk(corpus, queries, assign="vectorized")`` with the same
@@ -898,15 +1016,34 @@ def ivf_state_probe(
     Tombstoned ids (:func:`ivf_state_delete`) are anti-joined out
     broadcast-side.
 
+    Against a QUANTIZED state (``ivf_state_write(quantize=True)``,
+    round 9 — IVF-SQ8) the probed scan reads int8 codes (~1/8 the
+    bytes of the float64 lists), ranks approximately, keeps a
+    ``rescore_factor * k`` candidate pool per query, and exact-rescores
+    the pool against full vectors fetched from the side table — the
+    candidate ids are collected (bounded: ≤ |batch| · rescore_factor ·
+    k by construction) and pushed as an ``IN`` filter into the
+    neighbor_id-sorted vectors table, so the fetch prunes row groups
+    instead of scanning the corpus. Returned cosines are EXACT; the
+    only approximation is pool membership — a true top-k neighbor
+    ranked below the pool cut by quantization noise is missed
+    (measured recall delta in SCALING.md r9).
+
     Output schema matches :func:`ivf_topk` / :func:`brute_force_topk`."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import _state_tombstones
 
     spark = queries.sparkSession
+    if rescore_factor < 1:
+        raise ValueError(f"rescore_factor must be >= 1, got {rescore_factor}")
     cents = _state_codebook(spark, state_name)
     # dim comes from the codebook the probe collects anyway — reading
-    # the meta table added a whole extra job per serving call
-    _check_state_dim(queries, vec_col, len(cents[0][1]), "ivf_state_probe")
+    # the meta table added a whole extra job per serving call; the
+    # quantized flag rides the lists schema itself (codes column), so
+    # this stays meta-free too
+    dim = len(cents[0][1])
+    _check_state_dim(queries, vec_col, dim, "ivf_state_probe")
     lists = spark.table(f"{state_name}_lists")
+    quantized = "codes" in lists.columns
     tomb = _state_tombstones(spark, state_name)
     if tomb is not None:
         lists = lists.join(
@@ -914,22 +1051,72 @@ def ivf_state_probe(
             "neighbor_id",
             "left_anti",
         )
-    q = with_norm(
+    q_base = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "qv",
         "qn",
-    ).withColumn("cell", F.explode(probe_cells_udf(cents, nprobe)(F.col("qv"))))
+    )
+    q = q_base.withColumn(
+        "cell", F.explode(probe_cells_udf(cents, nprobe)(F.col("qv")))
+    )
     if prune_scan:
         cells = [r.cell for r in q.select("cell").distinct().collect()]
         lists = lists.filter(F.col("cell").isin(cells))
-    pair_cosine = pair_cosine_udf(len(cents[0][1]))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    if quantized:
+        approx = pair_cosine_q_udf(dim)
+        pool_plan = (
+            lists.join(F.broadcast(q), on="cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cosine",
+                approx(F.col("qv"), F.col("codes"), F.col("scale"), F.col("qn"), F.col("cn")),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rescore_factor * k)
+            .select("query_id", "neighbor_id")
+        )
+        # Bounded collect (the documented serving idiom): the pool is
+        # <= |batch| * rescore_factor * k pairs BY CONSTRUCTION — the
+        # window already cut it. Collecting once (a) yields the id
+        # list the vectors fetch pushes down as an IN filter and (b)
+        # re-seeds the rescore join from a local relation, so the
+        # expensive approx scan runs exactly once and the returned
+        # plan stays lazy with no persist lifecycle to manage.
+        pool_rows = pool_plan.collect()
+        pool = spark.createDataFrame(pool_rows, pool_plan.schema)
+        cand_ids = list({r.neighbor_id for r in pool_rows})
+        vecs = (
+            spark.table(f"{state_name}_vectors")
+            .filter(F.col("neighbor_id").isin(cand_ids))
+            # appends re-add a vector row per batch; the fetch needs
+            # one row per id
+            .dropDuplicates(["neighbor_id"])
+        )
+        exact = pair_cosine_udf(dim)
+        scored = (
+            pool.join(vecs, "neighbor_id")
+            .join(F.broadcast(q_base), "query_id")
+            .withColumn("cosine", exact(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+            .select("query_id", "neighbor_id", "cosine")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("cosine", 6).alias("cosine"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        )
+    pair_cosine = pair_cosine_udf(dim)
     scored = (
         lists.join(F.broadcast(q), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -977,13 +1164,15 @@ def ivf_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
     """Compact the lists table (per-append file sets -> ~one file per
     bucket), physically dropping tombstoned vectors — the shared
     bucketed-table compaction engine (rename-aside swap, alternating
-    stable locations; see ``minhash_state_compact``)."""
+    stable locations; see ``minhash_state_compact``). A quantized
+    state's full-vector side table compacts the same way (bucketed +
+    re-sorted by neighbor_id, tombstones physically dropped)."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import (
         _state_tombstones,
         compact_bucketed_table,
     )
 
-    m = spark.table(f"{state_name}_meta").collect()[0]
+    m, quantized = _state_meta(spark, state_name)
     tomb = _state_tombstones(spark, state_name)
     tomb_ids = tomb.select("id").distinct().persist() if tomb is not None else None
     if tomb_ids is not None:
@@ -998,6 +1187,16 @@ def ivf_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
             tomb_col="neighbor_id",
         )
     }
+    if quantized:
+        report[f"{state_name}_vectors"] = compact_bucketed_table(
+            spark,
+            f"{state_name}_vectors",
+            ["neighbor_id"],
+            m.num_buckets,
+            tomb_ids=tomb_ids,
+            tomb_col="neighbor_id",
+            sort_cols=["neighbor_id"],
+        )
     if tomb_ids is not None:
         spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
         tomb_ids.unpersist()

@@ -714,3 +714,96 @@ def test_ivf_state_rebuild_clears_tombstones_and_dim_guard(spark, tmp_path):
         for t in ("lists", "codebook", "meta", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
         spark.catalog.clearCache()
+
+
+def test_ivf_sq8_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
+    """Round-9 brief #2: IVF-SQ8 — the persisted lists hold int8 codes
+    (+ per-vector scale) and a full-vector side table; probes score the
+    codes, keep a rescore pool, and exact-rescore from the side table.
+    At rescored precision the whole lifecycle must match the exact
+    vectorized rebuild: write, append, delete, compact."""
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        ivf_state_append,
+        ivf_state_compact,
+        ivf_state_delete,
+        ivf_state_probe,
+        ivf_state_write,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    queries = emb.filter(F.col("vec_id") < 10)
+    state = "ivf_sq8_t"
+
+    def ref(c):
+        cb = [
+            (int(r.cid), [float(x) for x in r.cvec])
+            for r in spark.table(f"{state}_codebook").collect()
+        ]
+        return (
+            ivf_topk(c, queries, k=5, assign="vectorized", precomputed_codebook=cb)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+
+    def probe(rescore_factor=8):
+        return (
+            ivf_state_probe(
+                queries, "vec_id", "embedding", state, k=5, nprobe=4,
+                rescore_factor=rescore_factor,
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+
+    try:
+        ivf_state_write(
+            corpus, "vec_id", "embedding", state,
+            n_centroids=16, codebook="sample_md5", num_buckets=4,
+            path=str(tmp_path / "sq8"), quantize=True,
+        )
+        # the quantized layout is real: codes+scale in lists, no cv
+        lists_cols = set(spark.table(f"{state}_lists").columns)
+        assert {"codes", "scale", "cn"} <= lists_cols and "cv" not in lists_cols
+        assert {"neighbor_id", "cv", "cn"} == set(
+            spark.table(f"{state}_vectors").columns
+        )
+        assert spark.table(f"{state}_meta").collect()[0].quantized is True
+        # exact at rescored precision
+        assert probe() == ref(corpus)
+        with pytest.raises(ValueError, match="rescore_factor"):
+            probe(rescore_factor=0)
+        # append folds into BOTH tables
+        ivf_state_append(batch, "vec_id", "embedding", state)
+        assert probe() == ref(corpus.unionByName(batch))
+        # delete tombstones out of answers pre-compaction
+        gone = [r.vec_id for r in batch.select("vec_id").limit(20).collect()]
+        ivf_state_delete(spark, state, gone)
+        survivors = corpus.unionByName(batch.filter(~F.col("vec_id").isin(gone)))
+        assert probe() == ref(survivors)
+        # compact: BOTH tables shrink, tombstoned rows physically gone
+        # from both, answers unchanged
+        report = ivf_state_compact(spark, state)
+        assert report[f"{state}_lists"][1] < report[f"{state}_lists"][0]
+        assert report[f"{state}_vectors"][1] < report[f"{state}_vectors"][0]
+        assert not spark.catalog.tableExists(f"{state}_tombstones")
+        for t in ("lists", "vectors"):
+            left = {r.neighbor_id for r in spark.table(f"{state}_{t}").collect()}
+            assert left.isdisjoint(set(gone))
+        assert probe() == ref(survivors)
+        # rebuild WITHOUT quantize drops the stale side table
+        ivf_state_write(
+            corpus, "vec_id", "embedding", state,
+            n_centroids=16, codebook="sample_md5", num_buckets=4,
+            path=str(tmp_path / "sq8b"),
+        )
+        assert not spark.catalog.tableExists(f"{state}_vectors")
+        assert probe() == ref(corpus)
+    finally:
+        for t in ("lists", "vectors", "codebook", "meta", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
