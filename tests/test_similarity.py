@@ -807,3 +807,149 @@ def test_ivf_sq8_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
         for t in ("lists", "vectors", "codebook", "meta", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
         spark.catalog.clearCache()
+
+
+def test_hashing_vectorize_oracle_replay(spark):
+    """Round-9 brief #3: the hashing-trick vectorizer is built from
+    engine-agnostic pieces (words_of tokenization, md5-hex bucket,
+    ln(1+tf), unit norm) — so DuckDB replays the VECTORS themselves.
+    Compared in exploded (doc_id, pos, value) form, rounded 6."""
+    from tests.oracle import compare
+
+    from hadoop_20_warehouse_fix_spark.functions.embeddings import hashing_vectorize
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vecs = hashing_vectorize(docs, dim=8, weighting="log", normalize=True)
+    exploded = (
+        vecs.filter(F.col("embedding").isNotNull())
+        .select("doc_id", F.posexplode("embedding").alias("pos", "v"))
+        .select("doc_id", "pos", F.round("v", 6).alias("v"))
+    )
+    oracle = """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)
+                    * power(16, 8 - i))) AS BIGINT) % 8 AS bucket
+      FROM words
+    ), counts AS (
+      SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c
+      FROM b GROUP BY 1, 2
+    ), dense AS (
+      SELECT d.doc_id, g.i AS pos, ln(1 + coalesce(c.c, 0)) AS wgt
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) g
+      LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = g.i
+    ), normed AS (
+      SELECT doc_id, pos,
+             sqrt(sum(wgt * wgt) OVER (PARTITION BY doc_id)) AS nrm,
+             wgt
+      FROM dense
+    )
+    SELECT doc_id, pos, round(wgt / nrm, 6) AS v
+    FROM normed WHERE nrm > 0
+    """
+    assert compare(exploded, oracle, SF_CORRECT) == []
+
+
+def test_hashing_vectorize_contract(spark, tmp_path):
+    """Shape/degenerate contract: tf vs log weighting, empty doc ->
+    NULL under normalization (zero vector raw), validation, and the
+    output feeding the ANN machinery end-to-end (raw text -> vectors
+    -> quantized persisted index -> probe == exact rebuild)."""
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.functions.embeddings import hashing_vectorize
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        ivf_state_probe,
+        ivf_state_write,
+        ivf_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta ALPHA"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    raw = {
+        r.doc_id: r.embedding
+        for r in hashing_vectorize(
+            docs, dim=4, weighting="tf", normalize=False
+        ).collect()
+    }
+    # case-folded tokenization: docs 1 and 2 vectorize identically
+    assert raw[1] == raw[2]
+    assert sum(raw[1]) == 3.0 and max(raw[1]) == 2.0  # tf counts
+    assert raw[3] == [0.0] * 4 and raw[4] == [0.0] * 4
+    import math
+
+    logged = {
+        r.doc_id: r.embedding
+        for r in hashing_vectorize(
+            docs, dim=4, weighting="log", normalize=False
+        ).collect()
+    }
+    assert max(logged[1]) == pytest.approx(math.log(3.0))
+    normed = {
+        r.doc_id: r.embedding
+        for r in hashing_vectorize(docs, dim=4).collect()
+    }
+    assert normed[3] is None and normed[4] is None  # zero vector -> NULL
+    assert sum(x * x for x in normed[1]) == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="dim"):
+        hashing_vectorize(docs, dim=0)
+    with pytest.raises(ValueError, match="weighting"):
+        hashing_vectorize(docs, weighting="idf")
+
+    # the loop closes: raw text -> vectors -> persisted quantized ANN.
+    # The vectors are materialized to parquet between the stages — the
+    # realistic artifact boundary (a 100 TB embedding set is written
+    # once, indexed from files), and the boundary Catalyst needs: the
+    # docstring'd seam where the HOF vector expression must not be
+    # inlined into the indexer's pandas-UDF argument.
+    corpus_docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hashing_vectorize(corpus_docs, dim=16).filter(
+        F.col("embedding").isNotNull()
+    ).write.parquet(str(tmp_path / "vecs"))
+    vecs = spark.read.parquet(str(tmp_path / "vecs"))
+    queries = vecs.filter(F.col("doc_id") < 10)
+    state = "txtvec_ivf"
+    try:
+        ivf_state_write(
+            vecs, "doc_id", "embedding", state,
+            n_centroids=8, codebook="sample_md5", num_buckets=4,
+            quantize=True,
+        )
+        cb = [
+            (int(r.cid), [float(x) for x in r.cvec])
+            for r in spark.table(f"{state}_codebook").collect()
+        ]
+        got = (
+            ivf_state_probe(
+                queries, "doc_id", "embedding", state, k=3, nprobe=3,
+                rescore_factor=8,
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        want = (
+            ivf_topk(
+                vecs, queries, id_col="doc_id", vec_col="embedding",
+                k=3, nprobe=3, assign="vectorized", precomputed_codebook=cb,
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        for t in ("lists", "vectors", "codebook", "meta", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
