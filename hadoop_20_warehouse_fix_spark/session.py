@@ -23,17 +23,42 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Dev-scale AQE skew thresholds (round 9, from the round-8 planted-skew
+#: study's sharpest finding): AQE's skew split silently does NOT fire at
+#: dev scale — a 50%-hot partition is ~80 MB, under the 256 MB default
+#: ``skewedPartitionThresholdInBytes`` — so "AQE on" runs the unsplit
+#: plan while reporting adaptive execution. ``profile="dev"`` scales the
+#: two byte thresholds down so the same skew PHYSICS is observable (and
+#: testable) on a laptop-sized corpus; the prod defaults are untouched
+#: because at 100 TB the hot partition dwarfs 256 MB and the split fires
+#: unaided. See SCALING.md round 8 (the 3.02 s -> 1.38 s split) and
+#: ``operators.joins.choose_skew_join_strategy`` (the per-join picker
+#: this session-level answer complements).
+_DEV_PROFILE_CONF = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+}
+
+
 def build_session(
     app_name: str = "hadoop_20_warehouse_fix_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str = "prod",
 ) -> SparkSession:
     """Build a SparkSession tuned for the engine.
 
     Local-mode defaults come from ``SPARK_GRAFT_CPUS`` (driver contract);
     on a real cluster pass ``master=None`` and let spark-submit set it.
-    """
+
+    ``profile="dev"`` additionally applies :data:`_DEV_PROFILE_CONF` —
+    dev-scale AQE skew thresholds so runtime skew splitting fires on
+    megabyte-sized hot partitions (it never does under the 256 MB prod
+    default; pytest pins a skew=true split firing under this profile).
+    ``extra_conf`` still wins over the profile."""
+    if profile not in ("prod", "dev"):
+        raise ValueError(f"profile must be 'prod' or 'dev', got {profile!r}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if not (cpus.isdigit() or cpus == "*"):
         # Validate ONCE: a bad value must not reach the master URL
@@ -78,6 +103,9 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if profile == "dev":
+        for k, v in _DEV_PROFILE_CONF.items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

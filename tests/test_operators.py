@@ -1040,3 +1040,67 @@ def test_bench_own_cpu_includes_reaped_children():
     )
     after = _own_cpu_seconds()
     assert after - before >= 0.4, (before, after)
+
+
+def test_session_dev_profile_makes_aqe_skew_split_fire(spark):
+    """Round-9 brief #6: the r8 study's sharpest finding — AQE's skew
+    split silently does NOT fire at dev scale (hot partition under the
+    256 MB default threshold) — gets a session-level answer.
+    build_session(profile='dev') sets dev-scale thresholds; under them
+    a planted-skew join's executed plan carries the split
+    (SortMergeJoin(skew=true) / AQEShuffleRead skewed); under the prod
+    defaults the same join runs unsplit. Two traps this test also
+    encodes (measured while building it): payloads must be
+    INCOMPRESSIBLE (skew detection reads compressed shuffle bytes — a
+    repeated-char payload lz4s away the skew), and the downstream must
+    not require the join's partitioning (a groupBy on the join key
+    vetoes the split as an extra-shuffle regression)."""
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.session import build_session
+
+    with pytest.raises(ValueError, match="profile"):
+        build_session(profile="staging")
+
+    thr_key = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    bc_key = "spark.sql.autoBroadcastJoinThreshold"
+    old = {k: spark.conf.get(k) for k in (thr_key, adv_key, bc_key)}
+
+    left = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.md5((F.col("id") + 1).cast("string")),
+        ).alias("lv"),
+    )
+    # the hot key is ABSENT from the right side so the join OUTPUT stays
+    # small (collect-able) while the left INPUT partition stays skewed
+    right = spark.range(1, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+
+    def executed_plan_of_join():
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 50_000
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        spark.conf.set(bc_key, "-1")  # force the shuffle join
+        # dev profile: thresholds land on the (existing) session via
+        # getOrCreate's runtime-SQL-conf application
+        s2 = build_session(app_name="h20wf-tests", profile="dev")
+        assert s2 is spark
+        assert spark.conf.get(thr_key) == "8m"
+        assert spark.conf.get(adv_key) == "2m"
+        plan = executed_plan_of_join()
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan
+        # prod defaults: same join, no split
+        spark.conf.set(thr_key, "256m")
+        spark.conf.set(adv_key, "64m")
+        plan = executed_plan_of_join()
+        assert "skew=true" not in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
