@@ -997,6 +997,7 @@ def ivf_state_probe(
     nprobe: int = 4,
     prune_scan: bool = True,
     rescore_factor: int = 4,
+    scoring: str = "auto",
 ) -> DataFrame:
     """Serve a query batch against the persisted index. Semantics ≡
     ``ivf_topk(corpus, queries, assign="vectorized")`` with the same
@@ -1029,12 +1030,23 @@ def ivf_state_probe(
     ranked below the pool cut by quantization noise is missed
     (measured recall delta in SCALING.md r9).
 
+    ``scoring`` (round 9, the Arrow-constant shave): ``"arrow"`` = the
+    pandas-UDF pair scorer (best past ~1M candidate rows); ``"fold"`` =
+    pure JVM expression cosine — no Python worker spin-up, which is
+    ~1.5 s of a small-batch serving call's wall; ``"auto"`` (default)
+    counts the bucket-pruned candidates (one cheap scalar job) and
+    picks by the measured crossover. Applies to flat scoring, the
+    quantized approx stage, and the rescore alike; both scorers NULL
+    degenerate pairs identically (pytest-pinned equality).
+
     Output schema matches :func:`ivf_topk` / :func:`brute_force_topk`."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import _state_tombstones
 
     spark = queries.sparkSession
     if rescore_factor < 1:
         raise ValueError(f"rescore_factor must be >= 1, got {rescore_factor}")
+    if scoring not in ("auto", "arrow", "fold"):
+        raise ValueError(f"scoring must be 'auto', 'arrow', or 'fold', got {scoring!r}")
     cents = _state_codebook(spark, state_name)
     # dim comes from the codebook the probe collects anyway — reading
     # the meta table added a whole extra job per serving call; the
@@ -1062,16 +1074,44 @@ def ivf_state_probe(
     if prune_scan:
         cells = [r.cell for r in q.select("cell").distinct().collect()]
         lists = lists.filter(F.col("cell").isin(cells))
+    use_fold = scoring == "fold"
+    if scoring == "auto":
+        # Measured pick (SCALING.md r9): the Arrow pair scorer costs a
+        # ~1.5 s Python-worker spin-up CONSTANT per serving call but
+        # ~40 ns/pair after; the JVM fold has no constant but the
+        # interpreted HOF costs ~1.5 us/pair at dim 64. Crossover ~1M
+        # candidate rows. The candidate count is one cheap scalar job
+        # over the (bucket-pruned) cell column — worth it below the
+        # crossover, where the fold saves most of the wall. Without
+        # prune_scan the count would scan the WHOLE index, so auto
+        # conservatively keeps the Arrow path there.
+        if prune_scan:
+            n_cand = lists.count()
+            use_fold = n_cand * max(dim, 1) <= 64_000_000
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    def _dim_guard(expr):
+        # NULL-parity with the Arrow scorer, which NULLs ragged rows: a
+        # mixed-width query batch must not silently truncate the fold
+        return F.when((F.size(F.col("qv")) == dim), expr)
+
     if quantized:
-        approx = pair_cosine_q_udf(dim)
+        if use_fold:
+            denom = F.col("qn") * F.col("cn")
+            approx_expr = _dim_guard(
+                F.when(
+                    denom != 0,
+                    F.col("scale") * dot(F.col("qv"), F.col("codes")) / denom,
+                )
+            )
+        else:
+            approx = pair_cosine_q_udf(dim)
+            approx_expr = approx(
+                F.col("qv"), F.col("codes"), F.col("scale"), F.col("qn"), F.col("cn")
+            )
         pool_plan = (
             lists.join(F.broadcast(q), on="cell")
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn(
-                "cosine",
-                approx(F.col("qv"), F.col("codes"), F.col("scale"), F.col("qn"), F.col("cn")),
-            )
+            .withColumn("cosine", approx_expr)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= rescore_factor * k)
             .select("query_id", "neighbor_id")
@@ -1093,11 +1133,17 @@ def ivf_state_probe(
             # one row per id
             .dropDuplicates(["neighbor_id"])
         )
-        exact = pair_cosine_udf(dim)
+        if use_fold:
+            exact_expr = _dim_guard(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+            )
+        else:
+            exact = pair_cosine_udf(dim)
+            exact_expr = exact(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
         scored = (
             pool.join(vecs, "neighbor_id")
             .join(F.broadcast(q_base), "query_id")
-            .withColumn("cosine", exact(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+            .withColumn("cosine", exact_expr)
             .select("query_id", "neighbor_id", "cosine")
         )
         return (
@@ -1110,11 +1156,17 @@ def ivf_state_probe(
                 F.col("rank").cast("int").alias("rank"),
             )
         )
-    pair_cosine = pair_cosine_udf(dim)
+    if use_fold:
+        flat_expr = _dim_guard(
+            cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+        )
+    else:
+        pair_cosine = pair_cosine_udf(dim)
+        flat_expr = pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     scored = (
         lists.join(F.broadcast(q), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+        .withColumn("cosine", flat_expr)
         .select("query_id", "neighbor_id", "cosine")
     )
     return (

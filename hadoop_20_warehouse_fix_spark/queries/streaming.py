@@ -119,7 +119,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 600
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 600
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -140,6 +140,16 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 10-minute inactivity gap — the
     oracle recomputes sessions via the classic lag/cumulative-sum
     sessionization, proving Spark's session_window merge semantics.
+
+    Boundary semantics (round-9 organic replay catch): Spark's
+    ``session_window`` MERGES an event landing at exactly
+    ``last_ts + gap`` (the window end is inclusive for the merge —
+    pytest-pinned), so the oracle's split condition is strictly
+    ``gap > 600``. The original ``>= 600`` oracle agreed on every
+    shipped testdata (microsecond timestamps never tie the boundary)
+    and diverged only on a second-granularity organic corpus — 25
+    exact-gap pairs out of 200k events split by the oracle and merged
+    by Spark.
 
     100 TB: sessionization shuffles once on user_id; Spark merges
     sessions inside the state store (streaming) or sort-merge (batch)."""
@@ -391,7 +401,7 @@ def stream_demux_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 600
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 600
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)

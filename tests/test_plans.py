@@ -339,3 +339,18 @@ def test_ann_headline_plan_survives_scale(spark):
     s = plan_summary(df)
     assert "CartesianProduct" not in s.text and "BroadcastNestedLoopJoin" not in s.text
     assert s.num_broadcast_joins >= 1 and s.num_sortmerge_joins == 0
+
+
+def test_random_kv_binary_deterministic_and_shaped(spark):
+    """Round-9 COVERAGE audit: the one generator row without a named
+    test. RandomWriter analog — seeded (long key, binary value) rows:
+    deterministic per seed, value length honored, keys distinct."""
+    from hadoop_20_warehouse_fix_spark.sources.generators import random_kv_binary
+
+    a = random_kv_binary(spark, 200, value_len=32, seed=9).collect()
+    b = random_kv_binary(spark, 200, value_len=32, seed=9).collect()
+    assert [(r.key, bytes(r.value)) for r in a] == [(r.key, bytes(r.value)) for r in b]
+    c = random_kv_binary(spark, 200, value_len=32, seed=10).collect()
+    assert {r.key for r in a}.isdisjoint({r.key for r in c})
+    assert all(len(r.value) == 32 for r in a)
+    assert len({r.key for r in a}) == 200

@@ -953,3 +953,44 @@ def test_hashing_vectorize_contract(spark, tmp_path):
         for t in ("lists", "vectors", "codebook", "meta", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
         spark.catalog.clearCache()
+
+
+def test_ivf_state_probe_scoring_paths_agree(spark, tmp_path):
+    """Round-9 brief #7: the JVM-fold scorer (no Python worker
+    spin-up — ~1.5s of a small-batch serving wall) must return
+    EXACTLY what the Arrow scorer returns, on both the flat and the
+    quantized state; 'auto' picks by the measured candidate-count
+    crossover and must agree too."""
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        ivf_state_probe,
+        ivf_state_write,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    queries = emb.filter(F.col("vec_id") < 10)
+    for tag, quant in (("flat", False), ("sq8", True)):
+        state = f"score_paths_{tag}"
+        try:
+            ivf_state_write(
+                corpus, "vec_id", "embedding", state, n_centroids=8,
+                codebook="sample_md5", num_buckets=4,
+                path=str(tmp_path / tag), quantize=quant,
+            )
+            outs = {
+                mode: ivf_state_probe(
+                    queries, "vec_id", "embedding", state, k=5, nprobe=3,
+                    scoring=mode,
+                ).orderBy("query_id", "rank").collect()
+                for mode in ("arrow", "fold", "auto")
+            }
+            assert outs["arrow"] == outs["fold"] == outs["auto"]
+            assert len(outs["arrow"]) > 0
+        finally:
+            for t in ("lists", "vectors", "codebook", "meta", "tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+            spark.catalog.clearCache()
+    with pytest.raises(ValueError, match="scoring"):
+        ivf_state_probe(queries, "vec_id", "embedding", "nope", scoring="gpu")

@@ -350,3 +350,31 @@ def test_stream_dedup_ingest_respects_tombstones(spark, tmp_path):
         for t in ("bands", "shingles", "meta", "tombstones", "ingest_log"):
             spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
         spark.catalog.clearCache()
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Round-9 organic replay catch: Spark's session_window MERGES an
+    event at exactly last_ts + gap (inclusive window end), so the
+    classic lag-based sessionization oracle must split on gap > 600,
+    not >= 600. Invisible on microsecond timestamps; a
+    second-granularity corpus produced 25 exact-gap pairs that the old
+    oracle split and Spark merged."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_warehouse_fix_spark.streaming.windows import session_agg
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),  # gap == 600
+         (2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:09:59"),  # gap 599
+         (3, "2024-01-01 00:00:00"), (3, "2024-01-01 00:10:01")],  # gap 601
+        "user_id long, ts_s string",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    out = session_agg(ev, gap="10 minutes", key_cols=["user_id"])
+    sessions = {(r.user_id, r.cnt) for r in out.collect()}
+    assert sessions == {(1, 2), (2, 2), (3, 1), (3, 1)} or sessions == {
+        (1, 2), (2, 2), (3, 1)
+    }  # user 3: two singleton sessions (set collapses the duplicate pair)
+    assert out.filter(F.col("user_id") == 3).count() == 2
