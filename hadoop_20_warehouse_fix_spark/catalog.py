@@ -184,12 +184,20 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
     # walking its leaves costs no extra planning.
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        for i in range(leaves.size()):
+        n_leaves = leaves.size()
+    except Exception:  # noqa: BLE001 — plan types without collectLeaves
+        n_leaves = 0
+        leaves = None
+    for i in range(n_leaves):
+        # per-leaf try (round-9 review): a LocalRelation leaf has no
+        # .relation(), and a union's first such leaf must not abort the
+        # scan before a bucketed leaf later in the plan is seen
+        try:
             rel = leaves.apply(i).relation()
             if rel.bucketSpec().isDefined():
                 return None
-    except Exception:  # noqa: BLE001 — non-LogicalRelation leaves, non-FS relations
-        pass
+        except Exception:  # noqa: BLE001 — non-LogicalRelation / non-FS leaf
+            continue
     # Non-splittable inputs (compressed text: one split per FILE, never
     # chopped — parquet/orc stay splittable whatever their codec, and
     # their files end in .parquet/.orc, not these suffixes).

@@ -591,7 +591,11 @@ def media_fingerprint_bands(
     64-bit fingerprint: image dHash (:func:`dhash_image`), audio
     spectral (:func:`~.audio.audio_fingerprint`), video frame-dHash
     (:func:`~.video.dhash_video`). Output is the shared band shape
-    (id, modality, band0..band3) for
+    (id, modality, n_bytes, band0..band3) — ``n_bytes`` (the payload's
+    size, the pipeline's packing weight) rides along because this pass
+    already holds the bytes, sparing the caller a second scan of the
+    payload column (round-9 review: the capstone's separate sizes
+    branch re-executed the exact-dedup shuffle) — for
     :func:`~..operators.dedup.hamming_pairs_from_bands` with
     ``key_cols=["modality"]`` — pairs form only WITHIN a modality, so
     a numerically-colliding image/audio fingerprint can never pair.
@@ -639,22 +643,25 @@ def media_fingerprint_bands(
                         modality, status = "image", 2
                         v = dhash_image(b)
                     else:
-                        rows.append((int(mid), None, 0, *bands))
+                        rows.append((int(mid), None, 0, len(b), *bands))
                         continue
                     bands = tuple((v >> (16 * i)) & 0xFFFF for i in range(4))
                     status = 1
                 except (ValueError, NotImplementedError):
                     bands = (None, None, None, None)
-                rows.append((int(mid), modality, status, *bands))
+                rows.append((int(mid), modality, status, len(b), *bands))
             yield pd.DataFrame(
                 rows,
-                columns=["id", "modality", "_status", "band0", "band1", "band2", "band3"],
+                columns=[
+                    "id", "modality", "_status", "n_bytes",
+                    "band0", "band1", "band2", "band3",
+                ],
             )
 
     feats = media.select("media_id", "payload").mapInPandas(
         run,
         schema=(
-            "id long, modality string, _status int,"
+            "id long, modality string, _status int, n_bytes long,"
             " band0 int, band1 int, band2 int, band3 int"
         ),
     )

@@ -1007,7 +1007,6 @@ def compact_bucketed_table(
     num_buckets: int,
     tomb_ids: DataFrame | None = None,
     tomb_col: str = "id",
-    sort_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """The shared bucketed-table compaction engine (round 8: factored
     out of :func:`minhash_state_compact` so the IVF index state can
@@ -1015,11 +1014,12 @@ def compact_bucketed_table(
     align shuffle partitions with bucket ids (one writer task per
     bucket -> ~one file per bucket), filtering out ``tomb_ids`` (joined
     on ``tomb_col``) — then swap into the catalog name via rename-aside
-    alternating between two stable locations. ``sort_cols`` restores a
-    sorted-bucket layout in the rewrite (the quantized-IVF vectors
-    table relies on neighbor_id ordering for fetch-pushdown row-group
-    pruning). Returns (files_before, files_after). All crash-recovery
-    and location-ping-pong semantics as documented on
+    alternating between two stable locations. The rewrite keeps the
+    sorted-bucket layout because ``write_bucketed`` defaults
+    ``sortBy(bucket_cols)`` — the quantized-IVF vectors table relies on
+    that neighbor_id ordering for fetch-pushdown row-group pruning.
+    Returns (files_before, files_after). All crash-recovery and
+    location-ping-pong semantics as documented on
     :func:`minhash_state_compact`."""
     from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
 
@@ -1058,7 +1058,6 @@ def compact_bucketed_table(
         tmp_t,
         bucket_cols,
         num_buckets=num_buckets,
-        sort_cols=sort_cols,
         path=tmp_loc,
     )
     # Rename-aside swap: the live data keeps a catalog name at every

@@ -818,21 +818,28 @@ def ivf_state_write(
     )
     assigned = _assigned_lists(corpus, id_col, vec_col, cents)
     if quantize:
-        write_bucketed(
-            _quantize_lists(assigned),
-            f"{state_name}_lists",
-            ["cell"],
-            num_buckets,
-            path=f"{path}/lists" if path else None,
-        )
-        write_bucketed(
-            assigned.select("neighbor_id", "cv", "cn"),
-            f"{state_name}_vectors",
-            ["neighbor_id"],
-            num_buckets,
-            sort_cols=["neighbor_id"],
-            path=f"{path}/vectors" if path else None,
-        )
+        # two consumers (codes + vectors) of one Arrow assignment pass
+        # — barrier it or the corpus-wide cell assignment runs twice
+        # (round-9 review; same fix as ivf_state_append, and what the
+        # "corpus is touched exactly once" contract above promises)
+        assigned = assigned.persist()
+        try:
+            write_bucketed(
+                _quantize_lists(assigned),
+                f"{state_name}_lists",
+                ["cell"],
+                num_buckets,
+                path=f"{path}/lists" if path else None,
+            )
+            write_bucketed(
+                assigned.select("neighbor_id", "cv", "cn"),
+                f"{state_name}_vectors",
+                ["neighbor_id"],
+                num_buckets,
+                path=f"{path}/vectors" if path else None,
+            )
+        finally:
+            assigned.unpersist()
     else:
         write_bucketed(
             assigned,
@@ -973,7 +980,6 @@ def ivf_state_append(new_df: DataFrame, id_col: str, vec_col: str, state_name: s
                 f"{state_name}_vectors",
                 ["neighbor_id"],
                 num_buckets=m.num_buckets,
-                sort_cols=["neighbor_id"],
                 mode="append",
             )
         finally:
@@ -1071,8 +1077,12 @@ def ivf_state_probe(
     q = q_base.withColumn(
         "cell", F.explode(probe_cells_udf(cents, nprobe)(F.col("qv")))
     )
+    cell_rows: list = []
     if prune_scan:
-        cells = [r.cell for r in q.select("cell").distinct().collect()]
+        # non-distinct collect (bounded: |batch| * nprobe rows) — the
+        # multiplicity feeds the auto pick's pairs estimate below
+        cell_rows = [r.cell for r in q.select("cell").collect()]
+        cells = list(set(cell_rows))
         lists = lists.filter(F.col("cell").isin(cells))
     use_fold = scoring == "fold"
     if scoring == "auto":
@@ -1080,14 +1090,17 @@ def ivf_state_probe(
         # ~1.5 s Python-worker spin-up CONSTANT per serving call but
         # ~40 ns/pair after; the JVM fold has no constant but the
         # interpreted HOF costs ~1.5 us/pair at dim 64. Crossover ~1M
-        # candidate rows. The candidate count is one cheap scalar job
-        # over the (bucket-pruned) cell column — worth it below the
-        # crossover, where the fold saves most of the wall. Without
+        # scored PAIRS — pairs, not candidate rows (round-9 review: a
+        # 1000-query batch probing the same cells multiplies every
+        # candidate row by queries-per-cell). pairs ~= pruned candidate
+        # rows x avg queries per probed cell; the row count is one
+        # cheap scalar job over the bucket-pruned cell column. Without
         # prune_scan the count would scan the WHOLE index, so auto
         # conservatively keeps the Arrow path there.
-        if prune_scan:
+        if prune_scan and cell_rows:
             n_cand = lists.count()
-            use_fold = n_cand * max(dim, 1) <= 64_000_000
+            queries_per_cell = len(cell_rows) / max(len(cells), 1)
+            use_fold = n_cand * queries_per_cell * max(dim, 1) <= 64_000_000
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     def _dim_guard(expr):
         # NULL-parity with the Arrow scorer, which NULLs ragged rows: a
@@ -1247,7 +1260,6 @@ def ivf_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
             m.num_buckets,
             tomb_ids=tomb_ids,
             tomb_col="neighbor_id",
-            sort_cols=["neighbor_id"],
         )
     if tomb_ids is not None:
         spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")

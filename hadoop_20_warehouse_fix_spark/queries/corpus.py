@@ -561,9 +561,10 @@ def corpus_prepare_media_training_set(
         )
     slim = media.select("media_id", "payload")
     deduped = exact_dedup_rows(slim, "media_id", F.md5(F.col("payload")))
-    sizes = deduped.select(
-        "media_id", F.octet_length("payload").cast("long").alias("n_bytes")
-    )
+    # n_bytes rides the fingerprint pass itself (round-9 review: a
+    # separate sizes branch off `deduped` re-executed the exact-dedup
+    # shuffle — payload bytes moved twice), so `deduped` has exactly
+    # one consumer and needs no barrier of its own.
     bands = media_fingerprint_bands(
         deduped, n_frames=n_frames, observation=observation
     ).persist()
@@ -583,10 +584,8 @@ def corpus_prepare_media_training_set(
     pairs = hamming_pairs_from_bands(bands, max_hamming, key_cols=["modality"])
     clusters = connected_components(pairs)
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
-    survivors = (
-        bands.join(drop, "id", "left_anti")
-        .select(F.col("id").alias("media_id"), "modality")
-        .join(sizes, "media_id")
+    survivors = bands.join(drop, "id", "left_anti").select(
+        F.col("id").alias("media_id"), "modality", "n_bytes"
     )
     tagged = assign_split(survivors, "media_id", splits).persist()
     if handles is not None:

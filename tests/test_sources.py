@@ -332,6 +332,13 @@ def test_fan_out_probe_bucketed_and_unsplittable(spark, tmp_path):
         tbl = spark.table("probe_bucketed_advice")
         assert estimate_scan_partitions(tbl) is None
         assert fan_out_small_scan(tbl) is tbl  # layout left alone
+        # round-9 review: a non-FS leaf FIRST in the plan (no
+        # .relation()) must not abort the scan before the bucketed
+        # leaf is seen — per-leaf try, not one try around the loop
+        mem_first = spark.createDataFrame(
+            [(0, 0)], "id long, k bigint"
+        ).unionByName(tbl.select("id", "k"))
+        assert estimate_scan_partitions(mem_first) is None
     finally:
         spark.sql("DROP TABLE IF EXISTS probe_bucketed_advice")
 

@@ -373,8 +373,7 @@ def test_session_window_exact_gap_boundary_merges(spark):
         F.lit(1.0).alias("value"),
     )
     out = session_agg(ev, gap="10 minutes", key_cols=["user_id"])
-    sessions = {(r.user_id, r.cnt) for r in out.collect()}
-    assert sessions == {(1, 2), (2, 2), (3, 1), (3, 1)} or sessions == {
-        (1, 2), (2, 2), (3, 1)
-    }  # user 3: two singleton sessions (set collapses the duplicate pair)
-    assert out.filter(F.col("user_id") == 3).count() == 2
+    sessions = sorted((r.user_id, r.cnt) for r in out.collect())
+    # user 1 (gap == 600) MERGES into one 2-event session; user 2 (599)
+    # merges; user 3 (601) splits into two singletons
+    assert sessions == [(1, 2), (2, 2), (3, 1), (3, 1)]
