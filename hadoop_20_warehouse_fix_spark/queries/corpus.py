@@ -493,6 +493,7 @@ def corpus_prepare_media_training_set(
     max_hamming: int = 3,
     n_frames: int = 3,
     splits: dict[str, float] | None = None,
+    target_mix: dict[str, float] | None = None,
     observation=None,
     handles: list | None = None,
 ) -> DataFrame:
@@ -522,6 +523,12 @@ def corpus_prepare_media_training_set(
        FLAC twin, a baseline vs its progressive JPEG re-encode, and a
        re-encoded AVI — cross-FORMAT duplicates that byte-level md5
        can never see;
+    3b. mix (optional, ``target_mix={"image": 0.5, "audio": 0.3,
+       "video": 0.2}``): thin modalities to target BYTE proportions —
+       the text capstone's source-mix recipe with modality as the
+       source and payload bytes as the mass
+       (:func:`~..sources.readers.mix_corpora`: binding modality rides
+       whole, salted coin keeps step 4's split independent);
     4. split — content-addressed train/val/test
        (:func:`~..sources.readers.assign_split` md5 coin on
        ``media_id``);
@@ -587,6 +594,16 @@ def corpus_prepare_media_training_set(
     survivors = bands.join(drop, "id", "left_anti").select(
         F.col("id").alias("media_id"), "modality", "n_bytes"
     )
+    if target_mix:
+        from hadoop_20_warehouse_fix_spark.sources.readers import mix_corpora
+
+        # mix_corpora consumes its input twice (mass aggregation +
+        # filter); survivors derives from the persisted `bands`, so the
+        # re-evaluation is two cheap cached-scan anti-joins, not a
+        # recompute of the decode pass
+        survivors, _rates = mix_corpora(
+            survivors, "modality", "n_bytes", target_mix, "media_id"
+        )
     tagged = assign_split(survivors, "media_id", splits).persist()
     if handles is not None:
         handles.append(tagged)

@@ -209,3 +209,26 @@ def test_media_capstone_empty_and_all_undecodable(spark):
     assert obs.get["rows"] == 2 and obs.get["decoded_rows"] == 0
     assert obs.get["failed_decode_rows"] == 1
     assert obs.get["unrecognized_rows"] == 1
+
+
+def test_media_capstone_modality_mix(spark):
+    """target_mix thins modalities to byte proportions — the text
+    capstone's mix recipe with modality as the source. A dropped
+    modality (absent from the mix) vanishes; kept modalities only ever
+    THIN (never upsample); the split column stays the shared
+    content-addressed coin."""
+    media = _mixed_corpus(spark)
+    out = corpus_prepare_media_training_set(
+        spark, media, shard_budget_bytes=4096,
+        target_mix={"image": 0.6, "audio": 0.4},
+    ).collect()
+    mods = {r.modality for r in out}
+    assert "video" not in mods and mods <= {"image", "audio"}
+    # subset of the unmixed survivor set — mixing only thins
+    full = {
+        r.media_id
+        for r in corpus_prepare_media_training_set(
+            spark, media, shard_budget_bytes=4096
+        ).collect()
+    }
+    assert {r.media_id for r in out} <= full
