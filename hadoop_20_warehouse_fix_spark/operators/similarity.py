@@ -294,6 +294,160 @@ def pair_cosine_q_udf(dim: int):
     return pair_cosine_q
 
 
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    seed: int = 42,
+    sample_rows: int = 20_000,
+    iters: int = 12,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> np.ndarray:
+    """Train a product-quantization codebook (Jégou et al., TPAMI 2011
+    — public): split the ``dim`` dimensions into ``m`` contiguous
+    subspaces and fit 256 k-means centroids PER SUBSPACE on a bounded,
+    md5-coin-deterministic sample (the standard PQ training recipe —
+    codebooks are fit on a sample, applied to the corpus). Returns a
+    ``(m, 256, dim/m)`` float64 array: driver-side state bounded by
+    ``m * 256 * sub`` floats by construction (~128 KB at dim 64), the
+    same posture as the coarse codebook.
+
+    ``cents`` (the coarse IVF codebook) switches training to
+    RESIDUALS — ``v - coarse_centroid(assign(v))`` — the true IVFADC
+    recipe, and the difference between a toy and a working PQ:
+    measured on a clustered 2M corpus, raw-vector PQ recall collapsed
+    to 0.00 (intra-cluster score spread drowns in quantization error;
+    every same-cluster candidate ties in the approx ranking, so the
+    rescore pool almost never holds the true neighbors) while residual
+    PQ encodes only the small within-cell offsets and recall recovers
+    (SCALING.md r9).
+
+    Determinism: the sample is the md5-coin order of ``id_col`` (same
+    rows every run/engine), k-means init is a seeded choice, Lloyd
+    iterations are fixed-count — byte-identical codebooks per seed."""
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    coin = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), coin.alias("_c"))
+        .where(F.col("v").isNotNull())
+        .orderBy("_c")
+        .limit(sample_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: corpus sample is empty")
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    if cents is not None:
+        _, cmat = _codebook_matrix(cents)
+        x = x - cmat[(x @ cmat.T).argmax(axis=1)]
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, 256, sub), dtype=np.float64)
+    for mi in range(m):
+        xs = x[:, mi * sub : (mi + 1) * sub]
+        k = min(256, len(xs))
+        cents = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        if k < 256:  # tiny corpora: pad by repetition (codes still valid)
+            cents = np.concatenate([cents, cents[rng.integers(0, k, 256 - k)]])
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(256):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books[mi] = cents
+    return books
+
+
+def pq_encode_udf(books: np.ndarray, cents: list[tuple[int, list[float]]]):
+    """Arrow-batched RESIDUAL PQ encoder: (vector, coarse cell) ->
+    ``m`` bytes — one nearest-centroid code per subspace of
+    ``v - coarse_centroid(cell)`` (true IVFADC; see :func:`pq_train`
+    for why raw-vector PQ is a toy). NULL/ragged vectors encode to
+    NULL (the assign-at-the-door filter drops them)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, sub = books.shape
+    dim = m * sub
+    flat = books  # (m, 256, sub)
+    cid_order, cmat = _codebook_matrix(cents)
+    cid_to_row = {int(c): i for i, c in enumerate(cid_order)}
+
+    @pandas_udf("binary")
+    def encode(vs: pd.Series, cells: pd.Series) -> pd.Series:
+        v, valid = _stack_valid(vs, dim)
+        rows = np.array(
+            [cid_to_row.get(int(c), -1) if c is not None else -1 for c in cells]
+        )
+        valid = valid & (rows >= 0)
+        resid = v - cmat[np.clip(rows, 0, None)]
+        out = []
+        codes = np.empty((len(v), m), dtype=np.uint8)
+        for mi in range(m):
+            xs = resid[:, mi * sub : (mi + 1) * sub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            dots = xs @ flat[mi].T
+            cn2 = (flat[mi] ** 2).sum(axis=1)
+            codes[:, mi] = (cn2[None, :] - 2 * dots).argmin(axis=1)
+        for i, ok in enumerate(valid):
+            out.append(codes[i].tobytes() if ok else None)
+        return pd.Series(out)
+
+    return encode
+
+
+def pair_cosine_pq_udf(books: np.ndarray, cents: list[tuple[int, list[float]]]):
+    """Arrow-batched APPROXIMATE cosine over (query, cell, pq-code)
+    pairs: ``dot(q, v) ~= dot(q, coarse_centroid(cell)) + dot(q,
+    decoded_residual)`` — the coarse term is EXACT (centroids ride the
+    closure), only the residual is quantized. The residual gather is
+    numerically identical to the classic ADC lookup-table sum,
+    organized as one numpy gather + einsum per batch. As with SQ8,
+    ``cn`` is the TRUE stored norm, so error lives only in the
+    numerator."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, sub = books.shape
+    dim = m * sub
+    cid_order, cmat = _codebook_matrix(cents)
+    cid_to_row = {int(c): i for i, c in enumerate(cid_order)}
+
+    @pandas_udf("double")
+    def pair_pq(
+        qs: pd.Series, cells: pd.Series, codes: pd.Series, qn: pd.Series, cn: pd.Series
+    ) -> pd.Series:
+        qm, qok = _stack_valid(qs, dim)
+        n = len(qm)
+        cok = np.zeros(n, dtype=bool)
+        code_mat = np.zeros((n, m), dtype=np.int64)
+        for i, c in enumerate(codes):
+            if c is not None and len(c) == m:
+                code_mat[i] = np.frombuffer(bytes(c), dtype=np.uint8)
+                cok[i] = True
+        rows = np.array(
+            [cid_to_row.get(int(c), -1) if c is not None else -1 for c in cells]
+        )
+        cok = cok & (rows >= 0)
+        approx = np.einsum("ij,ij->i", qm, cmat[np.clip(rows, 0, None)])
+        for mi in range(m):
+            # decoded residual sub-vectors, row-gathered
+            dec = books[mi][code_mat[:, mi]]  # (n, sub)
+            approx += np.einsum("ij,ij->i", qm[:, mi * sub : (mi + 1) * sub], dec)
+        denom = qn.astype("float64").to_numpy() * cn.astype("float64").to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = approx / denom
+        bad = ~qok | ~cok | ~np.isfinite(denom) | (denom == 0)
+        return pd.Series(pd.array(out, dtype="Float64")).mask(bad)
+
+    return pair_pq
+
+
 def ivf_codebook(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -782,7 +936,8 @@ def ivf_state_write(
     codebook: str = "kmeans",
     num_buckets: int = 8,
     path: str | None = None,
-    quantize: bool = False,
+    quantize: bool | str = False,
+    pq_m: int = 8,
 ) -> None:
     """Materialize the IVF index as probe-able bucketed tables:
 
@@ -791,33 +946,51 @@ def ivf_state_write(
       never touch the raw corpus;
     - ``{state_name}_codebook`` (cid, cvec): K unit centroid rows;
     - ``{state_name}_meta``: one row pinning (n_centroids, dim,
-      num_buckets, quantized). As with the LSH state, probe/append
-      take NO codebook parameters — they read the stored codebook, so
-      a mismatch is impossible by construction.
+      num_buckets, quantized, quant_kind). As with the LSH state,
+      probe/append take NO codebook parameters — they read the stored
+      codebook, so a mismatch is impossible by construction.
 
-    ``quantize=True`` (round 9: IVF-SQ8) stores int8 CODES + one scale
-    per vector in the lists table instead of the float64 vector — the
-    probed-cell scan reads ~1/8 the bytes (the honest physics of
-    SCALING.md r8: probe cost is ~nprobe/K of the INDEX, so shrinking
-    what a probed cell stores is the lever that's left) — plus a
-    ``{state_name}_vectors`` side table (neighbor_id, cv, cn; bucketed
-    + sorted by neighbor_id for fetch pushdown) holding the full
-    vectors. Probes score the codes, keep a candidate pool, and
-    exact-RESCORE the pool from the side table, so returned cosines
-    are exact and the quantization costs only pool-miss recall (see
-    :func:`ivf_state_probe`).
+    ``quantize`` (round 9) shrinks what a probed cell stores — the
+    honest physics of SCALING.md r8: probe cost is ~nprobe/K of the
+    INDEX, so bytes-per-stored-vector is the lever that's left:
+
+    - ``"sq8"`` (or ``True``): symmetric int8 codes + one scale per
+      vector (~1/8 the bytes of float64);
+    - ``"pq"``: PRODUCT quantization (Jégou 2011) — ``pq_m`` one-byte
+      subspace codes per vector (8 bytes at pq_m=8 vs 512 for
+      float64), codebooks trained on an md5-deterministic sample
+      (:func:`pq_train`) and persisted as ``{state_name}_pq``.
+
+    Either way a ``{state_name}_vectors`` side table (neighbor_id, cv,
+    cn; bucketed + sorted by neighbor_id for fetch pushdown) holds the
+    full vectors: probes score the stored codes, keep a candidate
+    pool, and exact-RESCORE the pool from the side table — returned
+    cosines are exact and quantization costs only pool-miss recall
+    (see :func:`ivf_state_probe`).
 
     Assignment is the vectorized Arrow path (``assign_cell_udf``) —
     the 100 TB corpus-pass form; the corpus is touched exactly once."""
     from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
 
+    kind = {False: "none", True: "sq8", "sq8": "sq8", "pq": "pq", "none": "none"}.get(
+        quantize
+    )
+    if kind is None:
+        raise ValueError(
+            f"quantize must be False/True/'sq8'/'pq'/'none', got {quantize!r}"
+        )
     spark = corpus.sparkSession
     cents = ivf_codebook(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
         seed=seed, codebook=codebook,
     )
     assigned = _assigned_lists(corpus, id_col, vec_col, cents)
-    if quantize:
+    books = None
+    if kind == "pq":
+        books = pq_train(
+            corpus, id_col=id_col, vec_col=vec_col, m=pq_m, seed=seed, cents=cents
+        )
+    if kind != "none":
         # two consumers (codes + vectors) of one Arrow assignment pass
         # — barrier it or the corpus-wide cell assignment runs twice
         # (round-9 review; same fix as ivf_state_append, and what the
@@ -825,7 +998,9 @@ def ivf_state_write(
         assigned = assigned.persist()
         try:
             write_bucketed(
-                _quantize_lists(assigned),
+                _quantize_lists(assigned)
+                if kind == "sq8"
+                else _pq_lists(assigned, books, cents),
                 f"{state_name}_lists",
                 ["cell"],
                 num_buckets,
@@ -851,6 +1026,10 @@ def ivf_state_write(
         # a rebuild that flips quantize OFF must not leave a stale
         # vectors side table shadowing the new state
         spark.sql(f"DROP TABLE IF EXISTS {state_name}_vectors")
+    if kind == "pq":
+        _save_pq_books(spark, state_name, books, path)
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {state_name}_pq")
     cb = spark.createDataFrame(
         [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
         "cid long, cvec array<double>",
@@ -861,8 +1040,9 @@ def ivf_state_write(
         w = w.option("path", f"{path}/codebook")
     w.saveAsTable(f"{state_name}_codebook")
     meta = spark.createDataFrame(
-        [(len(cents), len(cents[0][1]), num_buckets, bool(quantize))],
-        "n_centroids int, dim int, num_buckets int, quantized boolean",
+        [(len(cents), len(cents[0][1]), num_buckets, kind != "none", kind)],
+        "n_centroids int, dim int, num_buckets int, quantized boolean,"
+        " quant_kind string",
     )
     spark.sql(f"DROP TABLE IF EXISTS {state_name}_meta")
     w = meta.write.mode("overwrite").format("parquet")
@@ -919,12 +1099,57 @@ def _quantize_lists(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _pq_lists(
+    assigned: DataFrame, books: np.ndarray, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(cell, neighbor_id, cv, cn) -> (cell, neighbor_id, pq, cn):
+    residual product-quantization codes (``m`` bytes per vector as
+    BINARY; residual vs the row's coarse centroid), the true norm kept
+    for the cosine denominator. Vectors the encoder refuses
+    (NULL/ragged) drop at the door, matching the NULL-cell posture."""
+    enc = pq_encode_udf(books, cents)
+    return (
+        assigned.withColumn("pq", enc(F.col("cv"), F.col("cell")))
+        .filter(F.col("pq").isNotNull())
+        .select("cell", "neighbor_id", "pq", "cn")
+    )
+
+
+def _save_pq_books(spark, state_name: str, books: np.ndarray, path: str | None) -> None:
+    m, k, sub = books.shape
+    rows = [
+        (int(mi), int(ci), [float(x) for x in books[mi, ci]])
+        for mi in range(m)
+        for ci in range(k)
+    ]
+    df = spark.createDataFrame(rows, "mi int, ci int, cvec array<double>")
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_pq")
+    w = df.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", f"{path}/pq")
+    w.saveAsTable(f"{state_name}_pq")
+
+
+def _state_pq_books(spark, state_name: str) -> np.ndarray:
+    rows = spark.table(f"{state_name}_pq").collect()
+    m = max(r.mi for r in rows) + 1
+    k = max(r.ci for r in rows) + 1
+    sub = len(rows[0].cvec)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for r in rows:
+        books[r.mi, r.ci] = r.cvec
+    return books
+
+
 def _state_meta(spark, state_name: str):
-    """The meta row, with ``quantized`` defaulting False for states
-    written before round 9 (their meta has no such column)."""
+    """The meta row plus the quantization KIND ('none' / 'sq8' / 'pq'),
+    tolerating every meta generation: pre-r9 states have neither
+    column; early-r9 states have only the boolean."""
     m = spark.table(f"{state_name}_meta").collect()[0]
-    quantized = bool(getattr(m, "quantized", False))
-    return m, quantized
+    kind = getattr(m, "quant_kind", None)
+    if kind is None:
+        kind = "sq8" if bool(getattr(m, "quantized", False)) else "none"
+    return m, kind
 
 
 def _state_codebook(spark, state_name: str) -> list[tuple[int, list[float]]]:
@@ -959,17 +1184,19 @@ def ivf_state_append(new_df: DataFrame, id_col: str, vec_col: str, state_name: s
     from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
 
     spark = new_df.sparkSession
-    m, quantized = _state_meta(spark, state_name)
+    m, kind = _state_meta(spark, state_name)
     _check_state_dim(new_df, vec_col, m.dim, "ivf_state_append")
     cents = _state_codebook(spark, state_name)
     assigned = _assigned_lists(new_df, id_col, vec_col, cents)
-    if quantized:
+    if kind != "none":
         # two consumers (codes + vectors) of one assignment pass —
         # barrier it, or the Arrow cell assignment runs twice
         assigned = assigned.persist()
         try:
             write_bucketed(
-                _quantize_lists(assigned),
+                _quantize_lists(assigned)
+                if kind == "sq8"
+                else _pq_lists(assigned, _state_pq_books(spark, state_name), cents),
                 f"{state_name}_lists",
                 ["cell"],
                 num_buckets=m.num_buckets,
@@ -1061,7 +1288,9 @@ def ivf_state_probe(
     dim = len(cents[0][1])
     _check_state_dim(queries, vec_col, dim, "ivf_state_probe")
     lists = spark.table(f"{state_name}_lists")
-    quantized = "codes" in lists.columns
+    # quantization kind rides the lists schema itself — meta-free probe
+    kind = "sq8" if "codes" in lists.columns else ("pq" if "pq" in lists.columns else "none")
+    quantized = kind != "none"
     tomb = _state_tombstones(spark, state_name)
     if tomb is not None:
         lists = lists.join(
@@ -1108,7 +1337,13 @@ def ivf_state_probe(
         return F.when((F.size(F.col("qv")) == dim), expr)
 
     if quantized:
-        if use_fold:
+        if kind == "pq":
+            # PQ approx scoring is Arrow-only: the centroid gather has
+            # no JVM-expression form (use_fold still governs rescore)
+            approx_expr = pair_cosine_pq_udf(
+                _state_pq_books(spark, state_name), cents
+            )(F.col("qv"), F.col("cell"), F.col("pq"), F.col("qn"), F.col("cn"))
+        elif use_fold:
             denom = F.col("qn") * F.col("cn")
             approx_expr = _dim_guard(
                 F.when(
@@ -1237,7 +1472,7 @@ def ivf_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
         compact_bucketed_table,
     )
 
-    m, quantized = _state_meta(spark, state_name)
+    m, kind = _state_meta(spark, state_name)
     tomb = _state_tombstones(spark, state_name)
     tomb_ids = tomb.select("id").distinct().persist() if tomb is not None else None
     if tomb_ids is not None:
@@ -1252,7 +1487,7 @@ def ivf_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
             tomb_col="neighbor_id",
         )
     }
-    if quantized:
+    if kind != "none":
         report[f"{state_name}_vectors"] = compact_bucketed_table(
             spark,
             f"{state_name}_vectors",

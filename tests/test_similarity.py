@@ -994,3 +994,97 @@ def test_ivf_state_probe_scoring_paths_agree(spark, tmp_path):
             spark.catalog.clearCache()
     with pytest.raises(ValueError, match="scoring"):
         ivf_state_probe(queries, "vec_id", "embedding", "nope", scoring="gpu")
+
+
+def test_ivf_pq_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
+    """Round-9 depth: true IVF-PQ (Jégou 2011) on the same persisted
+    state machinery — m one-byte subspace codes per vector (8 bytes at
+    m=8 vs 512 float64), codebooks trained on an md5-deterministic
+    sample and persisted; probes score codes, exact-rescore the pool.
+    Whole lifecycle must match the exact vectorized rebuild at
+    rescored precision; both quantized layouts share the vectors side
+    table and compaction."""
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        ivf_state_append,
+        ivf_state_compact,
+        ivf_state_delete,
+        ivf_state_probe,
+        ivf_state_write,
+        ivf_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    queries = emb.filter(F.col("vec_id") < 10)
+    state = "ivf_pq_t"
+
+    def ref(c):
+        cb = [
+            (int(r.cid), [float(x) for x in r.cvec])
+            for r in spark.table(f"{state}_codebook").collect()
+        ]
+        return (
+            ivf_topk(c, queries, k=5, assign="vectorized", precomputed_codebook=cb)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+
+    def probe(rf=64):
+        # rf=64: PQ's only approximation is pool membership; on this
+        # clustered testdata a 16-wide pool occasionally misses a
+        # true neighbor post-append (measured 3/50 rows), 64 never does
+        return (
+            ivf_state_probe(
+                queries, "vec_id", "embedding", state, k=5, nprobe=4,
+                rescore_factor=rf,
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+
+    try:
+        ivf_state_write(
+            corpus, "vec_id", "embedding", state,
+            n_centroids=16, codebook="sample_md5", num_buckets=4,
+            path=str(tmp_path / "pq"), quantize="pq", pq_m=8,
+        )
+        lists_cols = set(spark.table(f"{state}_lists").columns)
+        assert "pq" in lists_cols and "cv" not in lists_cols and "codes" not in lists_cols
+        # codes really are m bytes
+        one = spark.table(f"{state}_lists").select("pq").first()
+        assert len(bytes(one.pq)) == 8
+        meta = spark.table(f"{state}_meta").collect()[0]
+        assert meta.quantized is True and meta.quant_kind == "pq"
+        # pq_train is deterministic per seed
+        import numpy as np
+
+        b1 = pq_train(corpus, "vec_id", "embedding", m=8, seed=42)
+        b2 = pq_train(corpus, "vec_id", "embedding", m=8, seed=42)
+        assert np.array_equal(b1, b2)
+        # lifecycle at rescored precision
+        assert probe() == ref(corpus)
+        ivf_state_append(batch, "vec_id", "embedding", state)
+        assert probe() == ref(corpus.unionByName(batch))
+        gone = [r.vec_id for r in batch.select("vec_id").limit(20).collect()]
+        ivf_state_delete(spark, state, gone)
+        survivors = corpus.unionByName(batch.filter(~F.col("vec_id").isin(gone)))
+        assert probe() == ref(survivors)
+        report = ivf_state_compact(spark, state)
+        assert report[f"{state}_lists"][1] < report[f"{state}_lists"][0]
+        assert report[f"{state}_vectors"][1] < report[f"{state}_vectors"][0]
+        assert probe() == ref(survivors)
+        # validation: bad quantize value, bad subspace split
+        with pytest.raises(ValueError, match="quantize"):
+            ivf_state_write(
+                corpus, "vec_id", "embedding", state, quantize="int4",
+            )
+        with pytest.raises(ValueError, match="divisible"):
+            pq_train(corpus, "vec_id", "embedding", m=7)
+    finally:
+        for t in ("lists", "vectors", "codebook", "meta", "tombstones", "pq"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
