@@ -329,16 +329,22 @@ def pq_train(
     if m <= 0:
         raise ValueError(f"m must be positive, got {m}")
     coin = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-    rows = (
-        corpus.select(F.col(vec_col).alias("v"), coin.alias("_c"))
-        .where(F.col("v").isNotNull())
-        .orderBy("_c")
-        .limit(sample_rows)
-        .collect()
-    )
+    src = corpus.select(
+        F.col(vec_col).alias("v"), coin.alias("_c"), F.col(id_col).alias("_id")
+    ).where(F.col("v").isNotNull())
+    if cents is not None:
+        # ragged vectors drop at the door here too (second-pass review:
+        # one truncated embedding crashed np.array with an opaque
+        # inhomogeneous-shape error while flat/SQ8 writes sailed on)
+        src = src.where(F.size("v") == len(cents[0][1]))
+    # the 32-bit coin collides at corpus scale; without the id
+    # tiebreaker the limit() cut is partition-order-dependent and the
+    # "same sample every run/engine" promise breaks (second-pass review)
+    rows = src.orderBy("_c", "_id").limit(sample_rows).collect()
     if not rows:
         raise ValueError("pq_train: corpus sample is empty")
-    x = np.array([r.v for r in rows], dtype=np.float64)
+    want = len(rows[0].v)
+    x = np.array([r.v for r in rows if len(r.v) == want], dtype=np.float64)
     if cents is not None:
         _, cmat = _codebook_matrix(cents)
         x = x - cmat[(x @ cmat.T).argmax(axis=1)]
@@ -351,17 +357,22 @@ def pq_train(
     for mi in range(m):
         xs = x[:, mi * sub : (mi + 1) * sub]
         k = min(256, len(xs))
-        cents = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        sub_cents = xs[rng.choice(len(xs), size=k, replace=False)].copy()
         if k < 256:  # tiny corpora: pad by repetition (codes still valid)
-            cents = np.concatenate([cents, cents[rng.integers(0, k, 256 - k)]])
+            sub_cents = np.concatenate(
+                [sub_cents, sub_cents[rng.integers(0, k, 256 - k)]]
+            )
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # expanded-form argmin (||c||^2 - 2 x.c; ||x||^2 constant
+            # per row) — the broadcast (n, 256, sub) temporary of the
+            # naive form is ~1.3 GB per Lloyd step at dim 128
+            d2 = (sub_cents**2).sum(axis=1)[None, :] - 2 * (xs @ sub_cents.T)
             assign = d2.argmin(axis=1)
             for c in range(256):
                 mask = assign == c
                 if mask.any():
-                    cents[c] = xs[mask].mean(axis=0)
-        books[mi] = cents
+                    sub_cents[c] = xs[mask].mean(axis=0)
+        books[mi] = sub_cents
     return books
 
 
@@ -382,8 +393,11 @@ def pq_encode_udf(books: np.ndarray, cents: list[tuple[int, list[float]]]):
     @pandas_udf("binary")
     def encode(vs: pd.Series, cells: pd.Series) -> pd.Series:
         v, valid = _stack_valid(vs, dim)
+        # explicit int64: an EMPTY batch's np.array([]) defaults to
+        # float64 and float indices raise instead of gathering nothing
         rows = np.array(
-            [cid_to_row.get(int(c), -1) if c is not None else -1 for c in cells]
+            [cid_to_row.get(int(c), -1) if c is not None else -1 for c in cells],
+            dtype=np.int64,
         )
         valid = valid & (rows >= 0)
         resid = v - cmat[np.clip(rows, 0, None)]
@@ -431,7 +445,8 @@ def pair_cosine_pq_udf(books: np.ndarray, cents: list[tuple[int, list[float]]]):
                 code_mat[i] = np.frombuffer(bytes(c), dtype=np.uint8)
                 cok[i] = True
         rows = np.array(
-            [cid_to_row.get(int(c), -1) if c is not None else -1 for c in cells]
+            [cid_to_row.get(int(c), -1) if c is not None else -1 for c in cells],
+            dtype=np.int64,
         )
         cok = cok & (rows >= 0)
         approx = np.einsum("ij,ij->i", qm, cmat[np.clip(rows, 0, None)])
@@ -987,6 +1002,13 @@ def ivf_state_write(
     assigned = _assigned_lists(corpus, id_col, vec_col, cents)
     books = None
     if kind == "pq":
+        # fail BEFORE the sample job: dim is already known from the
+        # coarse codebook (second-pass review — a bad pq_m burned the
+        # whole codebook fit + corpus-wide sample sort first)
+        if len(cents[0][1]) % pq_m:
+            raise ValueError(
+                f"dim {len(cents[0][1])} not divisible by m={pq_m} subspaces"
+            )
         books = pq_train(
             corpus, id_col=id_col, vec_col=vec_col, m=pq_m, seed=seed, cents=cents
         )
