@@ -283,6 +283,22 @@ def spectral_features(samples: np.ndarray, rate: int, frame: int = 256, hop: int
     }
 
 
+def spectral_flatness(samples: np.ndarray, rate: int, frame: int = 256) -> float | None:
+    """Wiener entropy of the mean STFT magnitude spectrum: geometric
+    mean / arithmetic mean of the power bins, in (0, 1] — ~1 for white
+    noise (flat spectrum), ->0 for pure tones (all energy in a few
+    bins). The standard sparse-vs-broadband discriminator (public DSP
+    textbook measure), used as the fingerprint's operating-envelope
+    gate (SCALING.md r9: 600 distinct 4-tone clips over-clustered to
+    82 survivors — with <=4 spectral peaks, most band-energy bits sit
+    at the noise-floor tie). None for signals shorter than one frame."""
+    mag = stft_magnitudes(samples, frame=frame)
+    if mag.shape[0] == 0:
+        return None
+    power = mag.mean(axis=0) ** 2 + 1e-30
+    return float(np.exp(np.log(power).mean()) / power.mean())
+
+
 def audio_fingerprint(
     samples: np.ndarray,
     rate: int,
@@ -361,14 +377,23 @@ def audio_fingerprint(
     return v
 
 
-def audio_fingerprint_bands(media, observation=None):
+def audio_fingerprint_bands(media, observation=None, min_flatness: float = 0.0):
     """Each decodable WAV/FLAC payload's fingerprint as (id, band0..band3)
     16-bit bands — the exact input shape of
     :func:`~..operators.dedup.hamming_pairs_from_bands`, completing the
     near-dup matrix text/image/AUDIO on ONE pair engine. Undecodable
     or too-short payloads are dropped (no fingerprint, no manufactured
     pairs) and counted via ``observation`` (``rows`` / ``decoded_rows``
-    / ``sniffed_fallback_rows``)."""
+    / ``sniffed_fallback_rows`` / ``sparse_spectrum_rows``).
+
+    ``min_flatness`` (round 9, the SCALING.md r9 mitigation made
+    code): clips whose :func:`spectral_flatness` falls below the
+    threshold are counted + dropped instead of fingerprinted — sparse
+    tonal content (synthesizer beeps, test tones, DTMF) leaves most
+    energy-comparison bits at the noise-floor tie, and DIFFERENT tone
+    sets land within the Hamming threshold (measured: 600 distinct
+    4-tone clips over-clustered to 82). Default 0.0 keeps the old
+    behavior; ~0.1 separates tones from speech/music-shaped spectra."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -382,6 +407,11 @@ def audio_fingerprint_bands(media, observation=None):
                 if _looks_like_audio(b[:12]):
                     try:
                         samples, rate = decode_audio(b)
+                        if min_flatness > 0.0:
+                            flat = spectral_flatness(samples, rate)
+                            if flat is None or flat < min_flatness:
+                                rows.append((int(mid), 3, *bands))
+                                continue
                         v = audio_fingerprint(samples, rate)
                         bands = tuple((v >> (16 * i)) & 0xFFFF for i in range(4))
                         status = 1
@@ -402,17 +432,25 @@ def audio_fingerprint_bands(media, observation=None):
             F.count(F.lit(1)).alias("rows"),
             F.sum((F.col("_status") == 1).cast("long")).alias("decoded_rows"),
             F.sum((F.col("_status") == 2).cast("long")).alias("sniffed_fallback_rows"),
+            F.sum((F.col("_status") == 3).cast("long")).alias("sparse_spectrum_rows"),
         )
     return feats.filter(F.col("_status") == 1).drop("_status")
 
 
-def audio_near_dup_pairs(media, max_hamming: int = 3, observation=None):
+def audio_near_dup_pairs(
+    media, max_hamming: int = 3, observation=None, min_flatness: float = 0.0
+):
     """Audio near-duplicate pairs: spectral fingerprints -> pigeonhole
     banding -> Hamming verify — the text-SimHash / image-dHash physics
     applied to sound. Output (id_a, id_b, hamming); candidates come
-    from equality joins on 16-bit bands, never an all-pairs compare."""
+    from equality joins on 16-bit bands, never an all-pairs compare.
+    ``min_flatness`` forwards the sparse-spectrum gate (see
+    :func:`audio_fingerprint_bands`)."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import hamming_pairs_from_bands
 
     return hamming_pairs_from_bands(
-        audio_fingerprint_bands(media, observation=observation), max_hamming
+        audio_fingerprint_bands(
+            media, observation=observation, min_flatness=min_flatness
+        ),
+        max_hamming,
     )

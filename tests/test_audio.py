@@ -236,3 +236,39 @@ def test_audio_fingerprint_refuses_sub_band_rates():
 
     with pytest.raises(ValueError, match="no spectral bin"):
         audio_fingerprint(np.sin(np.arange(400) / 5.0), rate=150)
+
+
+def test_spectral_flatness_gate_drops_sparse_tonal_clips(spark):
+    """Round-9 SCALING finding made code: sparse tonal clips leave most
+    energy-comparison bits at the noise-floor tie, so DIFFERENT tone
+    sets pair within hamming 3 (600 distinct 4-tone clips over-
+    clustered to 82 in the media-capstone measurement). min_flatness
+    gates them out of the fingerprint — counted, not silently paired —
+    while broadband clips sail through."""
+    import numpy as np
+    from pyspark.sql import Observation
+
+    from hadoop_20_warehouse_fix_spark.functions.audio import (
+        audio_fingerprint_bands,
+        encode_wav,
+        spectral_flatness,
+    )
+
+    rng = np.random.default_rng(17)
+    t = np.arange(16000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(2 * np.pi * 900 * t)
+    broadband = rng.uniform(-0.5, 0.5, len(t))
+    # the measure itself: tones near 0, noise near 1
+    assert spectral_flatness(tone[:, None], 8000) < 0.05
+    assert spectral_flatness(broadband[:, None], 8000) > 0.5
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(tone, 8000))),
+         (2, bytearray(encode_wav(broadband, 8000)))],
+        "media_id long, payload binary",
+    )
+    obs = Observation("flat_gate")
+    out = audio_fingerprint_bands(media, observation=obs, min_flatness=0.1).collect()
+    assert {r.id for r in out} == {2}
+    assert obs.get["sparse_spectrum_rows"] == 1 and obs.get["decoded_rows"] == 1
+    # default keeps the old behavior: both fingerprint
+    assert {r.id for r in audio_fingerprint_bands(media).collect()} == {1, 2}
