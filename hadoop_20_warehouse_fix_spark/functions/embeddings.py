@@ -142,6 +142,13 @@ def hashing_vectorize(
         raise ValueError(f"dim must be positive, got {dim}")
     if weighting not in ("tf", "log"):
         raise ValueError(f"weighting must be 'tf' or 'log', got {weighting!r}")
+    for col in (id_col, text_col):
+        if col not in df.columns:
+            raise ValueError(
+                f"hashing_vectorize: column {col!r} not in input "
+                f"(have {df.columns}); id_col must name the key the "
+                f"downstream ANN state will address vectors by"
+            )
     bucket_of = lambda w: (  # noqa: E731 — local expression builder
         F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % dim
     )

@@ -1329,10 +1329,13 @@ def ivf_state_probe(
         "cell", F.explode(probe_cells_udf(cents, nprobe)(F.col("qv")))
     )
     cell_rows: list = []
+    n_queries = None
     if prune_scan:
         # non-distinct collect (bounded: |batch| * nprobe rows) — the
         # multiplicity feeds the auto pick's pairs estimate below
-        cell_rows = [r.cell for r in q.select("cell").collect()]
+        probe_rows = q.select("query_id", "cell").collect()
+        cell_rows = [r.cell for r in probe_rows]
+        n_queries = len({r.query_id for r in probe_rows})
         cells = list(set(cell_rows))
         lists = lists.filter(F.col("cell").isin(cells))
     use_fold = scoring == "fold"
@@ -1348,7 +1351,19 @@ def ivf_state_probe(
         # cheap scalar job over the bucket-pruned cell column. Without
         # prune_scan the count would scan the WHOLE index, so auto
         # conservatively keeps the Arrow path there.
-        if prune_scan and cell_rows:
+        if kind == "pq":
+            # PQ approx scoring is Arrow-only (the centroid gather has
+            # no JVM-expression form), so use_fold governs ONLY the
+            # rescore stage — whose pair count is the pool bound
+            # |batch| * rescore_factor * k BY CONSTRUCTION, not
+            # n_cand * queries_per_cell. Counting the pruned index
+            # would measure the wrong stage and waste a scalar job
+            # (round-9 ADVICE); pick from the pool bound directly.
+            if n_queries is not None:
+                use_fold = (
+                    n_queries * rescore_factor * k * max(dim, 1) <= 64_000_000
+                )
+        elif prune_scan and cell_rows:
             n_cand = lists.count()
             queries_per_cell = len(cell_rows) / max(len(cells), 1)
             use_fold = n_cand * queries_per_cell * max(dim, 1) <= 64_000_000
