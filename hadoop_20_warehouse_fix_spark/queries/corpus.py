@@ -490,10 +490,12 @@ def corpus_prepare_media_training_set(
     spark: SparkSession,
     media: DataFrame,
     shard_budget_bytes: int = 1 << 20,
-    max_hamming: int = 3,
+    max_hamming: int | dict[str, int] = 3,
     n_frames: int = 3,
     splits: dict[str, float] | None = None,
     target_mix: dict[str, float] | None = None,
+    min_flatness: float = 0.0,
+    demux_av: bool = False,
     observation=None,
     handles: list | None = None,
 ) -> DataFrame:
@@ -522,7 +524,21 @@ def corpus_prepare_media_training_set(
        member of a cluster drops. This is what removes a WAV vs its
        FLAC twin, a baseline vs its progressive JPEG re-encode, and a
        re-encoded AVI — cross-FORMAT duplicates that byte-level md5
-       can never see;
+       can never see. ``max_hamming`` may be a per-modality dict
+       (``{"image": 3, "audio": 2}``; missing modalities keep the
+       scalar default 3): candidates form at the widest budget, then
+       tighten per modality (round 10). ``min_flatness`` threads the
+       round-9 tonal-audio gate through the decode stage: sparse-
+       spectrum clips are counted (``sparse_spectrum_rows``) + dropped
+       instead of over-clustered;
+    3a. cross-container audio dedup (``demux_av=True``, round 10):
+       each AVI's PCM soundtrack is demuxed and fingerprinted as a
+       SHADOW row in the same pass (``demuxed_track_rows`` on the
+       ledger), and standalone audio within ``max_hamming["audio"]``
+       of any video's track drops — asymmetrically: the video always
+       survives this stage (it carries strictly more than its track).
+       A ripped/muxed WAV↔AVI duplicate is exactly the pair the
+       modality-keyed engine of step 3 can never form;
     3b. mix (optional, ``target_mix={"image": 0.5, "audio": 0.3,
        "video": 0.2}``): thin modalities to target BYTE proportions —
        the text capstone's source-mix recipe with modality as the
@@ -566,6 +582,23 @@ def corpus_prepare_media_training_set(
         raise ValueError(
             f"shard_budget_bytes must be positive, got {shard_budget_bytes}"
         )
+    modalities = ("image", "audio", "video")
+    if isinstance(max_hamming, dict):
+        bad = set(max_hamming) - set(modalities)
+        if bad:
+            raise ValueError(
+                f"max_hamming keys must be in {modalities}, got {sorted(bad)}"
+            )
+        # a modality absent from the dict keeps the scalar default (3)
+        thresholds = {m: int(max_hamming.get(m, 3)) for m in modalities}
+    else:
+        thresholds = {m: int(max_hamming) for m in modalities}
+    for m, t in thresholds.items():
+        if not (0 <= t <= 3):
+            raise ValueError(
+                f"max_hamming[{m!r}] must be in [0, 3] (the 4-band "
+                f"pigeonhole bound), got {t}"
+            )
     slim = media.select("media_id", "payload")
     deduped = exact_dedup_rows(slim, "media_id", F.md5(F.col("payload")))
     # n_bytes rides the fingerprint pass itself (round-9 review: a
@@ -573,7 +606,11 @@ def corpus_prepare_media_training_set(
     # shuffle — payload bytes moved twice), so `deduped` has exactly
     # one consumer and needs no barrier of its own.
     bands = media_fingerprint_bands(
-        deduped, n_frames=n_frames, observation=observation
+        deduped,
+        n_frames=n_frames,
+        observation=observation,
+        min_flatness=min_flatness,
+        demux_av=demux_av,
     ).persist()
     if handles is not None:
         handles.append(bands)
@@ -588,10 +625,65 @@ def corpus_prepare_media_training_set(
         # ledger readable as soon as this function returns; downstream
         # consumers read the cache, so no decode work is repeated.
         bands.count()
-    pairs = hamming_pairs_from_bands(bands, max_hamming, key_cols=["modality"])
+    # shadow soundtrack rows (demux_av) are PAIRING evidence, never
+    # survivors: they share their parent video's id, so letting one
+    # into the in-modality stage would let a soundtrack match delete a
+    # whole video; letting one into the survivor base would duplicate
+    # the parent's media_id
+    payload_bands = bands.filter(
+        F.coalesce(F.col("modality") != "audio_track", F.lit(True))
+    )
+    widest = max(thresholds.values())
+    pairs = hamming_pairs_from_bands(payload_bands, widest, key_cols=["modality"])
+    if len(set(thresholds.values())) > 1:
+        # per-modality Hamming budgets (round 10): candidates form at
+        # the widest threshold, then tighten per modality — pairs are
+        # within-modality by key_cols, so id_a's modality is the
+        # pair's; the lookup join reads the persisted bands cache
+        thr = F.create_map(
+            *[F.lit(x) for m in modalities for x in (m, thresholds[m])]
+        )
+        pairs = (
+            pairs.join(
+                payload_bands.select(F.col("id").alias("id_a"), "modality"), "id_a"
+            )
+            .filter(F.col("hamming") <= thr[F.col("modality")])
+            .select("id_a", "id_b", "hamming")
+        )
     clusters = connected_components(pairs)
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
-    survivors = bands.join(drop, "id", "left_anti").select(
+    if demux_av:
+        # cross-container stage: standalone audio that duplicates a
+        # video's demuxed soundtrack drops — ASYMMETRICALLY. The video
+        # always survives this stage (it carries strictly more than
+        # its track); keep-lowest only arbitrates WITHIN a modality.
+        # One extra band self-join over the (tiny) audio slice of the
+        # persisted cache; track-track pairs (two videos sharing a
+        # soundtrack) are deliberately ignored — whether the VIDEOS
+        # are dups is the video fingerprint's call, made above.
+        audio_union = bands.filter(
+            F.col("modality").isin("audio", "audio_track")
+        )
+        cross = hamming_pairs_from_bands(audio_union, thresholds["audio"])
+        side = audio_union.select("id", "modality")
+        cross_drop = (
+            cross.join(
+                side.select(F.col("id").alias("id_a"), F.col("modality").alias("mod_a")),
+                "id_a",
+            )
+            .join(
+                side.select(F.col("id").alias("id_b"), F.col("modality").alias("mod_b")),
+                "id_b",
+            )
+            .filter(F.col("mod_a") != F.col("mod_b"))
+            .select(
+                F.when(F.col("mod_a") == "audio", F.col("id_a"))
+                .otherwise(F.col("id_b"))
+                .alias("id")
+            )
+        )
+        drop = drop.unionByName(cross_drop).distinct()
+    survivors = payload_bands.join(drop, "id", "left_anti").select(
         F.col("id").alias("media_id"), "modality", "n_bytes"
     )
     if target_mix:

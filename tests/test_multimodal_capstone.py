@@ -232,3 +232,154 @@ def test_media_capstone_modality_mix(spark):
         ).collect()
     }
     assert {r.media_id for r in out} <= full
+
+
+def _broadband_clip(seed: int, freqs) -> np.ndarray:
+    """Distinct-but-broadband clip: uniform noise (flatness floor ~0.25,
+    above any reasonable gate) + a distinctive tone pair (band-energy
+    structure, so different clips fingerprint FAR apart — dev-measured
+    hamming 24). Pure noise won't do: a flat spectrum leaves every
+    energy-comparison bit at the tie and independent noise clips pair
+    (the same physics as the tonal over-cluster, from the other end);
+    the _clip fixture's summed sines are themselves sparse-spectrum
+    (flatness ~1e-6)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(16000) / 8000.0
+    return rng.uniform(-0.4, 0.4, 16000) + sum(
+        0.4 * np.sin(2 * np.pi * f * t) for f in freqs
+    )
+
+
+def _tone_clip(f1: float, f2: float) -> np.ndarray:
+    t = np.arange(16000) / 8000.0
+    return 0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+
+
+def test_media_capstone_flatness_gate(spark):
+    """Round-10 brief #1: the round-9 over-cluster mitigation is now
+    reachable FROM the capstone. Three DISTINCT tonal clips — the class
+    measured over-clustering 600->82 inside this very pipeline — are
+    counted + dropped at min_flatness=0.1 (sparse_spectrum_rows on the
+    ledger) instead of fingerprinted; broadband clips survive as
+    distinct; default 0.0 is pinned to the old behavior (tonal clips
+    enter the fingerprint space)."""
+    rows = [
+        (60, bytearray(encode_wav(_tone_clip(440, 900), 8000))),
+        (61, bytearray(encode_wav(_tone_clip(500, 1200), 8000))),
+        (62, bytearray(encode_wav(_tone_clip(300, 1700), 8000))),
+        (70, bytearray(encode_wav(_broadband_clip(1, [300, 700]), 8000))),
+        (71, bytearray(encode_wav(_broadband_clip(2, [1200, 1800]), 8000))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    obs = Observation("flat_capstone")
+    out = corpus_prepare_media_training_set(
+        spark, media, shard_budget_bytes=4096, min_flatness=0.1,
+        observation=obs,
+    )
+    assert {r.media_id for r in out.collect()} == {70, 71}
+    assert obs.get["sparse_spectrum_rows"] == 3
+    assert obs.get["decoded_audio_rows"] == 2
+    assert obs.get["rows"] == 5
+    # default-off pinned: the gate does not fire, every clip enters the
+    # fingerprint space (the tonal ones may then falsely cluster — the
+    # measured hazard the gate exists for; at minimum the lowest-id
+    # representative of any false cluster survives)
+    obs2 = Observation("flat_capstone_off")
+    out2 = corpus_prepare_media_training_set(
+        spark, media, shard_budget_bytes=4096, observation=obs2
+    )
+    got2 = {r.media_id for r in out2.collect()}
+    assert obs2.get["sparse_spectrum_rows"] == 0
+    assert obs2.get["decoded_audio_rows"] == 5
+    assert {70, 71} <= got2 and 60 in got2
+
+
+def test_media_capstone_cross_container_audio(spark):
+    """Round-10 brief #2: a WAV rip of an AVI's PCM soundtrack is
+    removed end-to-end with demux_av=True — a pair the modality-keyed
+    engine can never form (WAV fingerprints live in 'audio', the AVI
+    in 'video'). The drop is ASYMMETRIC: the rip has the LOWER id here,
+    and still drops — the video carries strictly more than its track,
+    so keep-lowest never arbitrates across containers. The ledger
+    counts demuxed tracks; default-off behavior is pinned."""
+    clip = _clip(7)
+    rows = [
+        (5, bytearray(encode_wav(clip, 8000))),  # the rip (lowest id!)
+        (30, bytearray(encode_avi_mjpeg(_vid(8), quant=1, audio=clip, audio_rate=8000))),
+        (22, bytearray(encode_wav(_clip(4), 8000))),  # distinct audio
+        (33, bytearray(encode_avi_mjpeg(_vid(9), quant=1))),  # audio-less AVI
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    obs = Observation("cross_container")
+    out = corpus_prepare_media_training_set(
+        spark, media, shard_budget_bytes=4096, demux_av=True,
+        observation=obs,
+    )
+    got = {r.media_id: r.modality for r in out.collect()}
+    assert set(got) == {30, 22, 33}
+    # the shadow track row never leaks into the output
+    assert got[30] == "video" and "audio_track" not in got.values()
+    assert obs.get["demuxed_track_rows"] == 1  # the audio-less AVI emits none
+    assert obs.get["rows"] == 4  # shadow rows are not input payloads
+    assert obs.get["decoded_video_rows"] == 2
+    # default off: the rip survives (the round-9 behavior, unchanged)
+    out2 = corpus_prepare_media_training_set(
+        spark, media, shard_budget_bytes=4096
+    )
+    assert {r.media_id for r in out2.collect()} == {5, 30, 22, 33}
+
+
+def test_media_capstone_per_modality_hamming(spark):
+    """max_hamming as a dict tightens ONE modality without touching the
+    others: the planted video re-encode pair sits at hamming exactly 1
+    (dev-measured, seed-pinned), so {'video': 0} keeps both cuts while
+    image/audio near-dups still drop at the default 3. Validation:
+    unknown modality keys and thresholds past the 4-band pigeonhole
+    bound raise."""
+    media = _mixed_corpus(spark)
+    out = corpus_prepare_media_training_set(
+        spark, media, shard_budget_bytes=4096, max_hamming={"video": 0}
+    )
+    got = {r.media_id for r in out.collect()}
+    assert got == {10, 12, 20, 22, 30, 31, 32}  # 31 kept, 11/21 still drop
+    with pytest.raises(ValueError, match="max_hamming keys"):
+        corpus_prepare_media_training_set(
+            spark, media, max_hamming={"text": 2}
+        )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        corpus_prepare_media_training_set(
+            spark, media, max_hamming={"audio": 4}
+        )
+
+
+def test_media_fingerprint_bands_demux_and_gate_ledger(spark):
+    """Function-level contract of the round-10 params: demux_av emits
+    one shadow 'audio_track' row per PCM-carrying AVI (id = parent,
+    n_bytes 0, all four bands set) and min_flatness gates BOTH
+    standalone audio and demuxed tracks into sparse_spectrum_rows."""
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        media_fingerprint_bands,
+    )
+
+    tone = _tone_clip(440, 900)
+    rows = [
+        (1, bytearray(encode_wav(_broadband_clip(3, [400, 900]), 8000))),
+        (2, bytearray(encode_wav(tone, 8000))),  # gated standalone
+        (3, bytearray(encode_avi_mjpeg(_vid(5), quant=1, audio=_broadband_clip(4, [1000, 1600]), audio_rate=8000))),
+        (4, bytearray(encode_avi_mjpeg(_vid(6), quant=1, audio=tone, audio_rate=8000))),  # gated track
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    obs = Observation("demux_gate")
+    out = media_fingerprint_bands(
+        media, observation=obs, min_flatness=0.1, demux_av=True
+    ).collect()
+    by_key = {(r.id, r.modality): r for r in out}
+    assert set(by_key) == {
+        (1, "audio"), (3, "video"), (4, "video"), (3, "audio_track"),
+    }
+    shadow = by_key[(3, "audio_track")]
+    assert shadow.n_bytes == 0 and shadow.band0 is not None
+    assert obs.get["rows"] == 4
+    assert obs.get["decoded_rows"] == 3  # 1, 3, 4 — the shadow is extra
+    assert obs.get["demuxed_track_rows"] == 1
+    assert obs.get["sparse_spectrum_rows"] == 2  # the WAV tone + 4's track

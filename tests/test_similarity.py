@@ -1088,3 +1088,37 @@ def test_ivf_pq_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
         for t in ("lists", "vectors", "codebook", "meta", "tombstones", "pq"):
             spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
         spark.catalog.clearCache()
+
+
+def test_hashing_vectorize_unseamed_composition_failure_pinned(spark):
+    """Round-10 brief #7: the docstring'd composition seam as an
+    executable pin. Feeding hashing_vectorize's UN-materialized output
+    straight into a pandas-UDF consumer makes Catalyst inline the whole
+    HOF pipeline into the UDF argument; Spark 4.1's codegen refuses the
+    inlined expression ([INTERNAL_ERROR] "Cannot generate code for
+    expression: assign_cell(...)") and the interpreted fallback refuses
+    it too. The parquet seam documented in hashing_vectorize's
+    docstring is the workaround (and the realistic artifact boundary).
+
+    xfail-style on the error SHAPE: if a Spark upgrade ever makes this
+    composition legal, pytest.raises fails with DID-NOT-RAISE — the
+    signal to delete the workaround prose (and this pin) in the same
+    commit."""
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.functions.embeddings import hashing_vectorize
+    from hadoop_20_warehouse_fix_spark.operators.similarity import ivf_state_write
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    vecs = hashing_vectorize(docs, dim=8).select("doc_id", "embedding")
+    with pytest.raises(Exception) as exc_info:
+        ivf_state_write(vecs, "doc_id", "embedding", "seam_pin_state", n_centroids=2)
+    msg = str(exc_info.value)
+    assert "INTERNAL_ERROR" in msg and "assign_cell" in msg, (
+        "the composition seam failed with a DIFFERENT shape than the "
+        f"pinned INTERNAL_ERROR/assign_cell — re-adjudicate the "
+        f"workaround prose in hashing_vectorize: {msg[:500]}"
+    )
