@@ -354,3 +354,57 @@ def test_random_kv_binary_deterministic_and_shaped(spark):
     assert {r.key for r in a}.isdisjoint({r.key for r in c})
     assert all(len(r.value) == 32 for r in a)
     assert len({r.key for r in a}) == 200
+
+
+# Round-10 brief #5: the physical-plan SHAPE of every bench headline
+# query, pinned at the bench scale factor (sf0.1 — broadcast picks are
+# planning-time size decisions, so the pin must live at the SF the
+# bench runs). When a round's bench delta needs adjudicating (load vs
+# plan drift), this test is the mechanical answer: green = the plans
+# did not move, so the delta is load. A DELIBERATE plan change updates
+# the pinned row in the same commit.
+#
+# exchanges = shuffle Exchange nodes; broadcast/sortmerge = join
+# strategy counts; file_scans = source passes (a query re-reading its
+# fact table N times shows N); pushed = scans with a non-empty
+# PushedFilters list.
+HEADLINE_PLAN_FINGERPRINTS = {
+    "corpus_clean":             dict(exchanges=5, broadcast_joins=1, sortmerge_joins=0, file_scans=1, pushed=0),
+    "dedup_ngram_jaccard":      dict(exchanges=3, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=0),
+    "events_json_props":        dict(exchanges=2, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
+    "events_tumbling_hourly":   dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
+    "join_broadcast_dim":       dict(exchanges=1, broadcast_joins=1, sortmerge_joins=0, file_scans=2, pushed=2),
+    "q10_returned_items":       dict(exchanges=1, broadcast_joins=3, sortmerge_joins=0, file_scans=4, pushed=4),
+    "q1_pricing_summary":       dict(exchanges=2, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
+    "q3_shipping_priority":     dict(exchanges=1, broadcast_joins=2, sortmerge_joins=0, file_scans=3, pushed=3),
+    "q5_local_supplier_volume": dict(exchanges=2, broadcast_joins=5, sortmerge_joins=0, file_scans=6, pushed=6),
+    "q6_forecast_revenue":      dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
+    "q9_product_type_profit":   dict(exchanges=2, broadcast_joins=4, sortmerge_joins=0, file_scans=5, pushed=5),
+    "sim_ann_ivf_md5":          dict(exchanges=1, broadcast_joins=1, sortmerge_joins=0, file_scans=2, pushed=2),
+    "sort_total_order":         dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=0),
+    "text_wordcount":           dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=0),
+}
+
+
+def test_headline_plan_fingerprints_pinned(spark):
+    """Every bench headline query's plan fingerprint matches its pin —
+    and the pin COVERS the headline set exactly, so adding a headline
+    query without pinning it (or dropping one silently) fails here."""
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+
+    reg = load_all()
+    headline = {n: s for n, s in reg.items() if s.headline}
+    assert set(headline) == set(HEADLINE_PLAN_FINGERPRINTS)
+    spark.catalog.clearCache()  # a warm cache rewrites scans as InMemory
+    got = {}
+    for name, spec in sorted(headline.items()):
+        s = plan_summary(spec.fn(spark, "/root/testdata/sf0.1"))
+        got[name] = dict(
+            exchanges=s.num_exchanges,
+            broadcast_joins=s.num_broadcast_joins,
+            sortmerge_joins=s.num_sortmerge_joins,
+            file_scans=s.num_file_scans,
+            pushed=len([p for p in s.pushed_filters if p.strip()]),
+        )
+    assert got == HEADLINE_PLAN_FINGERPRINTS
+    spark.catalog.clearCache()  # the fns above persist intermediates
