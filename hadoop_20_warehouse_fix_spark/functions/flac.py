@@ -37,6 +37,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from numpy.lib.stride_tricks import sliding_window_view
 
 _FIXED_COEFS = {
     0: [],
@@ -261,6 +262,44 @@ def _read_residual(bits: _Bits, block_size: int, order: int) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
 
+_LPC_LOOPS: dict = {}
+
+
+def _lpc_loop(order: int):
+    """Compile (once per order, cached) the exact LPC reconstruction
+    loop with the dot product unrolled into local-variable registers:
+    ``v = ((c1*s1 + ... + ck*sk) >> shift) + r`` then rotate. Same
+    Python-int (arbitrary-precision, overflow-free) semantics as the
+    naive ``sum(c * out[-i-1] ...)`` form — only the interpreter
+    overhead (generator frame + list indexing per sample) goes away.
+    s1 is the most recent sample, sk the oldest, matching coefficient
+    order as read from the bitstream."""
+    fn = _LPC_LOOPS.get(order)
+    if fn is None:
+        cs = ", ".join(f"c{i}" for i in range(1, order + 1))
+        regs = ", ".join(f"s{i}" for i in range(1, order + 1))
+        init = ", ".join(f"warm[{order - i}]" for i in range(1, order + 1))
+        dot = " + ".join(f"c{i}*s{i}" for i in range(1, order + 1))
+        rot = "; ".join(f"s{i} = s{i - 1}" for i in range(order, 1, -1))
+        rot = (rot + "; " if rot else "") + "s1 = v"
+        src = (
+            f"def _f(warm, coefs, shift, resid):\n"
+            f"    ({cs},) = coefs\n"
+            f"    ({regs},) = ({init},)\n"
+            f"    out = list(warm)\n"
+            f"    ap = out.append\n"
+            f"    for r in resid:\n"
+            f"        v = (({dot}) >> shift) + r\n"
+            f"        ap(v)\n"
+            f"        {rot}\n"
+            f"    return out\n"
+        )
+        ns: dict = {}
+        exec(src, ns)  # noqa: S102 — generated from `order` alone
+        fn = _LPC_LOOPS[order] = ns["_f"]
+    return fn
+
+
 def _decode_subframe(bits: _Bits, block_size: int, bps: int) -> np.ndarray:
     if bits.read(1):
         raise ValueError("subframe sync bit set (corrupt FLAC)")
@@ -303,13 +342,16 @@ def _decode_subframe(bits: _Bits, block_size: int, bps: int) -> np.ndarray:
         resid = _read_residual(bits, block_size, order)
         # SEQUENTIAL by contract: every sample feeds the next
         # prediction through an arbitrary quantized filter + shift —
-        # the entropy chain the round-8 verdict said to leave alone.
-        # Python ints (no overflow) over a plain list.
-        out_l = list(warm)
-        for r in resid.tolist():
-            pred = sum(c * out_l[-i - 1] for i, c in enumerate(coefs)) >> shift
-            out_l.append(pred + r)
-        out = np.array(out_l, dtype=np.int64)
+        # the floor in `>> shift` is nonlinear, so no blocked/cumsum
+        # form exists (unlike FIXED). The loop body is code-generated
+        # per order (cached): unrolled dot + register rotation over
+        # Python ints — the SAME arbitrary-precision arithmetic as the
+        # naive genexpr-sum form, ~2x less interpreter overhead
+        # (measured in SCALING.md r10; fixtures pin bit-exactness).
+        out = np.array(
+            _lpc_loop(order)(warm, coefs, shift, resid.tolist()),
+            dtype=np.int64,
+        )
     else:
         raise ValueError(f"reserved subframe type {sf_type}")
     return out << wasted
@@ -534,14 +576,69 @@ def _write_rice(bw: _BitsW, resid, param: int) -> None:
         bw.write(u & ((1 << param) - 1), param)
 
 
-def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16) -> bytes:
+def _lpc_quantized(x: np.ndarray, order: int, precision: int = 12):
+    """Quantized LPC filter for one block (the libFLAC recipe, public:
+    autocorrelation -> Levinson-Durbin -> coefficient quantization).
+    Returns (coefs list[int], shift int) or None when the block is
+    degenerate (zero energy, unstable recursion, all-zero filter) —
+    callers fall back to the FIXED path."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    if n <= order:
+        return None
+    r = np.array([float(np.dot(xf[: n - k], xf[k:])) for k in range(order + 1)])
+    if r[0] <= 0.0:
+        return None
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    e = r[0]
+    for i in range(1, order + 1):
+        acc = r[i] + float(np.dot(a[1:i], r[1:i][::-1]))
+        if e <= 0.0:
+            return None
+        k = -acc / e
+        if not -1.0 < k < 1.0:  # unstable filter — bail to FIXED
+            return None
+        a[1:i] = a[1:i] + k * a[1:i][::-1]
+        a[i] = k
+        e *= 1.0 - k * k
+    coefs = -a[1:]  # predictor: x[n] ~= sum(c_j * x[n-j])
+    peak = float(np.abs(coefs).max())
+    if peak == 0.0:
+        return None
+    import math
+
+    shift = (precision - 1) - (int(math.floor(math.log2(peak))) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = [int(np.clip(round(c * (1 << shift)), -lim, lim - 1)) for c in coefs]
+    if not any(q):
+        return None
+    return q, shift
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int, bps: int = 16, predictor: str = "fixed"
+) -> bytes:
     """Minimal spec-conformant FLAC writer: independent channels, one
     frame per 4096-sample block, per-subframe best of CONSTANT / FIXED
     order 0-2 with single-partition Rice residuals. Lossless by
     construction — ``decode_flac(encode_flac(s))`` recovers the
-    quantized integers EXACTLY (pytest-pinned)."""
+    quantized integers EXACTLY (pytest-pinned).
+
+    ``predictor="lpc"`` (round 10): order-8 quantized-LPC subframes
+    (autocorrelation + Levinson-Durbin, precision 12 — the libFLAC
+    default shape), falling back to the FIXED candidates only on
+    degenerate blocks. Exists because real libFLAC corpora
+    (LibriSpeech et al.) are predominantly LPC subframes, and the
+    decoder's LPC path — sequential by spec — needs HONEST fixtures to
+    measure against (SCALING.md r10); it also simply compresses
+    correlated audio better, same as everywhere else in lossless
+    audio."""
     if bps != 16:
         raise NotImplementedError("encoder writes 16-bit FLAC only")
+    if predictor not in ("fixed", "lpc"):
+        raise ValueError(f"predictor must be 'fixed' or 'lpc', got {predictor!r}")
     if not 1 <= sample_rate <= 655350:  # spec max; field is 20 bits
         raise ValueError(f"sample_rate must be in [1, 655350], got {sample_rate}")
     s = np.asarray(samples, dtype=np.float64)
@@ -605,6 +702,29 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16) -> bytes:
                 fw.write(0, 1); fw.write(0, 6); fw.write(0, 1)
                 fw.write(int(x[0]), 16)
                 continue
+            if predictor == "lpc":
+                lpc = _lpc_quantized(x, min(8, bsize - 1))
+                if lpc is not None:
+                    qc, shift = lpc
+                    order = len(qc)
+                    # residual with the decoder's EXACT integer
+                    # semantics: r[n] = x[n] - ((sum_j c_j*x[n-j]) >>
+                    # shift); the windowed dot is int64-exact
+                    # (|c|<2^11, |x|<2^15, order<=8 -> |sum|<2^30) and
+                    # numpy >> is the same arithmetic shift
+                    w = sliding_window_view(x, order)[:-1]
+                    dot = w @ np.asarray(qc[::-1], dtype=np.int64)
+                    resid = (x[order:] - (dot >> np.int64(shift))).tolist()
+                    _, param = min((_rice_cost(resid, p), p) for p in range(15))
+                    fw.write(0, 1); fw.write(31 + order, 6); fw.write(0, 1)
+                    for i in range(order):
+                        fw.write(int(x[i]), 16)
+                    fw.write(12 - 1, 4)  # precision code = prec-1
+                    fw.write(shift, 5)  # non-negative by construction
+                    for qcoef in qc:
+                        fw.write(qcoef, 12)
+                    _write_rice(fw, resid, param)
+                    continue
             best = None
             for order in (0, 1, 2):
                 if bsize <= order:

@@ -424,6 +424,44 @@ def corpus_prepare_training_set(
 
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
+    decontaminated = _text_survivors(
+        spark, sf_dir, near_dup, eval_modulus, target_mix,
+        span_dedup, span_window, span_stride, tokenizer_merges, handles,
+    )
+    tagged = assign_split(decontaminated, "doc_id").persist()
+    if handles is not None:
+        handles.append(tagged)
+    train = pack_by_budget(
+        tagged.filter(F.col("split") == "train"), "doc_id", "n_tokens",
+        budget=token_budget,
+    ).select("doc_id", "n_tokens", "quality", "split", "shard_id")
+    rest = tagged.filter(F.col("split") != "train").select(
+        "doc_id", "n_tokens", "quality", "split",
+        F.lit(None).cast("long").alias("shard_id"),
+    )
+    return train.unionByName(rest)
+
+
+def _text_survivors(
+    spark: SparkSession,
+    sf_dir: str,
+    near_dup: str,
+    eval_modulus: int,
+    target_mix: dict[str, float] | None,
+    span_dedup: bool,
+    span_window: int,
+    span_stride: int,
+    tokenizer_merges: list[tuple[str, str]] | None,
+    handles: list | None,
+) -> DataFrame:
+    """Stages 1-3 of :func:`corpus_prepare_training_set` (clean ->
+    optional span dedup -> decontaminate -> optional source mix),
+    shared verbatim with :func:`corpus_prepare_unified_training_set`
+    so the two entry points cannot diverge on gate semantics. Returns
+    the decontaminated survivor frame (doc_id, n_tokens, quality);
+    persisted seams append to ``handles``."""
+    from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
+
     cols = ["doc_id", "text"] + (["source"] if target_mix else [])
     docs = load_table(spark, sf_dir, "documents").select(*cols)
     cleaned = corpus_clean(spark, sf_dir, near_dup=near_dup, repetition_gate=True)
@@ -472,18 +510,7 @@ def corpus_prepare_training_set(
             decontaminated, "source", "n_tokens", target_mix, "doc_id"
         )
         decontaminated = decontaminated.drop("source")
-    tagged = assign_split(decontaminated, "doc_id").persist()
-    if handles is not None:
-        handles.append(tagged)
-    train = pack_by_budget(
-        tagged.filter(F.col("split") == "train"), "doc_id", "n_tokens",
-        budget=token_budget,
-    ).select("doc_id", "n_tokens", "quality", "split", "shard_id")
-    rest = tagged.filter(F.col("split") != "train").select(
-        "doc_id", "n_tokens", "quality", "split",
-        F.lit(None).cast("long").alias("shard_id"),
-    )
-    return train.unionByName(rest)
+    return decontaminated
 
 
 def corpus_prepare_media_training_set(
@@ -567,6 +594,74 @@ def corpus_prepare_media_training_set(
 
     Cache lifetime: pass ``handles`` to unpersist after
     materialization, else ``spark.catalog.clearCache()``."""
+    from hadoop_20_warehouse_fix_spark.operators.sort import pack_by_budget
+    from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
+
+    if shard_budget_bytes <= 0:
+        raise ValueError(
+            f"shard_budget_bytes must be positive, got {shard_budget_bytes}"
+        )
+    survivors = _media_survivors(
+        spark, media, _media_thresholds(max_hamming), n_frames,
+        target_mix, min_flatness, demux_av, observation, handles,
+    )
+    tagged = assign_split(survivors, "media_id", splits).persist()
+    if handles is not None:
+        handles.append(tagged)
+    train = pack_by_budget(
+        tagged.filter(F.col("split") == "train"), "media_id", "n_bytes",
+        budget=shard_budget_bytes,
+    ).select("media_id", "modality", "n_bytes", "split", "shard_id")
+    rest = tagged.filter(F.col("split") != "train").select(
+        "media_id", "modality", "n_bytes", "split",
+        F.lit(None).cast("long").alias("shard_id"),
+    )
+    return train.unionByName(rest)
+
+
+_MODALITIES = ("image", "audio", "video")
+
+
+def _media_thresholds(max_hamming: int | dict[str, int]) -> dict[str, int]:
+    """Validate + normalize per-modality Hamming budgets: a scalar
+    applies everywhere; a dict tightens named modalities (missing keys
+    keep the scalar default 3); every value must respect the 4-band
+    pigeonhole bound."""
+    if isinstance(max_hamming, dict):
+        bad = set(max_hamming) - set(_MODALITIES)
+        if bad:
+            raise ValueError(
+                f"max_hamming keys must be in {_MODALITIES}, got {sorted(bad)}"
+            )
+        # a modality absent from the dict keeps the scalar default (3)
+        thresholds = {m: int(max_hamming.get(m, 3)) for m in _MODALITIES}
+    else:
+        thresholds = {m: int(max_hamming) for m in _MODALITIES}
+    for m, t in thresholds.items():
+        if not (0 <= t <= 3):
+            raise ValueError(
+                f"max_hamming[{m!r}] must be in [0, 3] (the 4-band "
+                f"pigeonhole bound), got {t}"
+            )
+    return thresholds
+
+
+def _media_survivors(
+    spark: SparkSession,
+    media: DataFrame,
+    thresholds: dict[str, int],
+    n_frames: int,
+    target_mix: dict[str, float] | None,
+    min_flatness: float,
+    demux_av: bool,
+    observation,
+    handles: list | None,
+) -> DataFrame:
+    """Stages 1-3b of :func:`corpus_prepare_media_training_set` (md5
+    exact dedup -> decode gate + fingerprint -> near-dup removal ->
+    optional cross-container audio drop -> optional modality mix),
+    shared verbatim with :func:`corpus_prepare_unified_training_set`.
+    Returns the survivor frame (media_id, modality, n_bytes)."""
     from hadoop_20_warehouse_fix_spark.functions.multimodal import (
         media_fingerprint_bands,
     )
@@ -575,30 +670,7 @@ def corpus_prepare_media_training_set(
         exact_dedup_rows,
         hamming_pairs_from_bands,
     )
-    from hadoop_20_warehouse_fix_spark.operators.sort import pack_by_budget
-    from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
 
-    if shard_budget_bytes <= 0:
-        raise ValueError(
-            f"shard_budget_bytes must be positive, got {shard_budget_bytes}"
-        )
-    modalities = ("image", "audio", "video")
-    if isinstance(max_hamming, dict):
-        bad = set(max_hamming) - set(modalities)
-        if bad:
-            raise ValueError(
-                f"max_hamming keys must be in {modalities}, got {sorted(bad)}"
-            )
-        # a modality absent from the dict keeps the scalar default (3)
-        thresholds = {m: int(max_hamming.get(m, 3)) for m in modalities}
-    else:
-        thresholds = {m: int(max_hamming) for m in modalities}
-    for m, t in thresholds.items():
-        if not (0 <= t <= 3):
-            raise ValueError(
-                f"max_hamming[{m!r}] must be in [0, 3] (the 4-band "
-                f"pigeonhole bound), got {t}"
-            )
     slim = media.select("media_id", "payload")
     deduped = exact_dedup_rows(slim, "media_id", F.md5(F.col("payload")))
     # n_bytes rides the fingerprint pass itself (round-9 review: a
@@ -641,7 +713,7 @@ def corpus_prepare_media_training_set(
         # within-modality by key_cols, so id_a's modality is the
         # pair's; the lookup join reads the persisted bands cache
         thr = F.create_map(
-            *[F.lit(x) for m in modalities for x in (m, thresholds[m])]
+            *[F.lit(x) for m in _MODALITIES for x in (m, thresholds[m])]
         )
         pairs = (
             pairs.join(
@@ -696,15 +768,157 @@ def corpus_prepare_media_training_set(
         survivors, _rates = mix_corpora(
             survivors, "modality", "n_bytes", target_mix, "media_id"
         )
-    tagged = assign_split(survivors, "media_id", splits).persist()
+    return survivors
+
+
+def corpus_prepare_unified_training_set(
+    spark: SparkSession,
+    sf_dir: str,
+    media: DataFrame,
+    token_budget: int = 2000,
+    media_budget_bytes: int = 1 << 20,
+    near_dup: str = "auto",
+    eval_modulus: int = 97,
+    max_hamming: int | dict[str, int] = 3,
+    n_frames: int = 3,
+    splits: dict[str, float] | None = None,
+    text_mix: dict[str, float] | None = None,
+    media_mix: dict[str, float] | None = None,
+    min_flatness: float = 0.0,
+    demux_av: bool = False,
+    span_dedup: bool = False,
+    span_window: int = 50,
+    span_stride: int = 1,
+    tokenizer_merges: list[tuple[str, str]] | None = None,
+    ledger: dict | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """UNIFIED capstone (round 10) — ONE training-set build over text
+    AND media, where rounds 4-9 grew two parallel pipelines with
+    separate split coins and separate shard sequences. A real
+    multimodal training set interleaves both corpora, so the seams the
+    two capstones kept private become shared contracts here
+    (pytest-covered function, intentionally NOT a registered query —
+    registry held at 135):
+
+    - SURVIVORS: the text side runs :func:`corpus_prepare_training_set`
+      stages 1-3 verbatim (clean -> optional span dedup ->
+      decontaminate -> optional source mix) via the shared
+      ``_text_survivors``; the media side runs
+      :func:`corpus_prepare_media_training_set` stages 1-3b verbatim
+      (md5 dedup -> decode gate + fingerprint -> per-modality near-dup
+      -> optional cross-container audio drop -> optional modality mix)
+      via the shared ``_media_survivors``. One helper each, so the
+      unified build CANNOT diverge from the single-modality entry
+      points on gate semantics.
+    - UNIFIED ID SPACE: survivors union under
+      ``item_id = "doc:<doc_id>" | "media:<media_id>"`` — doc 5 and
+      media 5 stop sharing a coin value, which the per-pipeline coins
+      (both md5 over a bare long) silently did.
+    - SHARED SPLIT COIN: ONE content-addressed
+      :func:`~..sources.readers.assign_split` md5 coin over ``item_id``
+      — a document keeps its split whether it is built alone or
+      alongside media, and rebuilding with a different media corpus
+      never reshuffles text eval membership (and vice versa).
+    - ONE SHARD SEQUENCE, PER-MODALITY BUDGETS: the train split packs
+      text by TOKENS (``token_budget``) and media by BYTES
+      (``media_budget_bytes``) — a loader's two units of account —
+      into one contiguous shard_id sequence: text shards first
+      (0..T-1), media shards follow (T..). The offset is one bounded
+      scalar job (max over the packed text slice of the persisted
+      split frame). val/test carry shard_id NULL.
+    - ONE COMBINED LEDGER: pass ``ledger={}`` and the build fills it
+      eagerly — the media decode-gate Observation (rows / decoded /
+      failed / unrecognized / per-modality / sparse_spectrum /
+      demuxed_track) plus survivor counts per modality — one place a
+      pipeline operator reads instead of two half-ledgers.
+
+    Output: (item_id string, modality, n_units long, quality double —
+    NULL for media rows, split, shard_id). ``n_units`` is tokens for
+    text rows and bytes for media rows, matching each side's packing
+    budget.
+
+    100 TB posture: everything is inherited from the two survivor
+    helpers (documented there); the union adds zero shuffles (row-local
+    projections), the split coin is row-local, and the two packs are
+    the same distributed prefix sum over disjoint slices of one
+    persisted frame. Reference analog: heterogeneous inputs feeding one
+    logical update stream (``M/lib/MultipleInputs.java:34``,
+    ``X/index/.../main/UpdateIndex.java:66``).
+
+    Cache lifetime: ``handles`` as in both single-modality capstones."""
+    from pyspark.sql import Observation
+
+    from hadoop_20_warehouse_fix_spark.operators.sort import pack_by_budget
+    from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if media_budget_bytes <= 0:
+        raise ValueError(
+            f"media_budget_bytes must be positive, got {media_budget_bytes}"
+        )
+    thresholds = _media_thresholds(max_hamming)
+    obs = Observation("unified_media_gate") if ledger is not None else None
+    text = _text_survivors(
+        spark, sf_dir, near_dup, eval_modulus, text_mix,
+        span_dedup, span_window, span_stride, tokenizer_merges, handles,
+    )
+    med = _media_survivors(
+        spark, media, thresholds, n_frames, media_mix,
+        min_flatness, demux_av, obs, handles,
+    )
+    unified = text.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("item_id"),
+        F.col("doc_id").alias("_ord"),
+        F.lit("text").alias("modality"),
+        F.col("n_tokens").alias("n_units"),
+        F.col("quality").cast("double").alias("quality"),
+    ).unionByName(
+        med.select(
+            F.concat(
+                F.lit("media:"), F.col("media_id").cast("string")
+            ).alias("item_id"),
+            F.col("media_id").alias("_ord"),
+            "modality",
+            F.col("n_bytes").alias("n_units"),
+            F.lit(None).cast("double").alias("quality"),
+        )
+    )
+    tagged = assign_split(unified, "item_id", splits).persist()
     if handles is not None:
         handles.append(tagged)
-    train = pack_by_budget(
-        tagged.filter(F.col("split") == "train"), "media_id", "n_bytes",
-        budget=shard_budget_bytes,
-    ).select("media_id", "modality", "n_bytes", "split", "shard_id")
-    rest = tagged.filter(F.col("split") != "train").select(
-        "media_id", "modality", "n_bytes", "split",
-        F.lit(None).cast("long").alias("shard_id"),
+    out_cols = ["item_id", "modality", "n_units", "quality", "split", "shard_id"]
+    is_text = F.col("modality") == "text"
+    train = tagged.filter(F.col("split") == "train")
+    packed_text = pack_by_budget(
+        train.filter(is_text), "_ord", "n_units", budget=token_budget
     )
-    return train.unionByName(rest)
+    # ONE bounded scalar job (over the persisted split frame) fixes the
+    # media offset; prefix_sum re-derivation for the output below reads
+    # the same cache
+    max_text_shard = packed_text.agg(F.max("shard_id")).first()[0]
+    offset = int(max_text_shard) + 1 if max_text_shard is not None else 0
+    packed_media = pack_by_budget(
+        train.filter(~is_text), "_ord", "n_units", budget=media_budget_bytes
+    ).withColumn("shard_id", F.col("shard_id") + F.lit(offset))
+    rest = tagged.filter(F.col("split") != "train").withColumn(
+        "shard_id", F.lit(None).cast("long")
+    )
+    result = (
+        packed_text.select(*out_cols)
+        .unionByName(packed_media.select(*out_cols))
+        .unionByName(rest.select(*out_cols))
+    )
+    if ledger is not None:
+        # eager by contract: the media gate already materialized inside
+        # _media_survivors (the Observation barrier), so obs.get is
+        # ready; survivor counts are one groupBy over the persisted
+        # split frame
+        ledger["media_gate"] = dict(obs.get)
+        ledger["survivors_by_modality"] = {
+            r.modality: r["count"]
+            for r in tagged.groupBy("modality").count().collect()
+        }
+        ledger["text_shards"] = offset
+    return result

@@ -16,9 +16,11 @@ import numpy as np
 import pytest
 
 from hadoop_20_warehouse_fix_spark.functions.flac import (
+    _Bits,
     _BitsW,
     _crc8,
     _crc16,
+    _read_utf8_coded,
     decode_flac,
     encode_flac,
 )
@@ -290,3 +292,82 @@ def test_streaminfo_blocksize_reflects_single_short_frame():
         assert np.array_equal(
             out[:, 0] * 32768.0, np.clip(np.round(s * 32768.0), -32768, 32767)
         )
+
+
+def test_encode_flac_lpc_roundtrip_bit_exact():
+    """Round-10: predictor='lpc' emits real LPC subframes (type 32+),
+    decodes bit-exactly, and beats the FIXED encoder on correlated
+    audio — the honest fixture class for the decoder's LPC path
+    (libFLAC corpora are predominantly LPC)."""
+    rng = np.random.default_rng(5)
+    n = 16000
+    e = rng.normal(0, 0.02, n)
+    x = np.zeros(n)
+    for i in range(2, n):
+        x[i] = 1.6 * x[i - 1] - 0.68 * x[i - 2] + e[i]
+    x = np.clip(x, -0.99, 0.99)
+    want = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64) / 32768.0
+    b_lpc = encode_flac(x, 8000, predictor="lpc")
+    b_fix = encode_flac(x, 8000, predictor="fixed")
+    s, rate = decode_flac(b_lpc)
+    assert rate == 8000 and np.array_equal(s[:, 0], want)
+    assert len(b_lpc) < len(b_fix)  # correlated audio: LPC compresses better
+    # the stream really carries an LPC subframe: peek the first frame's
+    # first subframe type (6 bits after the frame header + 1 pad bit)
+    pos = 4
+    while True:  # skip metadata blocks
+        last, size = b_lpc[pos] & 0x80, int.from_bytes(b_lpc[pos + 1 : pos + 4], "big")
+        pos += 4 + size
+        if last:
+            break
+    bits = _Bits(b_lpc, pos * 8)
+    assert bits.read(14) == 0x3FFE
+    bits.read(2 + 4 + 4 + 4 + 3 + 1)
+    _read_utf8_coded(bits)
+    bits.read(16)  # 16-bit blocksize field (encoder always writes code 7)
+    bits.read(8)  # crc8
+    bits.read(1)
+    sf_type = bits.read(6)
+    assert sf_type >= 32, f"expected an LPC subframe, got type {sf_type}"
+    assert sf_type - 31 == 8  # order 8
+
+
+def test_encode_flac_lpc_degenerate_fallbacks():
+    """Blocks LPC cannot model (constant, white noise, tiny) still
+    roundtrip bit-exactly via the FIXED/CONSTANT fallbacks; bad
+    predictor values raise."""
+    rng = np.random.default_rng(6)
+    for sig in (
+        np.full(5000, 0.25),
+        rng.uniform(-0.9, 0.9, 5000),
+        np.array([0.1, -0.2, 0.05]),
+        np.zeros(4096),
+    ):
+        want = (
+            np.clip(np.round(sig * 32768.0), -32768, 32767).astype(np.int64)
+            / 32768.0
+        )
+        s, _ = decode_flac(encode_flac(sig, 8000, predictor="lpc"))
+        assert np.array_equal(s[:, 0], want)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_flac(np.zeros(100), 8000, predictor="arima")
+
+
+def test_lpc_loop_codegen_equals_naive():
+    """The code-generated unrolled LPC reconstruction (round-10 decode
+    speedup) is the SAME arbitrary-precision arithmetic as the naive
+    sum form — exhaustively equal over random filters at every legal
+    order, including huge-int regimes numpy could never hold."""
+    from hadoop_20_warehouse_fix_spark.functions.flac import _lpc_loop
+
+    rng = np.random.default_rng(7)
+    for order in list(range(1, 9)) + [15, 32]:
+        warm = [int(v) for v in rng.integers(-(1 << 30), 1 << 30, order)]
+        coefs = [int(v) for v in rng.integers(-(1 << 14), 1 << 14, order)]
+        shift = int(rng.integers(0, 16))
+        resid = [int(v) for v in rng.integers(-(1 << 20), 1 << 20, 200)]
+        naive = list(warm)
+        for r in resid:
+            pred = sum(c * naive[-i - 1] for i, c in enumerate(coefs)) >> shift
+            naive.append(pred + r)
+        assert _lpc_loop(order)(warm, coefs, shift, resid) == naive

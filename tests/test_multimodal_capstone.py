@@ -383,3 +383,130 @@ def test_media_fingerprint_bands_demux_and_gate_ledger(spark):
     assert obs.get["decoded_rows"] == 3  # 1, 3, 4 — the shadow is extra
     assert obs.get["demuxed_track_rows"] == 1
     assert obs.get["sparse_spectrum_rows"] == 2  # the WAV tone + 4's track
+
+
+def test_corpus_prepare_unified_training_set_end_to_end(spark):
+    """Round-10 brief #3: ONE training-set build over text AND media.
+    Survivor sets match the two single-modality capstones exactly (the
+    shared helpers make divergence impossible); planted cross-doc dups
+    (organic near-dups in the sf0.01 documents table via corpus_clean)
+    AND cross-format media dups (progressive JPEG, FLAC twin, AVI
+    re-encode, md5 copy) are removed; eval decontamination stays exact;
+    the split coin is ONE md5 coin over the unified item_id space; text
+    packs by tokens and media by bytes into one contiguous shard
+    sequence; the combined ledger reads in one place."""
+    from tests.conftest import SF_CORRECT
+
+    from hadoop_20_warehouse_fix_spark.queries.corpus import (
+        corpus_prepare_media_training_set,
+        corpus_prepare_training_set,
+        corpus_prepare_unified_training_set,
+    )
+    from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
+
+    media = _mixed_corpus(spark)
+    ledger: dict = {}
+    handles: list = []
+    try:
+        rows = corpus_prepare_unified_training_set(
+            spark, SF_CORRECT, media,
+            token_budget=500, media_budget_bytes=4096,
+            ledger=ledger, handles=handles,
+        ).collect()
+        assert rows
+        got = {r.item_id: r for r in rows}
+        text_ids = {int(i[4:]) for i in got if i.startswith("doc:")}
+        media_ids = {int(i[6:]) for i in got if i.startswith("media:")}
+
+        # survivor sets == the single-modality capstones' (shared helpers)
+        spark.catalog.clearCache()
+        want_text = {
+            r.doc_id
+            for r in corpus_prepare_training_set(
+                spark, SF_CORRECT, token_budget=500
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        want_media = {
+            r.media_id
+            for r in corpus_prepare_media_training_set(
+                spark, media, shard_budget_bytes=4096
+            ).collect()
+        }
+        assert text_ids == want_text
+        assert media_ids == want_media == {10, 12, 20, 22, 30, 32}
+        # eval slice excluded (decontamination exactness is pinned by
+        # the text capstone's own test over the same shared helper)
+        assert all(d % 97 != 0 for d in text_ids)
+
+        # quality: real score on text, NULL on media
+        assert all(got[f"doc:{d}"].quality is not None for d in text_ids)
+        assert all(got[f"media:{m}"].quality is None for m in media_ids)
+        # n_units: tokens for text, payload bytes for media
+        payloads = {r.media_id: len(r.payload) for r in media.collect()}
+        assert all(got[f"media:{m}"].n_units == payloads[m] for m in media_ids)
+
+        # ONE split coin over the unified id space
+        ids = spark.createDataFrame(
+            [(i,) for i in got], "item_id string"
+        )
+        want_split = {
+            r.item_id: r.split for r in assign_split(ids, "item_id").collect()
+        }
+        assert all(r.split == want_split[i] for i, r in got.items())
+
+        # one shard sequence: text shards [0..T-1] by TOKEN budget,
+        # media shards [T..] by BYTE budget — replay both rules
+        text_train = sorted(
+            (r for r in rows if r.modality == "text" and r.split == "train"),
+            key=lambda r: int(r.item_id[4:]),
+        )
+        media_train = sorted(
+            (r for r in rows if r.modality != "text" and r.split == "train"),
+            key=lambda r: int(r.item_id[6:]),
+        )
+        cum = 0
+        for r in text_train:
+            assert r.shard_id == cum // 500
+            cum += r.n_units
+        n_text_shards = (text_train[-1].shard_id + 1) if text_train else 0
+        assert ledger["text_shards"] == n_text_shards
+        cum = 0
+        for r in media_train:
+            assert r.shard_id == n_text_shards + cum // 4096
+            cum += r.n_units
+        assert all(r.shard_id is None for r in rows if r.split != "train")
+
+        # combined ledger: media gate + per-modality survivor counts
+        assert ledger["media_gate"]["rows"] == 11  # md5 dedup ran first
+        assert ledger["media_gate"]["decoded_rows"] == 9
+        assert ledger["media_gate"]["failed_decode_rows"] == 1
+        assert ledger["media_gate"]["unrecognized_rows"] == 1
+        by_mod = ledger["survivors_by_modality"]
+        assert by_mod["text"] == len(text_ids)
+        assert sum(v for k, v in by_mod.items() if k != "text") == len(media_ids)
+    finally:
+        for h in handles:
+            h.unpersist()
+        spark.catalog.clearCache()
+
+
+def test_unified_capstone_empty_media(spark):
+    """Text-only degenerate: an empty media frame leaves a pure text
+    build — same schema, text shards from 0, no crash in the offset
+    job over zero packed media rows."""
+    from tests.conftest import SF_CORRECT
+
+    from hadoop_20_warehouse_fix_spark.queries.corpus import (
+        corpus_prepare_unified_training_set,
+    )
+
+    empty = spark.createDataFrame([], "media_id long, payload binary")
+    try:
+        rows = corpus_prepare_unified_training_set(
+            spark, SF_CORRECT, empty, token_budget=500
+        ).collect()
+        assert rows and all(r.modality == "text" for r in rows)
+        assert any(r.shard_id == 0 for r in rows if r.split == "train")
+    finally:
+        spark.catalog.clearCache()
