@@ -267,6 +267,101 @@ def pair_cosine_udf(dim: int):
     return pair_cosine
 
 
+def _gemm_pool_frame(lists: DataFrame, q: DataFrame, dim: int, kind: str, keep: int):
+    """Blocked-GEMM scorer for the probe's approx stage at LARGE
+    batches (round 10 — the 500k-loop finding, SCALING.md r10): the
+    pair scorers cost ~1.5 µs per (query, candidate) PAIR, so a
+    1000-query batch probing most cells pays minutes for its tens of
+    millions of pairs. This form collects the query batch driver-side
+    (bounded by the serving contract — the probe already collects its
+    cells), closes it over ONE ``mapInPandas`` pass of the pruned
+    lists, scores each Arrow batch with one BLAS matmul per probed
+    cell (the ``brute_force_topk_np`` physics), and keeps a per-batch
+    partial top-``keep`` per query IN THE GLOBAL TIE ORDER
+    (desc cosine, asc neighbor_id — lexsort, so the caller's window
+    cut over the union is exactly the full ranking's). Pair-scorer
+    semantics preserved: degenerate/ragged queries emit nothing,
+    degenerate corpus rows never rank, self-pairs masked.
+
+    ``kind``: "sq8" reads (codes, scale, cn); anything else reads the
+    flat (cv, cn) lists. PQ stays on its Arrow pair scorer — its
+    centroid-gather approx has no plain matmul form."""
+    q_rows = q.select("query_id", "cell", "qv", "qn").collect()
+    percell: dict = {}
+    for r in q_rows:
+        if r.qv is None or len(r.qv) != dim or not r.qn:
+            continue  # a NULL-cosine pair can never enter the pool
+        percell.setdefault(r.cell, []).append((r.query_id, r.qv, r.qn))
+    pc = {
+        c: (
+            np.array([t[0] for t in rows], dtype=np.int64),
+            np.array([t[1] for t in rows], dtype=np.float64),
+            np.array([t[2] for t in rows], dtype=np.float64),
+        )
+        for c, rows in percell.items()
+    }
+    sq8 = kind == "sq8"
+    cols = (
+        ["cell", "neighbor_id", "codes", "scale", "cn"]
+        if sq8
+        else ["cell", "neighbor_id", "cv", "cn"]
+    )
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for cell, grp in pdf.groupby("cell"):
+                entry = pc.get(cell)
+                if entry is None:
+                    continue
+                qids, qmat, qn = entry
+                nbr = grp["neighbor_id"].to_numpy()
+                cn = grp["cn"].to_numpy(dtype=np.float64)
+                vec_col = grp["codes"] if sq8 else grp["cv"]
+                mats, valid = _stack_valid(vec_col, dim)
+                if sq8:
+                    mats = mats * grp["scale"].to_numpy(dtype=np.float64)[:, None]
+                ok = valid & (cn != 0.0)
+                if not ok.any():
+                    continue
+                nbr, mats, cn = nbr[ok], mats[ok], cn[ok]
+                sims = (qmat @ mats.T) / qn[:, None] / cn[None, :]
+                sims[qids[:, None] == nbr[None, :]] = -np.inf
+                kk = min(keep, sims.shape[1])
+                tq, tn, tc = [], [], []
+                for qi in range(sims.shape[0]):
+                    cos = sims[qi]
+                    order = np.lexsort((nbr, -cos))[:kk]
+                    order = order[np.isfinite(cos[order])]
+                    if not len(order):
+                        continue
+                    tq.append(np.full(len(order), qids[qi], dtype=np.int64))
+                    tn.append(nbr[order])
+                    tc.append(cos[order])
+                if tq:
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.concatenate(tq),
+                                "neighbor_id": np.concatenate(tn),
+                                "cosine": np.concatenate(tc),
+                            }
+                        )
+                    )
+            yield pd.concat(outs) if outs else empty
+
+    return lists.select(*cols).mapInPandas(
+        run, schema="query_id long, neighbor_id long, cosine double"
+    )
+
+
 def pair_cosine_q_udf(dim: int):
     """Arrow-batched row-wise APPROXIMATE cosine over (query, int8-code)
     pairs — the quantized-list scoring path of the IVF-SQ8 state:
@@ -470,6 +565,7 @@ def ivf_codebook(
     n_centroids: int = 16,
     seed: int = 42,
     codebook: str = "kmeans",
+    max_train: int = 100_000,
 ) -> list[tuple[int, list[float]]]:
     """Build (and return) the IVF coarse codebook: ``n_centroids``
     unit-normalized centroid vectors as ``(cell_id, vector)`` pairs.
@@ -507,15 +603,37 @@ def ivf_codebook(
         # before the transform references it — the inline form re-runs
         # the d-element fold per element (the documented O(d^2)
         # CodegenFallback trap; see functions/embeddings.py).
-        staged = corpus.select(F.col(vec_col).alias("_v"), nrm_expr.alias("_nrm")).where(
+        # Bounded training set (round 10 — the 500k-loop finding): the
+        # Lloyd fit re-scans its input ~20x, so an unbounded fit costs
+        # 20 corpus passes — 160 s at 500k x 64, and flatly impossible
+        # at 100 TB. A codebook is an ESTIMATE of the vector density;
+        # past ~1000 x K training points more data moves the centroids
+        # by noise (the faiss/sklearn training posture). The cap is
+        # content-addressed (order by md5 of the id — the house coin),
+        # so it is deterministic and engine-independent. Corpora under
+        # the cap train on everything IN INPUT ORDER — k-means|| init
+        # is row-order-sensitive, so the cap must not reorder a corpus
+        # it doesn't bite (measured: the md5 reorder alone moved
+        # small-SF centroids enough to drop pinned recall 0.8 -> 0.7).
+        # The size probe is an early-terminating limit+count: it reads
+        # ~cap rows, never the corpus.
+        train = corpus
+        if max_train is not None and (
+            corpus.limit(int(max_train) + 1).count() > int(max_train)
+        ):
+            train = corpus.orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            ).limit(int(max_train))
+        staged = train.select(F.col(vec_col).alias("_v"), nrm_expr.alias("_nrm")).where(
             F.col("_nrm") > 0
         )
         feats = staged.select(
             array_to_vector(
                 F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm"))
             ).alias("features")
-        )
+        ).persist()  # the fit scans per iteration; never re-run the HOFs
         model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
+        feats.unpersist()
         for cid, center in enumerate(model.clusterCenters()):
             cents.append((cid, unit([float(x) for x in center])))
     else:
@@ -1285,14 +1403,22 @@ def ivf_state_probe(
     ranked below the pool cut by quantization noise is missed
     (measured recall delta in SCALING.md r9).
 
-    ``scoring`` (round 9, the Arrow-constant shave): ``"arrow"`` = the
-    pandas-UDF pair scorer (best past ~1M candidate rows); ``"fold"`` =
-    pure JVM expression cosine — no Python worker spin-up, which is
-    ~1.5 s of a small-batch serving call's wall; ``"auto"`` (default)
-    counts the bucket-pruned candidates (one cheap scalar job) and
-    picks by the measured crossover. Applies to flat scoring, the
-    quantized approx stage, and the rescore alike; both scorers NULL
-    degenerate pairs identically (pytest-pinned equality).
+    ``scoring`` (round 9 + round 10): ``"fold"`` = pure JVM expression
+    cosine — no Python worker spin-up, which is ~1.5 s of a
+    small-batch serving call's wall; ``"arrow"`` = the pandas-UDF PAIR
+    scorer (~1.5 µs/pair after the spin-up constant); ``"gemm"``
+    (round 10, the 500k-loop finding) = per-cell blocked BLAS matmul
+    over the pruned lists with the query batch closed over
+    (:func:`_gemm_pool_frame`) — matmul flops per pair, the only form
+    that survives LARGE batches (measured: a 1000-query batch over a
+    500k index spent 95 s pair-scoring 62.5M pairs; the GEMM pass does
+    the same work in seconds). ``"auto"`` (default) estimates scored
+    pairs from the bucket-pruned candidate count (one cheap scalar
+    job) and picks fold below the ~1M-pair crossover, gemm above it
+    (arrow remains the explicit middle option, and the PQ approx
+    stage, which has no matmul form, stays on its Arrow scorer). All
+    paths NULL/skip degenerate pairs identically and share the global
+    tie order (pytest-pinned equality).
 
     Output schema matches :func:`ivf_topk` / :func:`brute_force_topk`."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import _state_tombstones
@@ -1300,8 +1426,10 @@ def ivf_state_probe(
     spark = queries.sparkSession
     if rescore_factor < 1:
         raise ValueError(f"rescore_factor must be >= 1, got {rescore_factor}")
-    if scoring not in ("auto", "arrow", "fold"):
-        raise ValueError(f"scoring must be 'auto', 'arrow', or 'fold', got {scoring!r}")
+    if scoring not in ("auto", "arrow", "fold", "gemm"):
+        raise ValueError(
+            f"scoring must be 'auto', 'arrow', 'fold', or 'gemm', got {scoring!r}"
+        )
     cents = _state_codebook(spark, state_name)
     # dim comes from the codebook the probe collects anyway — reading
     # the meta table added a whole extra job per serving call; the
@@ -1339,6 +1467,7 @@ def ivf_state_probe(
         cells = list(set(cell_rows))
         lists = lists.filter(F.col("cell").isin(cells))
     use_fold = scoring == "fold"
+    use_gemm = False
     if scoring == "auto":
         # Measured pick (SCALING.md r9): the Arrow pair scorer costs a
         # ~1.5 s Python-worker spin-up CONSTANT per serving call but
@@ -1366,7 +1495,20 @@ def ivf_state_probe(
         elif prune_scan and cell_rows:
             n_cand = lists.count()
             queries_per_cell = len(cell_rows) / max(len(cells), 1)
-            use_fold = n_cand * queries_per_cell * max(dim, 1) <= 64_000_000
+            steps = n_cand * queries_per_cell * max(dim, 1)
+            use_fold = steps <= 64_000_000
+            # Past the fold crossover the Arrow PAIR scorer is still
+            # ~1.5 µs/pair; big batches (round 10, measured at 500k x
+            # 1000 queries: 95 s of pair scoring) flip to the blocked-
+            # GEMM scorer instead — ~matmul flops per pair
+            use_gemm = not use_fold and kind != "pq"
+    if scoring == "gemm" and kind == "pq":
+        raise ValueError(
+            "scoring='gemm' is not available for PQ states (the "
+            "centroid-gather approx stage has no matmul form); use "
+            "'auto' or 'arrow'"
+        )
+    use_gemm = use_gemm or scoring == "gemm"
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     def _dim_guard(expr):
         # NULL-parity with the Arrow scorer, which NULLs ragged rows: a
@@ -1374,7 +1516,15 @@ def ivf_state_probe(
         return F.when((F.size(F.col("qv")) == dim), expr)
 
     if quantized:
-        if kind == "pq":
+        if use_gemm and kind == "sq8":
+            pool_plan = (
+                _gemm_pool_frame(lists, q, dim, "sq8", rescore_factor * k)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= rescore_factor * k)
+                .select("query_id", "neighbor_id")
+            )
+            approx_expr = None
+        elif kind == "pq":
             # PQ approx scoring is Arrow-only: the centroid gather has
             # no JVM-expression form (use_fold still governs rescore)
             approx_expr = pair_cosine_pq_udf(
@@ -1393,14 +1543,15 @@ def ivf_state_probe(
             approx_expr = approx(
                 F.col("qv"), F.col("codes"), F.col("scale"), F.col("qn"), F.col("cn")
             )
-        pool_plan = (
-            lists.join(F.broadcast(q), on="cell")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("cosine", approx_expr)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= rescore_factor * k)
-            .select("query_id", "neighbor_id")
-        )
+        if approx_expr is not None:
+            pool_plan = (
+                lists.join(F.broadcast(q), on="cell")
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .withColumn("cosine", approx_expr)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= rescore_factor * k)
+                .select("query_id", "neighbor_id")
+            )
         # Bounded collect (the documented serving idiom): the pool is
         # <= |batch| * rescore_factor * k pairs BY CONSTRUCTION — the
         # window already cut it. Collecting once (a) yields the id
@@ -1411,13 +1562,30 @@ def ivf_state_probe(
         pool_rows = pool_plan.collect()
         pool = spark.createDataFrame(pool_rows, pool_plan.schema)
         cand_ids = list({r.neighbor_id for r in pool_rows})
-        vecs = (
-            spark.table(f"{state_name}_vectors")
-            .filter(F.col("neighbor_id").isin(cand_ids))
-            # appends re-add a vector row per batch; the fetch needs
-            # one row per id
-            .dropDuplicates(["neighbor_id"])
-        )
+        vectors_tbl = spark.table(f"{state_name}_vectors")
+        if len(cand_ids) > 2048:
+            # a multi-thousand-literal IN list costs more in plan
+            # compilation than it saves in pruning (round 10, measured
+            # 16.6 s at 19.5k ids on the 500k loop): keep row-group
+            # pruning via the coarse id RANGE, exactness via a
+            # broadcast join against the id set
+            ids_df = spark.createDataFrame(
+                [(int(i),) for i in cand_ids], "neighbor_id long"
+            )
+            vecs = (
+                vectors_tbl.filter(
+                    F.col("neighbor_id").between(min(cand_ids), max(cand_ids))
+                )
+                .join(F.broadcast(ids_df), "neighbor_id")
+                .dropDuplicates(["neighbor_id"])
+            )
+        else:
+            vecs = (
+                vectors_tbl.filter(F.col("neighbor_id").isin(cand_ids))
+                # appends re-add a vector row per batch; the fetch
+                # needs one row per id
+                .dropDuplicates(["neighbor_id"])
+            )
         if use_fold:
             exact_expr = _dim_guard(
                 cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
@@ -1441,19 +1609,24 @@ def ivf_state_probe(
                 F.col("rank").cast("int").alias("rank"),
             )
         )
-    if use_fold:
-        flat_expr = _dim_guard(
-            cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
-        )
+    if use_gemm:
+        scored = _gemm_pool_frame(lists, q, dim, "flat", k)
     else:
-        pair_cosine = pair_cosine_udf(dim)
-        flat_expr = pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
-    scored = (
-        lists.join(F.broadcast(q), on="cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", flat_expr)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+        if use_fold:
+            flat_expr = _dim_guard(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+            )
+        else:
+            pair_cosine = pair_cosine_udf(dim)
+            flat_expr = pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            )
+        scored = (
+            lists.join(F.broadcast(q), on="cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", flat_expr)
+            .select("query_id", "neighbor_id", "cosine")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -960,7 +960,10 @@ def test_ivf_state_probe_scoring_paths_agree(spark, tmp_path):
     spin-up — ~1.5s of a small-batch serving wall) must return
     EXACTLY what the Arrow scorer returns, on both the flat and the
     quantized state; 'auto' picks by the measured candidate-count
-    crossover and must agree too."""
+    crossover and must agree too. Round 10 adds the blocked-GEMM
+    scorer (the large-batch form) to the same equality — including its
+    lexsort tie order, which must match the window's
+    (desc cosine, asc neighbor_id)."""
     import pytest
 
     from hadoop_20_warehouse_fix_spark.operators.similarity import (
@@ -984,9 +987,9 @@ def test_ivf_state_probe_scoring_paths_agree(spark, tmp_path):
                     queries, "vec_id", "embedding", state, k=5, nprobe=3,
                     scoring=mode,
                 ).orderBy("query_id", "rank").collect()
-                for mode in ("arrow", "fold", "auto")
+                for mode in ("arrow", "fold", "auto", "gemm")
             }
-            assert outs["arrow"] == outs["fold"] == outs["auto"]
+            assert outs["arrow"] == outs["fold"] == outs["auto"] == outs["gemm"]
             assert len(outs["arrow"]) > 0
         finally:
             for t in ("lists", "vectors", "codebook", "meta", "tombstones"):
@@ -1046,6 +1049,15 @@ def test_ivf_pq_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
             .collect()
         )
 
+    def assert_gemm_rejected():
+        # round 10: gemm scoring has no PQ form — explicit ask raises
+        import pytest
+
+        with pytest.raises(ValueError, match="gemm"):
+            ivf_state_probe(
+                queries, "vec_id", "embedding", state, k=5, scoring="gemm"
+            )
+
     try:
         ivf_state_write(
             corpus, "vec_id", "embedding", state,
@@ -1077,6 +1089,7 @@ def test_ivf_pq_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
         assert report[f"{state}_lists"][1] < report[f"{state}_lists"][0]
         assert report[f"{state}_vectors"][1] < report[f"{state}_vectors"][0]
         assert probe() == ref(survivors)
+        assert_gemm_rejected()
         # validation: bad quantize value, bad subspace split
         with pytest.raises(ValueError, match="quantize"):
             ivf_state_write(
@@ -1090,7 +1103,7 @@ def test_ivf_pq_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
         spark.catalog.clearCache()
 
 
-def test_hashing_vectorize_unseamed_composition_failure_pinned(spark):
+def test_hashing_vectorize_unseamed_composition_failure_pinned(spark, tmp_path):
     """Round-10 brief #7: the docstring'd composition seam as an
     executable pin. Feeding hashing_vectorize's UN-materialized output
     straight into a pandas-UDF consumer makes Catalyst inline the whole
@@ -1113,7 +1126,9 @@ def test_hashing_vectorize_unseamed_composition_failure_pinned(spark):
         [(i, f"alpha beta gamma delta token{i}") for i in range(40)],
         "doc_id long, text string",
     )
-    vecs = hashing_vectorize(docs, dim=8).select("doc_id", "embedding")
+    vecs = hashing_vectorize(docs, dim=8, engine="expr").select(
+        "doc_id", "embedding"
+    )
     with pytest.raises(Exception) as exc_info:
         ivf_state_write(vecs, "doc_id", "embedding", "seam_pin_state", n_centroids=2)
     msg = str(exc_info.value)
@@ -1122,3 +1137,52 @@ def test_hashing_vectorize_unseamed_composition_failure_pinned(spark):
         f"pinned INTERNAL_ERROR/assign_cell — re-adjudicate the "
         f"workaround prose in hashing_vectorize: {msg[:500]}"
     )
+    # the arrow engine (default) has NO seam: the same un-materialized
+    # composition builds a working index directly
+    from hadoop_20_warehouse_fix_spark.operators.similarity import ivf_state_probe
+
+    vecs_a = hashing_vectorize(docs, dim=8).select("doc_id", "embedding")
+    ivf_state_write(vecs_a, "doc_id", "embedding", "seam_free_state",
+                    n_centroids=2, path=str(tmp_path / "seamfree"))
+    got = ivf_state_probe(
+        vecs_a.limit(3), "doc_id", "embedding", "seam_free_state", k=2
+    ).collect()
+    assert got
+
+
+def test_hashing_vectorize_engines_agree(spark):
+    """Round-10: the arrow engine (default — ~170x the interpreted HOF
+    fold, SCALING.md r10) computes value-identical vectors to the expr
+    engine on the shipped corpus, including the zero-vector -> NULL
+    normalization posture and empty/whitespace docs."""
+    import math
+
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.functions.embeddings import hashing_vectorize
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(300).unionByName(
+        spark.createDataFrame(
+            [(900001, ""), (900002, "   "), (900003, None)],
+            "doc_id long, text string",
+        )
+    )
+    for kw in (dict(weighting="log", normalize=True),
+               dict(weighting="tf", normalize=False)):
+        a = {r.doc_id: r.embedding
+             for r in hashing_vectorize(docs, dim=16, engine="arrow", **kw).collect()}
+        e = {r.doc_id: r.embedding
+             for r in hashing_vectorize(docs, dim=16, engine="expr", **kw).collect()}
+        assert set(a) == set(e)
+        for d in a:
+            if a[d] is None or e[d] is None:
+                assert a[d] == e[d], (d, a[d], e[d])
+                continue
+            assert all(
+                math.isclose(x, y, rel_tol=0, abs_tol=1e-12)
+                for x, y in zip(a[d], e[d])
+            ), d
+    with pytest.raises(ValueError, match="engine"):
+        hashing_vectorize(docs, engine="gpu")
