@@ -733,27 +733,30 @@ def media_fingerprint_bands(
         # their own counter and stay out of the per-payload ledger
         shadow = F.coalesce(F.col("modality") == "audio_track", F.lit(False))
         payload_row = (~shadow).cast("long")
+        # coalesce(sum, 0): F.sum over ZERO rows is NULL, and an empty
+        # corpus must read rows=0, not rows=None (round-10 review)
+        z = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
         feats = feats.observe(
             observation,
-            F.sum(payload_row).alias("rows"),
-            F.sum((decoded & ~shadow).cast("long")).alias("decoded_rows"),
-            F.sum(((F.col("_status") == 2) & ~shadow).cast("long")).alias(
+            z(payload_row).alias("rows"),
+            z((decoded & ~shadow).cast("long")).alias("decoded_rows"),
+            z(((F.col("_status") == 2) & ~shadow).cast("long")).alias(
                 "failed_decode_rows"
             ),
-            F.sum((F.col("_status") == 0).cast("long")).alias("unrecognized_rows"),
-            F.sum((decoded & (F.col("modality") == "image")).cast("long")).alias(
+            z((F.col("_status") == 0).cast("long")).alias("unrecognized_rows"),
+            z((decoded & (F.col("modality") == "image")).cast("long")).alias(
                 "decoded_image_rows"
             ),
-            F.sum((decoded & (F.col("modality") == "audio")).cast("long")).alias(
+            z((decoded & (F.col("modality") == "audio")).cast("long")).alias(
                 "decoded_audio_rows"
             ),
-            F.sum((decoded & (F.col("modality") == "video")).cast("long")).alias(
+            z((decoded & (F.col("modality") == "video")).cast("long")).alias(
                 "decoded_video_rows"
             ),
-            F.sum((F.col("_status") == 3).cast("long")).alias(
+            z((F.col("_status") == 3).cast("long")).alias(
                 "sparse_spectrum_rows"
             ),
-            F.sum((decoded & shadow).cast("long")).alias("demuxed_track_rows"),
+            z((decoded & shadow).cast("long")).alias("demuxed_track_rows"),
         )
     return feats.filter(F.col("_status") == 1).drop("_status")
 

@@ -267,7 +267,9 @@ def pair_cosine_udf(dim: int):
     return pair_cosine
 
 
-def _gemm_pool_frame(lists: DataFrame, q: DataFrame, dim: int, kind: str, keep: int):
+def _gemm_pool_frame(
+    lists: DataFrame, q: DataFrame, dim: int, kind: str, keep: int, q_rows=None
+):
     """Blocked-GEMM scorer for the probe's approx stage at LARGE
     batches (round 10 — the 500k-loop finding, SCALING.md r10): the
     pair scorers cost ~1.5 µs per (query, candidate) PAIR, so a
@@ -285,8 +287,25 @@ def _gemm_pool_frame(lists: DataFrame, q: DataFrame, dim: int, kind: str, keep: 
 
     ``kind``: "sq8" reads (codes, scale, cn); anything else reads the
     flat (cv, cn) lists. PQ stays on its Arrow pair scorer — its
-    centroid-gather approx has no plain matmul form."""
-    q_rows = q.select("query_id", "cell", "qv", "qn").collect()
+    centroid-gather approx has no plain matmul form.
+
+    NULL parity with the pair scorers (round-10 review): degenerate
+    corpus candidates (ragged / zero-norm) are EMITTED as NULL-cosine
+    rows — capped at ``keep`` per query per batch and ordered after
+    every finite row by ascending id, which is exactly where the
+    window's (desc NULLS LAST, asc id) order puts them — so a probe
+    whose cells hold fewer than k finite candidates returns the same
+    padded rows on every scoring path. Degenerate QUERIES (NULL /
+    ragged / zero-norm) emit NO rows — the documented
+    ``brute_force_topk_np`` posture (the expression paths instead
+    return k all-NULL rows for such a query; degenerate either way,
+    and the divergence is pytest-pinned).
+
+    ``q_rows`` lets the caller hand over the (query_id, cell, qv, qn)
+    rows it already collected for scan pruning — the probe's serving
+    path must not pay a second driver job re-running the cell UDF."""
+    if q_rows is None:
+        q_rows = q.select("query_id", "cell", "qv", "qn").collect()
     percell: dict = {}
     for r in q_rows:
         if r.qv is None or len(r.qv) != dim or not r.qn:
@@ -329,29 +348,39 @@ def _gemm_pool_frame(lists: DataFrame, q: DataFrame, dim: int, kind: str, keep: 
                 if sq8:
                     mats = mats * grp["scale"].to_numpy(dtype=np.float64)[:, None]
                 ok = valid & (cn != 0.0)
-                if not ok.any():
-                    continue
+                deg_nbr = np.sort(nbr[~ok])  # NULL-cosine padding, id order
                 nbr, mats, cn = nbr[ok], mats[ok], cn[ok]
-                sims = (qmat @ mats.T) / qn[:, None] / cn[None, :]
+                sims = (
+                    (qmat @ mats.T) / qn[:, None] / cn[None, :]
+                    if len(nbr)
+                    else np.zeros((len(qids), 0))
+                )
                 sims[qids[:, None] == nbr[None, :]] = -np.inf
-                kk = min(keep, sims.shape[1])
                 tq, tn, tc = [], [], []
-                for qi in range(sims.shape[0]):
+                for qi in range(len(qids)):
                     cos = sims[qi]
-                    order = np.lexsort((nbr, -cos))[:kk]
+                    order = np.lexsort((nbr, -cos))[:keep]
                     order = order[np.isfinite(cos[order])]
-                    if not len(order):
+                    ids = list(nbr[order])
+                    vals = list(cos[order])
+                    if len(ids) < keep and deg_nbr.size:
+                        pad = deg_nbr[deg_nbr != qids[qi]][: keep - len(ids)]
+                        ids.extend(pad)
+                        vals.extend([None] * len(pad))
+                    if not ids:
                         continue
-                    tq.append(np.full(len(order), qids[qi], dtype=np.int64))
-                    tn.append(nbr[order])
-                    tc.append(cos[order])
+                    tq.append(np.full(len(ids), qids[qi], dtype=np.int64))
+                    tn.append(np.asarray(ids, dtype=np.int64))
+                    tc.append(pd.array(vals, dtype="Float64"))
                 if tq:
                     outs.append(
                         pd.DataFrame(
                             {
                                 "query_id": np.concatenate(tq),
                                 "neighbor_id": np.concatenate(tn),
-                                "cosine": np.concatenate(tc),
+                                "cosine": pd.array(
+                                    [v for arr in tc for v in arr], dtype="Float64"
+                                ),
                             }
                         )
                     )
@@ -577,7 +606,14 @@ def ivf_codebook(
     rows anywhere (they are plain Python data), and hand it to every
     subsequent ``ivf_topk(..., precomputed_codebook=cb)`` call. At
     100 TB the codebook is the only corpus-derived driver-side state in
-    the search, and it is bounded by K*dim floats by construction."""
+    the search, and it is bounded by K*dim floats by construction.
+
+    ``max_train`` (round 10): the k-means fit trains on at most this
+    many vectors (content-addressed md5-ordered draw; see the inline
+    comment for the order-preserving under-cap guard), making the fit
+    corpus-size-independent. Threaded through :func:`ivf_topk` and
+    :func:`ivf_state_write` so a caller rebuilding a large index can
+    raise it (or pass ``None`` for the uncapped pre-r10 behavior)."""
     import math
 
     def unit(v: list[float]) -> list[float]:
@@ -690,6 +726,7 @@ def ivf_topk(
     codebook: str = "kmeans",
     assign: str = "sql",
     precomputed_codebook: list[tuple[int, list[float]]] | None = None,
+    max_train: int = 100_000,
 ) -> DataFrame:
     """IVF-Flat ANN: coarse-quantize the corpus into ``n_centroids``
     inverted lists, probe the ``nprobe`` nearest lists per query, exact
@@ -735,6 +772,7 @@ def ivf_topk(
             vec_col=vec_col,
             n_centroids=n_centroids,
             seed=seed,
+            max_train=max_train,
             codebook=codebook,
         )
 
@@ -1071,6 +1109,7 @@ def ivf_state_write(
     path: str | None = None,
     quantize: bool | str = False,
     pq_m: int = 8,
+    max_train: int = 100_000,
 ) -> None:
     """Materialize the IVF index as probe-able bucketed tables:
 
@@ -1115,7 +1154,7 @@ def ivf_state_write(
     spark = corpus.sparkSession
     cents = ivf_codebook(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
-        seed=seed, codebook=codebook,
+        seed=seed, codebook=codebook, max_train=max_train,
     )
     assigned = _assigned_lists(corpus, id_col, vec_col, cents)
     books = None
@@ -1458,10 +1497,13 @@ def ivf_state_probe(
     )
     cell_rows: list = []
     n_queries = None
+    probe_rows = None
     if prune_scan:
         # non-distinct collect (bounded: |batch| * nprobe rows) — the
-        # multiplicity feeds the auto pick's pairs estimate below
-        probe_rows = q.select("query_id", "cell").collect()
+        # multiplicity feeds the auto pick's pairs estimate below, and
+        # the full (qv, qn) rows ride along so a gemm-scored probe
+        # never pays a SECOND driver job re-running the cell UDF
+        probe_rows = q.select("query_id", "cell", "qv", "qn").collect()
         cell_rows = [r.cell for r in probe_rows]
         n_queries = len({r.query_id for r in probe_rows})
         cells = list(set(cell_rows))
@@ -1518,7 +1560,9 @@ def ivf_state_probe(
     if quantized:
         if use_gemm and kind == "sq8":
             pool_plan = (
-                _gemm_pool_frame(lists, q, dim, "sq8", rescore_factor * k)
+                _gemm_pool_frame(
+                    lists, q, dim, "sq8", rescore_factor * k, q_rows=probe_rows
+                )
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= rescore_factor * k)
                 .select("query_id", "neighbor_id")
@@ -1610,7 +1654,7 @@ def ivf_state_probe(
             )
         )
     if use_gemm:
-        scored = _gemm_pool_frame(lists, q, dim, "flat", k)
+        scored = _gemm_pool_frame(lists, q, dim, "flat", k, q_rows=probe_rows)
     else:
         if use_fold:
             flat_expr = _dim_guard(

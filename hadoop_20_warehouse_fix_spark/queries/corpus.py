@@ -418,7 +418,6 @@ def corpus_prepare_training_set(
     persisted intermediate for targeted ``.unpersist()`` after the
     returned plan materializes; without it the fallback remains
     ``spark.catalog.clearCache()``."""
-    from hadoop_20_warehouse_fix_spark.operators.dedup import decontaminate
     from hadoop_20_warehouse_fix_spark.operators.sort import pack_by_budget
     from hadoop_20_warehouse_fix_spark.sources.readers import assign_split
 

@@ -510,3 +510,19 @@ def test_unified_capstone_empty_media(spark):
         assert any(r.shard_id == 0 for r in rows if r.split == "train")
     finally:
         spark.catalog.clearCache()
+
+
+def test_media_fingerprint_bands_empty_corpus_ledger_zeroes(spark):
+    """Round-10 review catch: F.sum over zero rows is NULL — an empty
+    corpus's ledger must read 0 everywhere, not None (downstream
+    arithmetic on the counters would TypeError)."""
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        media_fingerprint_bands,
+    )
+
+    empty = spark.createDataFrame([], "media_id long, payload binary")
+    obs = Observation("empty_gate")
+    assert media_fingerprint_bands(empty, observation=obs).count() == 0
+    got = dict(obs.get)
+    assert got["rows"] == 0 and got["decoded_rows"] == 0
+    assert all(v == 0 for v in got.values()), got

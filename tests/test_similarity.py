@@ -1186,3 +1186,65 @@ def test_hashing_vectorize_engines_agree(spark):
             ), d
     with pytest.raises(ValueError, match="engine"):
         hashing_vectorize(docs, engine="gpu")
+
+
+def test_ivf_probe_gemm_null_padding_parity(spark, tmp_path):
+    """Round-10 review catch: degenerate corpus candidates (zero-norm)
+    must appear as NULL-cosine padding rows on EVERY scoring path when
+    k exceeds a probe's finite candidates — the gemm scorer initially
+    dropped them while arrow/fold emitted them, breaking the pinned
+    all-paths equality on exactly the sparse-cell probes."""
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        ivf_state_probe,
+        ivf_state_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: NULL cosine everywhere
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    state = "gemm_null_pad"
+    try:
+        ivf_state_write(
+            corpus, "vec_id", "embedding", state, n_centroids=1,
+            codebook="sample_md5", num_buckets=2, path=str(tmp_path / "s"),
+        )
+        outs = {
+            mode: [
+                (r.query_id, r.neighbor_id, r.cosine, r.rank)
+                for r in ivf_state_probe(
+                    queries, "vec_id", "embedding", state, k=4, nprobe=1,
+                    scoring=mode,
+                ).orderBy("rank").collect()
+            ]
+            for mode in ("arrow", "fold", "gemm")
+        }
+        assert outs["arrow"] == outs["fold"] == outs["gemm"]
+        # the degenerate row IS there, NULL cosine, ranked last
+        assert outs["gemm"][-1][1] == 4 and outs["gemm"][-1][2] is None
+        assert len(outs["gemm"]) == 4
+        # degenerate QUERY divergence, pinned as documented: the
+        # expression paths return k all-NULL rows, the gemm path (like
+        # brute_force_topk_np) returns none
+        zq = spark.createDataFrame(
+            [(200, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        arrow_rows = ivf_state_probe(
+            zq, "vec_id", "embedding", state, k=2, nprobe=1, scoring="arrow"
+        ).collect()
+        assert len(arrow_rows) == 2 and all(r.cosine is None for r in arrow_rows)
+        assert not ivf_state_probe(
+            zq, "vec_id", "embedding", state, k=2, nprobe=1, scoring="gemm"
+        ).collect()
+    finally:
+        for t in ("lists", "vectors", "codebook", "meta", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
