@@ -268,7 +268,13 @@ def pair_cosine_udf(dim: int):
 
 
 def _gemm_pool_frame(
-    lists: DataFrame, q: DataFrame, dim: int, kind: str, keep: int, q_rows=None
+    lists: DataFrame,
+    q: DataFrame,
+    dim: int,
+    kind: str,
+    keep: int,
+    q_rows=None,
+    pq=None,
 ):
     """Blocked-GEMM scorer for the probe's approx stage at LARGE
     batches (round 10 — the 500k-loop finding, SCALING.md r10): the
@@ -285,9 +291,15 @@ def _gemm_pool_frame(
     semantics preserved: degenerate/ragged queries emit nothing,
     degenerate corpus rows never rank, self-pairs masked.
 
-    ``kind``: "sq8" reads (codes, scale, cn); anything else reads the
-    flat (cv, cn) lists. PQ stays on its Arrow pair scorer — its
-    centroid-gather approx has no plain matmul form.
+    ``kind``: "sq8" reads (codes, scale, cn); "pq" reads (pq, cn) and
+    requires ``pq=(books, cents)`` — the classic ADC lookup-table form
+    (Jégou 2011 §IV): per QUERY, one (m x 256) table of
+    subspace-block·codeword dots plus the exact coarse term
+    q·centroid per probed cell; scoring a candidate is then m table
+    gathers instead of a dim-wide dot. Tables are stored per query
+    (NOT per (query, cell) — at 1000 queries x nprobe 8 that
+    duplication alone would put ~128 MB in the task closure; per-query
+    it is ~16 MB). Anything else reads the flat (cv, cn) lists.
 
     NULL parity with the pair scorers (round-10 review): degenerate
     corpus candidates (ragged / zero-norm) are EMITTED as NULL-cosine
@@ -311,20 +323,69 @@ def _gemm_pool_frame(
         if r.qv is None or len(r.qv) != dim or not r.qn:
             continue  # a NULL-cosine pair can never enter the pool
         percell.setdefault(r.cell, []).append((r.query_id, r.qv, r.qn))
-    pc = {
-        c: (
-            np.array([t[0] for t in rows], dtype=np.int64),
-            np.array([t[1] for t in rows], dtype=np.float64),
-            np.array([t[2] for t in rows], dtype=np.float64),
-        )
-        for c, rows in percell.items()
-    }
     sq8 = kind == "sq8"
-    cols = (
-        ["cell", "neighbor_id", "codes", "scale", "cn"]
-        if sq8
-        else ["cell", "neighbor_id", "cv", "cn"]
-    )
+    is_pq = kind == "pq"
+    if is_pq:
+        books, cents = pq
+        m_sub, k_codes, sub = books.shape
+        cid_order, cmat = _codebook_matrix(cents)
+        cid_to_row = {int(c): i for i, c in enumerate(cid_order)}
+        # one ADC table per DISTINCT query: lut[mi][c] = q_block · book;
+        # per-cell entries hold INDICES into the shared table array —
+        # materializing tables per (query, cell) would multiply the
+        # closure by nprobe
+        qidx: dict = {}
+        qvecs: list = []
+        for rows in percell.values():
+            for qid, qv, _qn in rows:
+                if qid not in qidx:
+                    qidx[qid] = len(qvecs)
+                    qvecs.append(np.asarray(qv, dtype=np.float64))
+        luts = (
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            books[mi] @ qarr[mi * sub : (mi + 1) * sub]
+                            for mi in range(m_sub)
+                        ]
+                    )
+                    for qarr in qvecs
+                ]
+            )
+            if qvecs
+            else np.zeros((0, m_sub, k_codes))
+        )
+        pc = {}
+        for c, rows in percell.items():
+            crow = cid_to_row.get(int(c))
+            if crow is None:
+                continue
+            pc[c] = (
+                np.array([t[0] for t in rows], dtype=np.int64),
+                np.array([t[2] for t in rows], dtype=np.float64),
+                # exact coarse term per (query, cell)
+                np.array(
+                    [float(qvecs[qidx[t[0]]] @ cmat[crow]) for t in rows],
+                    dtype=np.float64,
+                ),
+                np.array([qidx[t[0]] for t in rows], dtype=np.int64),
+            )
+    else:
+        pc = {
+            c: (
+                np.array([t[0] for t in rows], dtype=np.int64),
+                np.array([t[1] for t in rows], dtype=np.float64),
+                np.array([t[2] for t in rows], dtype=np.float64),
+            )
+            for c, rows in percell.items()
+        }
+    if sq8:
+        cols = ["cell", "neighbor_id", "codes", "scale", "cn"]
+    elif is_pq:
+        cols = ["cell", "neighbor_id", "pq", "cn"]
+    else:
+        cols = ["cell", "neighbor_id", "cv", "cn"]
     empty = pd.DataFrame(
         {
             "query_id": pd.Series([], dtype="int64"),
@@ -340,21 +401,41 @@ def _gemm_pool_frame(
                 entry = pc.get(cell)
                 if entry is None:
                     continue
-                qids, qmat, qn = entry
                 nbr = grp["neighbor_id"].to_numpy()
                 cn = grp["cn"].to_numpy(dtype=np.float64)
-                vec_col = grp["codes"] if sq8 else grp["cv"]
-                mats, valid = _stack_valid(vec_col, dim)
-                if sq8:
-                    mats = mats * grp["scale"].to_numpy(dtype=np.float64)[:, None]
-                ok = valid & (cn != 0.0)
-                deg_nbr = np.sort(nbr[~ok])  # NULL-cosine padding, id order
-                nbr, mats, cn = nbr[ok], mats[ok], cn[ok]
-                sims = (
-                    (qmat @ mats.T) / qn[:, None] / cn[None, :]
-                    if len(nbr)
-                    else np.zeros((len(qids), 0))
-                )
+                if is_pq:
+                    qids, qn, qcent, qli = entry
+                    code_mat = np.zeros((len(nbr), m_sub), dtype=np.int64)
+                    valid = np.zeros(len(nbr), dtype=bool)
+                    for i, c in enumerate(grp["pq"]):
+                        if c is not None and len(c) == m_sub:
+                            code_mat[i] = np.frombuffer(bytes(c), dtype=np.uint8)
+                            valid[i] = True
+                    ok = valid & (cn != 0.0)
+                    deg_nbr = np.sort(nbr[~ok])
+                    nbr, cn, code_mat = nbr[ok], cn[ok], code_mat[ok]
+                    if len(nbr):
+                        lt = luts[qli]  # (mq, m, 256)
+                        approx = np.repeat(qcent[:, None], len(nbr), axis=1)
+                        for mi in range(m_sub):
+                            approx += lt[:, mi, :][:, code_mat[:, mi]]
+                        sims = approx / qn[:, None] / cn[None, :]
+                    else:
+                        sims = np.zeros((len(qids), 0))
+                else:
+                    qids, qmat, qn = entry
+                    vec_col = grp["codes"] if sq8 else grp["cv"]
+                    mats, valid = _stack_valid(vec_col, dim)
+                    if sq8:
+                        mats = mats * grp["scale"].to_numpy(dtype=np.float64)[:, None]
+                    ok = valid & (cn != 0.0)
+                    deg_nbr = np.sort(nbr[~ok])  # NULL-cosine padding, id order
+                    nbr, mats, cn = nbr[ok], mats[ok], cn[ok]
+                    sims = (
+                        (qmat @ mats.T) / qn[:, None] / cn[None, :]
+                        if len(nbr)
+                        else np.zeros((len(qids), 0))
+                    )
                 sims[qids[:, None] == nbr[None, :]] = -np.inf
                 tq, tn, tc = [], [], []
                 for qi in range(len(qids)):
@@ -1454,10 +1535,12 @@ def ivf_state_probe(
     the same work in seconds). ``"auto"`` (default) estimates scored
     pairs from the bucket-pruned candidate count (one cheap scalar
     job) and picks fold below the ~1M-pair crossover, gemm above it
-    (arrow remains the explicit middle option, and the PQ approx
-    stage, which has no matmul form, stays on its Arrow scorer). All
-    paths NULL/skip degenerate pairs identically and share the global
-    tie order (pytest-pinned equality).
+    (arrow remains the explicit middle option). On PQ states the gemm
+    form is the classic ADC lookup-table pass — m byte-gathers per
+    pair instead of a dim-wide dot (Jégou 2011 §IV); fold governs only
+    the rescore stage there. All paths NULL/skip degenerate pairs
+    identically and share the global tie order (pytest-pinned
+    equality).
 
     Output schema matches :func:`ivf_topk` / :func:`brute_force_topk`."""
     from hadoop_20_warehouse_fix_spark.operators.dedup import _state_tombstones
@@ -1523,16 +1606,24 @@ def ivf_state_probe(
         # prune_scan the count would scan the WHOLE index, so auto
         # conservatively keeps the Arrow path there.
         if kind == "pq":
-            # PQ approx scoring is Arrow-only (the centroid gather has
-            # no JVM-expression form), so use_fold governs ONLY the
-            # rescore stage — whose pair count is the pool bound
-            # |batch| * rescore_factor * k BY CONSTRUCTION, not
-            # n_cand * queries_per_cell. Counting the pruned index
-            # would measure the wrong stage and waste a scalar job
-            # (round-9 ADVICE); pick from the pool bound directly.
+            # PQ has no JVM-expression approx form, so use_fold governs
+            # ONLY the rescore stage — whose pair count is the pool
+            # bound |batch| * rescore_factor * k BY CONSTRUCTION, not
+            # n_cand * queries_per_cell: pick it from the bound alone
+            # (round-9 ADVICE).
             if n_queries is not None:
                 use_fold = (
                     n_queries * rescore_factor * k * max(dim, 1) <= 64_000_000
+                )
+            # The APPROX stage pick (round 10): arrow pair scoring vs
+            # the ADC lookup-table pass. The candidate-count job the r9
+            # ADVICE removed is back — it decided NOTHING then; now it
+            # chooses a real strategy.
+            if prune_scan and cell_rows:
+                n_cand = lists.count()
+                queries_per_cell = len(cell_rows) / max(len(cells), 1)
+                use_gemm = (
+                    n_cand * queries_per_cell * max(dim, 1) > 64_000_000
                 )
         elif prune_scan and cell_rows:
             n_cand = lists.count()
@@ -1543,13 +1634,7 @@ def ivf_state_probe(
             # ~1.5 µs/pair; big batches (round 10, measured at 500k x
             # 1000 queries: 95 s of pair scoring) flip to the blocked-
             # GEMM scorer instead — ~matmul flops per pair
-            use_gemm = not use_fold and kind != "pq"
-    if scoring == "gemm" and kind == "pq":
-        raise ValueError(
-            "scoring='gemm' is not available for PQ states (the "
-            "centroid-gather approx stage has no matmul form); use "
-            "'auto' or 'arrow'"
-        )
+            use_gemm = not use_fold
     use_gemm = use_gemm or scoring == "gemm"
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     def _dim_guard(expr):
@@ -1558,10 +1643,15 @@ def ivf_state_probe(
         return F.when((F.size(F.col("qv")) == dim), expr)
 
     if quantized:
-        if use_gemm and kind == "sq8":
+        if use_gemm:
             pool_plan = (
                 _gemm_pool_frame(
-                    lists, q, dim, "sq8", rescore_factor * k, q_rows=probe_rows
+                    lists, q, dim, kind, rescore_factor * k, q_rows=probe_rows,
+                    pq=(
+                        (_state_pq_books(spark, state_name), cents)
+                        if kind == "pq"
+                        else None
+                    ),
                 )
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= rescore_factor * k)
@@ -1569,8 +1659,9 @@ def ivf_state_probe(
             )
             approx_expr = None
         elif kind == "pq":
-            # PQ approx scoring is Arrow-only: the centroid gather has
-            # no JVM-expression form (use_fold still governs rescore)
+            # PQ pair-Arrow approx (small batches; the large-batch ADC
+            # pass lives in the gemm branch above; use_fold still
+            # governs only the rescore)
             approx_expr = pair_cosine_pq_udf(
                 _state_pq_books(spark, state_name), cents
             )(F.col("qv"), F.col("cell"), F.col("pq"), F.col("qn"), F.col("cn"))

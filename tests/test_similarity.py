@@ -1049,14 +1049,17 @@ def test_ivf_pq_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
             .collect()
         )
 
-    def assert_gemm_rejected():
-        # round 10: gemm scoring has no PQ form — explicit ask raises
-        import pytest
-
-        with pytest.raises(ValueError, match="gemm"):
-            ivf_state_probe(
-                queries, "vec_id", "embedding", state, k=5, scoring="gemm"
-            )
+    def assert_gemm_agrees():
+        # round 10: the ADC lookup-table (gemm) PQ scorer must return
+        # exactly what the Arrow pair scorer returns
+        got = {
+            mode: ivf_state_probe(
+                queries, "vec_id", "embedding", state, k=5, nprobe=4,
+                scoring=mode,
+            ).orderBy("query_id", "rank").collect()
+            for mode in ("arrow", "gemm")
+        }
+        assert got["arrow"] == got["gemm"] and got["arrow"]
 
     try:
         ivf_state_write(
@@ -1089,7 +1092,7 @@ def test_ivf_pq_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
         assert report[f"{state}_lists"][1] < report[f"{state}_lists"][0]
         assert report[f"{state}_vectors"][1] < report[f"{state}_vectors"][0]
         assert probe() == ref(survivors)
-        assert_gemm_rejected()
+        assert_gemm_agrees()
         # validation: bad quantize value, bad subspace split
         with pytest.raises(ValueError, match="quantize"):
             ivf_state_write(
