@@ -25,6 +25,8 @@ Two tiers:
 
 from __future__ import annotations
 
+from collections import namedtuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -267,6 +269,9 @@ def pair_cosine_udf(dim: int):
     return pair_cosine
 
 
+_GemmQRow = namedtuple("_GemmQRow", "query_id cell qv qn")
+
+
 def _gemm_pool_frame(
     lists: DataFrame,
     q: DataFrame,
@@ -320,8 +325,10 @@ def _gemm_pool_frame(
         q_rows = q.select("query_id", "cell", "qv", "qn").collect()
     percell: dict = {}
     for r in q_rows:
-        if r.qv is None or len(r.qv) != dim or not r.qn:
-            continue  # a NULL-cosine pair can never enter the pool
+        # degenerate queries (NULL / ragged / zero- or non-finite
+        # norm) emit nothing — see the docstring
+        if r.qv is None or len(r.qv) != dim or not r.qn or not np.isfinite(r.qn):
+            continue
         percell.setdefault(r.cell, []).append((r.query_id, r.qv, r.qn))
     sq8 = kind == "sq8"
     is_pq = kind == "pq"
@@ -411,7 +418,10 @@ def _gemm_pool_frame(
                         if c is not None and len(c) == m_sub:
                             code_mat[i] = np.frombuffer(bytes(c), dtype=np.uint8)
                             valid[i] = True
-                    ok = valid & (cn != 0.0)
+                    # np.isfinite: an inf/NaN stored norm must pad as
+                    # degenerate, not rank at 0.0 / vanish (the pair
+                    # scorers mask non-finite denominators to NULL)
+                    ok = valid & np.isfinite(cn) & (cn != 0.0)
                     deg_nbr = np.sort(nbr[~ok])
                     nbr, cn, code_mat = nbr[ok], cn[ok], code_mat[ok]
                     if len(nbr):
@@ -419,20 +429,26 @@ def _gemm_pool_frame(
                         approx = np.repeat(qcent[:, None], len(nbr), axis=1)
                         for mi in range(m_sub):
                             approx += lt[:, mi, :][:, code_mat[:, mi]]
-                        sims = approx / qn[:, None] / cn[None, :]
+                        # one division by the qn*cn PRODUCT — the pair
+                        # scorers' exact float rounding
+                        sims = approx / (qn[:, None] * cn[None, :])
                     else:
                         sims = np.zeros((len(qids), 0))
                 else:
                     qids, qmat, qn = entry
                     vec_col = grp["codes"] if sq8 else grp["cv"]
                     mats, valid = _stack_valid(vec_col, dim)
+                    ok = valid & np.isfinite(cn) & (cn != 0.0)
                     if sq8:
-                        mats = mats * grp["scale"].to_numpy(dtype=np.float64)[:, None]
-                    ok = valid & (cn != 0.0)
+                        scale = grp["scale"].to_numpy(dtype=np.float64)
+                        ok &= np.isfinite(scale)  # defensive: writer never
+                        mats = mats * np.where(np.isfinite(scale), scale, 0.0)[
+                            :, None
+                        ]
                     deg_nbr = np.sort(nbr[~ok])  # NULL-cosine padding, id order
                     nbr, mats, cn = nbr[ok], mats[ok], cn[ok]
                     sims = (
-                        (qmat @ mats.T) / qn[:, None] / cn[None, :]
+                        (qmat @ mats.T) / (qn[:, None] * cn[None, :])
                         if len(nbr)
                         else np.zeros((len(qids), 0))
                     )
@@ -452,16 +468,14 @@ def _gemm_pool_frame(
                         continue
                     tq.append(np.full(len(ids), qids[qi], dtype=np.int64))
                     tn.append(np.asarray(ids, dtype=np.int64))
-                    tc.append(pd.array(vals, dtype="Float64"))
+                    tc.extend(vals)
                 if tq:
                     outs.append(
                         pd.DataFrame(
                             {
                                 "query_id": np.concatenate(tq),
                                 "neighbor_id": np.concatenate(tn),
-                                "cosine": pd.array(
-                                    [v for arr in tc for v in arr], dtype="Float64"
-                                ),
+                                "cosine": pd.array(tc, dtype="Float64"),
                             }
                         )
                     )
@@ -675,7 +689,7 @@ def ivf_codebook(
     n_centroids: int = 16,
     seed: int = 42,
     codebook: str = "kmeans",
-    max_train: int = 100_000,
+    max_train: int | None = 100_000,
 ) -> list[tuple[int, list[float]]]:
     """Build (and return) the IVF coarse codebook: ``n_centroids``
     unit-normalized centroid vectors as ``(cell_id, vector)`` pairs.
@@ -807,7 +821,7 @@ def ivf_topk(
     codebook: str = "kmeans",
     assign: str = "sql",
     precomputed_codebook: list[tuple[int, list[float]]] | None = None,
-    max_train: int = 100_000,
+    max_train: int | None = 100_000,
 ) -> DataFrame:
     """IVF-Flat ANN: coarse-quantize the corpus into ``n_centroids``
     inverted lists, probe the ``nprobe`` nearest lists per query, exact
@@ -1190,7 +1204,7 @@ def ivf_state_write(
     path: str | None = None,
     quantize: bool | str = False,
     pq_m: int = 8,
-    max_train: int = 100_000,
+    max_train: int | None = 100_000,
 ) -> None:
     """Materialize the IVF index as probe-able bucketed tables:
 
@@ -1583,10 +1597,12 @@ def ivf_state_probe(
     probe_rows = None
     if prune_scan:
         # non-distinct collect (bounded: |batch| * nprobe rows) — the
-        # multiplicity feeds the auto pick's pairs estimate below, and
-        # the full (qv, qn) rows ride along so a gemm-scored probe
-        # never pays a SECOND driver job re-running the cell UDF
-        probe_rows = q.select("query_id", "cell", "qv", "qn").collect()
+        # multiplicity feeds the auto pick's pairs estimate below.
+        # Deliberately WITHOUT the query vectors: every fold/arrow
+        # serving call would otherwise ship each vector nprobe times
+        # to the driver; the gemm path joins the vectors back from one
+        # per-distinct-query collect below, only when selected.
+        probe_rows = q.select("query_id", "cell").collect()
         cell_rows = [r.cell for r in probe_rows]
         n_queries = len({r.query_id for r in probe_rows})
         cells = list(set(cell_rows))
@@ -1605,6 +1621,17 @@ def ivf_state_probe(
         # cheap scalar job over the bucket-pruned cell column. Without
         # prune_scan the count would scan the WHOLE index, so auto
         # conservatively keeps the Arrow path there.
+        # ONE pairs-steps estimate (candidate rows x queries-per-cell
+        # x dim) shared by every kind's pick, so the crossover constant
+        # lives in exactly one place (round-10 review). The count job
+        # runs for PQ too: it decided nothing in r9 (hence the ADVICE
+        # removing it), but the ADC pass gives it a real approx-stage
+        # strategy to choose now.
+        est_steps = None
+        if prune_scan and cell_rows:
+            n_cand = lists.count()
+            queries_per_cell = len(cell_rows) / max(len(cells), 1)
+            est_steps = n_cand * queries_per_cell * max(dim, 1)
         if kind == "pq":
             # PQ has no JVM-expression approx form, so use_fold governs
             # ONLY the rescore stage — whose pair count is the pool
@@ -1615,27 +1642,28 @@ def ivf_state_probe(
                 use_fold = (
                     n_queries * rescore_factor * k * max(dim, 1) <= 64_000_000
                 )
-            # The APPROX stage pick (round 10): arrow pair scoring vs
-            # the ADC lookup-table pass. The candidate-count job the r9
-            # ADVICE removed is back — it decided NOTHING then; now it
-            # chooses a real strategy.
-            if prune_scan and cell_rows:
-                n_cand = lists.count()
-                queries_per_cell = len(cell_rows) / max(len(cells), 1)
-                use_gemm = (
-                    n_cand * queries_per_cell * max(dim, 1) > 64_000_000
-                )
-        elif prune_scan and cell_rows:
-            n_cand = lists.count()
-            queries_per_cell = len(cell_rows) / max(len(cells), 1)
-            steps = n_cand * queries_per_cell * max(dim, 1)
-            use_fold = steps <= 64_000_000
-            # Past the fold crossover the Arrow PAIR scorer is still
-            # ~1.5 µs/pair; big batches (round 10, measured at 500k x
-            # 1000 queries: 95 s of pair scoring) flip to the blocked-
-            # GEMM scorer instead — ~matmul flops per pair
+            use_gemm = est_steps is not None and est_steps > 64_000_000
+        elif est_steps is not None:
+            # Below the crossover the JVM fold skips the Python worker
+            # spin-up; past it the Arrow PAIR scorer would still pay
+            # ~1.5 µs/pair (round 10, measured at 500k x 1000 queries:
+            # 95 s), so big batches flip straight to the blocked-GEMM
+            # scorer — ~matmul flops per pair
+            use_fold = est_steps <= 64_000_000
             use_gemm = not use_fold
     use_gemm = use_gemm or scoring == "gemm"
+    gemm_rows = None
+    if use_gemm and probe_rows is not None:
+        # rebuild the helper's (query_id, cell, qv, qn) rows from the
+        # pruning collect + ONE per-distinct-query vector fetch (no
+        # explode, no cell UDF — round-10 review: collecting vectors on
+        # the exploded frame shipped each one nprobe times, on every
+        # probe, even the fold/arrow ones that never use them)
+        qmap = {r.query_id: r for r in q_base.collect()}
+        gemm_rows = [
+            _GemmQRow(r.query_id, r.cell, qmap[r.query_id].qv, qmap[r.query_id].qn)
+            for r in probe_rows
+        ]
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     def _dim_guard(expr):
         # NULL-parity with the Arrow scorer, which NULLs ragged rows: a
@@ -1646,7 +1674,7 @@ def ivf_state_probe(
         if use_gemm:
             pool_plan = (
                 _gemm_pool_frame(
-                    lists, q, dim, kind, rescore_factor * k, q_rows=probe_rows,
+                    lists, q, dim, kind, rescore_factor * k, q_rows=gemm_rows,
                     pq=(
                         (_state_pq_books(spark, state_name), cents)
                         if kind == "pq"
@@ -1745,7 +1773,7 @@ def ivf_state_probe(
             )
         )
     if use_gemm:
-        scored = _gemm_pool_frame(lists, q, dim, "flat", k, q_rows=probe_rows)
+        scored = _gemm_pool_frame(lists, q, dim, "flat", k, q_rows=gemm_rows)
     else:
         if use_fold:
             flat_expr = _dim_guard(
