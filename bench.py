@@ -217,6 +217,30 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — extra metric must not kill the bench
         print(json.dumps({"amortized_err": f"{type(exc).__name__}: {exc}"[:300]}), file=sys.stderr)
 
+    # Plan fingerprints (round 10): the same shape counts
+    # tests/test_plans.py pins, captured from THIS run's build at THIS
+    # SF, so every bench artifact carries its own load-vs-plan-drift
+    # adjudication — a cross-round delta with identical fingerprints is
+    # load by elimination. Planning only (no execution); failures never
+    # kill the bench.
+    plan_fp: dict[str, dict[str, int]] = {}
+    try:
+        from hadoop_20_warehouse_fix_spark.plans.inspect import plan_summary
+
+        for name, spec in sorted(headline.items()):
+            if name in errors:
+                continue
+            s = plan_summary(spec.fn(spark, sf_dir))
+            plan_fp[name] = {
+                "exchanges": s.num_exchanges,
+                "broadcast_joins": s.num_broadcast_joins,
+                "sortmerge_joins": s.num_sortmerge_joins,
+                "file_scans": s.num_file_scans,
+            }
+        spark.catalog.clearCache()  # the fns above persist intermediates
+    except Exception as exc:  # noqa: BLE001 — extra metric must not kill the bench
+        print(json.dumps({"plan_fp_err": f"{type(exc).__name__}: {exc}"[:300]}), file=sys.stderr)
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -238,6 +262,8 @@ def main() -> None:
         "load_gate": gate,
         "runs": run_counts,
     }
+    if plan_fp:
+        payload["plan_fingerprints"] = plan_fp
     # End-load accounting (round-7 verdict "what's wrong" #1: the gate
     # only checked load at START; r7's box went 2.88 -> 5.97 DURING the
     # run and the driver artifact read 25% above the same-code quiet-box
