@@ -217,27 +217,48 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — extra metric must not kill the bench
         print(json.dumps({"amortized_err": f"{type(exc).__name__}: {exc}"[:300]}), file=sys.stderr)
 
+    # End-load accounting FIRST (round-7 verdict "what's wrong" #1: the
+    # gate only checked load at START; r7's box went 2.88 -> 5.97 DURING
+    # the run and the driver artifact read 25% above the same-code
+    # quiet-box number). Estimate the bench's OWN average core usage
+    # from the process tree's cumulative CPU over the bench wall,
+    # subtract it from the end 1-min loadavg, and caveat when the
+    # residual — other people's work — exceeds the gate threshold.
+    # This runs BEFORE the fingerprint block (round-10 ADVICE): some
+    # query builders execute real Spark jobs during construction
+    # (persist/count/Observation barriers), so sampling load after them
+    # would blame the timed section for the fingerprint block's work.
+    own_cpu = _own_cpu_seconds()
+    wall = time.monotonic() - bench_t0
+    load_end_1min = os.getloadavg()[0]
+    load_now = [round(x, 2) for x in os.getloadavg()]
+
     # Plan fingerprints (round 10): the same shape counts
     # tests/test_plans.py pins, captured from THIS run's build at THIS
     # SF, so every bench artifact carries its own load-vs-plan-drift
     # adjudication — a cross-round delta with identical fingerprints is
-    # load by elimination. Planning only (no execution); failures never
-    # kill the bench.
+    # load by elimination. Two sets: "static" (pre-execution plan; note
+    # some builders run real jobs during construction) and "final" (the
+    # AQE runtime plan after a JVM-side forced execution — catches
+    # SMJ→BHJ conversion / coalescing drift the static plan can't).
+    # Both print as their OWN stdout lines below: round 10 appended them
+    # to the payload line, pushing it past the driver's 2000-char tail
+    # capture and leaving BENCH_r10.json unparseable.
     plan_fp: dict[str, dict[str, int]] = {}
+    plan_fp_final: dict[str, dict[str, int]] = {}
     try:
-        from hadoop_20_warehouse_fix_spark.plans.inspect import plan_summary
+        from hadoop_20_warehouse_fix_spark.plans.inspect import (
+            adaptive_final_summary,
+            plan_summary,
+        )
 
         for name, spec in sorted(headline.items()):
             if name in errors:
                 continue
-            s = plan_summary(spec.fn(spark, sf_dir))
-            plan_fp[name] = {
-                "exchanges": s.num_exchanges,
-                "broadcast_joins": s.num_broadcast_joins,
-                "sortmerge_joins": s.num_sortmerge_joins,
-                "file_scans": s.num_file_scans,
-            }
-        spark.catalog.clearCache()  # the fns above persist intermediates
+            plan_fp[name] = _fingerprint(plan_summary(spec.fn(spark, sf_dir)))
+            spark.catalog.clearCache()
+            plan_fp_final[name] = _fingerprint(adaptive_final_summary(spec.fn(spark, sf_dir)))
+            spark.catalog.clearCache()  # the fns persist intermediates
     except Exception as exc:  # noqa: BLE001 — extra metric must not kill the bench
         print(json.dumps({"plan_fp_err": f"{type(exc).__name__}: {exc}"[:300]}), file=sys.stderr)
 
@@ -247,49 +268,106 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf  # non-numeric suffix: report verbatim, never crash post-run
-    payload = {
+    payload = assemble_payload(
+        per_query=per_query,
+        sf_val=sf_val,
+        load_now=load_now,
+        gate=gate,
+        own_cpu=own_cpu,
+        wall=wall,
+        load_end_1min=load_end_1min,
+        amortized=amortized,
+        errors=errors,
+    )
+    # Bulky diagnostics (fingerprints, run counts) go on their OWN line,
+    # BEFORE the payload: the driver keeps only the last ~2000 chars of
+    # output and parses the final JSON line, so the payload line must
+    # stay small and last (round-10 "what's wrong" #1).
+    print(
+        json.dumps(
+            {
+                "bench_diagnostics": {
+                    "runs": run_counts,
+                    "plan_fingerprints": plan_fp,
+                    "plan_fingerprints_final": plan_fp_final,
+                }
+            }
+        )
+    )
+    line = json.dumps(payload)
+    if len(line) > PAYLOAD_LINE_BUDGET:  # belt-and-braces: never ship a clipped payload
+        payload.pop("caveat", None)
+        payload["truncated"] = True
+        line = json.dumps(payload)
+    print(line)
+    spark.stop()
+
+
+#: Hard budget for the final stdout line. The driver records only the
+#: last 2000 characters of bench output and parses the trailing JSON
+#: line; Spark WARN lines may land between the diagnostics line and the
+#: payload, so the payload itself must stay comfortably inside the
+#: window (round-10 BENCH artifact was parsed:null from exactly this).
+PAYLOAD_LINE_BUDGET = 1800
+
+
+def _fingerprint(s) -> dict[str, int]:
+    """Shape counts matching tests/test_plans.py pins exactly —
+    including `pushed` (scans with non-empty PushedFilters), which the
+    round-10 emission omitted (round-10 ADVICE: a pushed-filter
+    regression was invisible to bench artifacts)."""
+    return {
+        "exchanges": s.num_exchanges,
+        "broadcast_joins": s.num_broadcast_joins,
+        "sortmerge_joins": s.num_sortmerge_joins,
+        "file_scans": s.num_file_scans,
+        "pushed": len([p for p in s.pushed_filters if p.strip()]),
+    }
+
+
+def assemble_payload(
+    per_query: dict[str, float],
+    sf_val: float | str,
+    load_now: list[float],
+    gate: dict,
+    own_cpu: float | None,
+    wall: float,
+    load_end_1min: float,
+    amortized: dict[str, float] | None = None,
+    errors: dict[str, str] | None = None,
+) -> dict:
+    """Assemble the single driver-facing payload line (pure function so
+    tests can pin its serialized size against PAYLOAD_LINE_BUDGET with a
+    realistic 14-query map). Everything bulky (fingerprints, run counts)
+    lives on the separate diagnostics line, not here."""
+    payload: dict = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf_val,
         "timing": "min_converged_5pct_max4",
         # 1/5/15-min load averages at bench end: cross-round deltas are
         # only meaningful when load is comparable.
-        "load": [round(x, 2) for x in os.getloadavg()],
+        "load": load_now,
         # Pre-session ambient-load gate outcome; when satisfied=false the
         # box never quieted and deltas carry the load caveat explicitly.
         "load_gate": gate,
-        "runs": run_counts,
     }
-    if plan_fp:
-        payload["plan_fingerprints"] = plan_fp
-    # End-load accounting (round-7 verdict "what's wrong" #1: the gate
-    # only checked load at START; r7's box went 2.88 -> 5.97 DURING the
-    # run and the driver artifact read 25% above the same-code quiet-box
-    # number). Estimate the bench's OWN average core usage from the
-    # process tree's cumulative CPU over the bench wall, subtract it
-    # from the end 1-min loadavg, and caveat when the residual —
-    # other people's work — exceeds the gate threshold.
-    own_cpu = _own_cpu_seconds()
-    wall = time.monotonic() - bench_t0
-    load_end = os.getloadavg()[0]
     if own_cpu is not None and wall > 0:
         own_avg_cores = round(own_cpu / wall, 2)
-        ambient_end = round(max(0.0, load_end - own_avg_cores), 2)
+        ambient_end = round(max(0.0, load_end_1min - own_avg_cores), 2)
         payload["load_end"] = {
-            "load_1min": round(load_end, 2),
+            "load_1min": round(load_end_1min, 2),
             "own_avg_cores": own_avg_cores,
             "ambient_estimate": ambient_end,
         }
         if gate["satisfied"] and ambient_end >= gate["threshold"]:
             payload["caveat"] = (
-                f"box loaded up DURING the run: end 1-min loadavg {load_end:.2f}"
+                f"box loaded up DURING the run: end 1-min loadavg {load_end_1min:.2f}"
                 f" minus our own ~{own_avg_cores} avg cores leaves ambient "
                 f"~{ambient_end} >= gate {gate['threshold']} — totals are "
-                "load-confounded despite the satisfied start gate (own-cores "
-                "excludes descendants reparented away before exit, so true "
-                "ambient may be smaller)"
+                "load-confounded despite the satisfied start gate"
             )
     if not gate["satisfied"]:
         payload["caveat"] = (
@@ -300,9 +378,14 @@ def main() -> None:
     if amortized:
         payload["amortized"] = amortized
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
-    spark.stop()
+        # Full messages already went to stderr per-query; the payload
+        # carries a bounded digest so a many-failure run cannot blow the
+        # line budget and take the survivors' numbers down with it.
+        digest = {k: v[:80] for k, v in sorted(errors.items())[:8]}
+        if len(errors) > 8:
+            digest["..."] = f"+{len(errors) - 8} more (stderr has all)"
+        payload["errors"] = digest
+    return payload
 
 
 if __name__ == "__main__":

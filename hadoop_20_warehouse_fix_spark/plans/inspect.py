@@ -56,6 +56,66 @@ def plan_summary(df: DataFrame) -> PlanSummary:
     # "*(n)" whole-stage-codegen span markers, which formatted omits.
     simple = qe.executedPlan().toString()
     formatted = df.sparkSession._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    return _summarize(simple, formatted)
+
+
+def adaptive_final_summary(df: DataFrame) -> PlanSummary:
+    """Summary of the AQE FINAL plan — the plan that actually ran.
+
+    AQE's runtime rewrites (SMJ→BHJ conversion, AQEShuffleRead
+    coalescing, skew splits) are invisible to :func:`plan_summary`,
+    which sees the pre-execution AdaptiveSparkPlan. This executes the
+    DataFrame's own QueryExecution JVM-side (``executedPlan().execute()
+    .count()`` — per-partition longs only, no rows reach the driver) so
+    AQE finalizes, then summarizes ONLY the ``== Final Plan ==`` section
+    (the explain string echoes the Initial Plan afterwards; counting
+    both would double every node). Round-10 verdict #3: pin these next
+    to the static pins so runtime plan drift is also mechanical."""
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan()
+    txt = plan.toString()
+    if "AdaptiveSparkPlan" in txt and "isFinalPlan=true" not in txt:
+        plan.execute().count()
+    simple = qe.executedPlan().toString()
+    formatted = df.sparkSession._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    if "== Final Plan ==" not in formatted:
+        # No adaptive wrapper anywhere in the plan: static IS final.
+        return _summarize(simple, formatted)
+    # Formatted explain prints the final tree, then the initial tree,
+    # then ONE detail section per node id covering BOTH trees — so
+    # counting detail headers (what _summarize does) double-counts
+    # every node, and slicing the text at "== Initial Plan ==" drops
+    # the detail sections entirely (both found empirically, round 11).
+    # Count node kinds from the FINAL tree lines, and join scan node
+    # ids back to their detail blocks for PushedFilters / ReadSchema.
+    tree = formatted.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
+    if "== Final Plan ==" in simple:
+        simple_final = simple.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
+    else:
+        simple_final = simple
+    scan_ids = set(re.findall(r"\bScan \S+\s+\((\d+)\)", tree))
+    pushed, schemas = [], []
+    for block in formatted.split("\n\n"):
+        m = re.match(r"\((\d+)\) Scan ", block.strip())
+        if not m or m.group(1) not in scan_ids:
+            continue
+        pushed += re.findall(r"PushedFilters: \[([^\]]*)\]", block)
+        schemas += re.findall(r"ReadSchema: struct<([^>]*)>", block)
+    return PlanSummary(
+        text=tree,
+        # \bExchange skips BroadcastExchange (no word boundary mid-word)
+        # and ShuffleQueryStage/AQEShuffleRead wrappers by name
+        num_exchanges=len(re.findall(r"\bExchange \(\d+\)", tree)),
+        num_broadcast_joins=len(re.findall(r"\bBroadcastHashJoin\b", tree)),
+        num_sortmerge_joins=len(re.findall(r"\bSortMergeJoin\b", tree)),
+        num_file_scans=len(re.findall(r"\bScan \S+\s+\(\d+\)", tree)),
+        codegen_spans=len(set(re.findall(r"\*\((\d+)\)", simple_final))),
+        pushed_filters=pushed,
+        read_schemas=schemas,
+    )
+
+
+def _summarize(simple: str, formatted: str) -> PlanSummary:
     return PlanSummary(
         text=formatted,
         # "(n) Exchange" = shuffle; BroadcastExchange is counted via joins

@@ -1042,6 +1042,60 @@ def test_bench_own_cpu_includes_reaped_children():
     assert after - before >= 0.4, (before, after)
 
 
+def test_bench_payload_line_fits_driver_tail_window():
+    """Round-10 "what's wrong" #1: the driver keeps only the LAST 2000
+    chars of bench output and parses the trailing JSON line; round 10's
+    fingerprint emission pushed the payload past that and BENCH_r10.json
+    shipped parsed:null. Pin the invariant: a worst-case realistic
+    payload (14 headline queries at real name lengths, caveat firing,
+    amortized + a couple of errors) serializes under the budget — and
+    bulky diagnostics are NOT in the payload at all."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        from bench import PAYLOAD_LINE_BUDGET, assemble_payload
+    finally:
+        sys.path.pop(0)
+
+    names = [
+        "corpus_clean", "dedup_ngram_jaccard", "events_json_props",
+        "events_tumbling_hourly", "join_broadcast_dim", "q10_returned_items",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q9_product_type_profit", "sim_ann_ivf_md5",
+        "sort_total_order", "text_wordcount",
+    ]
+    payload = assemble_payload(
+        per_query={n: 123.456 for n in names},
+        sf_val=0.1,
+        load_now=[12.34, 12.34, 12.34],
+        gate={"threshold": 3.0, "waited_sec": 120.0, "load_at_start": 31.27, "satisfied": True},
+        own_cpu=12345.6,
+        wall=999.9,
+        load_end_1min=31.27,  # forces the during-run caveat (worst case)
+        amortized={"sim_ann_ivf_md5": 123.456},
+        errors={"q9_product_type_profit": "X" * 500, "text_wordcount": "Y" * 500},
+    )
+    line = json.dumps(payload)
+    assert len(line) < PAYLOAD_LINE_BUDGET, len(line)
+    assert PAYLOAD_LINE_BUDGET <= 1800  # stays inside the 2000-char tail
+    assert "plan_fingerprints" not in payload and "runs" not in payload
+    assert "caveat" in payload  # the worst case we sized for actually fired
+    # a pathological many-error run stays bounded too
+    payload_err = assemble_payload(
+        per_query={},
+        sf_val=0.1,
+        load_now=[1.0, 1.0, 1.0],
+        gate={"threshold": 3.0, "waited_sec": 0.0, "load_at_start": 0.5, "satisfied": True},
+        own_cpu=None,
+        wall=10.0,
+        load_end_1min=0.5,
+        errors={n: "E" * 500 for n in names},
+    )
+    assert len(json.dumps(payload_err)) < PAYLOAD_LINE_BUDGET
+
+
 def test_session_dev_profile_makes_aqe_skew_split_fire(spark):
     """Round-9 brief #6: the r8 study's sharpest finding — AQE's skew
     split silently does NOT fire at dev scale (hot partition under the

@@ -408,3 +408,56 @@ def test_headline_plan_fingerprints_pinned(spark):
         )
     assert got == HEADLINE_PLAN_FINGERPRINTS
     spark.catalog.clearCache()  # the fns above persist intermediates
+
+
+# Round-11 brief #3: the static pins above fingerprint the
+# PRE-execution plan; AQE's runtime rewrites (SMJ→BHJ conversion,
+# AQEShuffleRead coalescing, skew splits) are exactly the drift class
+# the pins exist to catch and are invisible to them. These pin the AQE
+# FINAL plan (adaptive_final_summary: JVM-side forced execution, then
+# counts over the "== Final Plan ==" tree only). At sf0.1 today the
+# final shapes equal the static ones except corpus_clean, whose
+# persisted seam runs its exchanges during construction — the final
+# tree shows only the 2 exchanges this QueryExecution itself ran.
+HEADLINE_FINAL_PLAN_FINGERPRINTS = {
+    "corpus_clean":             dict(exchanges=2, broadcast_joins=1, sortmerge_joins=0, file_scans=1, pushed=0),
+    "dedup_ngram_jaccard":      dict(exchanges=3, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=0),
+    "events_json_props":        dict(exchanges=2, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
+    "events_tumbling_hourly":   dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
+    "join_broadcast_dim":       dict(exchanges=1, broadcast_joins=1, sortmerge_joins=0, file_scans=2, pushed=2),
+    "q10_returned_items":       dict(exchanges=1, broadcast_joins=3, sortmerge_joins=0, file_scans=4, pushed=4),
+    "q1_pricing_summary":       dict(exchanges=2, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
+    "q3_shipping_priority":     dict(exchanges=1, broadcast_joins=2, sortmerge_joins=0, file_scans=3, pushed=3),
+    "q5_local_supplier_volume": dict(exchanges=2, broadcast_joins=5, sortmerge_joins=0, file_scans=6, pushed=6),
+    "q6_forecast_revenue":      dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
+    "q9_product_type_profit":   dict(exchanges=2, broadcast_joins=4, sortmerge_joins=0, file_scans=5, pushed=5),
+    "sim_ann_ivf_md5":          dict(exchanges=1, broadcast_joins=1, sortmerge_joins=0, file_scans=2, pushed=2),
+    "sort_total_order":         dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=0),
+    "text_wordcount":           dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=0),
+}
+
+
+def test_headline_final_plan_fingerprints_pinned(spark):
+    """Every bench headline query's AQE-FINAL plan fingerprint matches
+    its pin, with the same exact-coverage discipline as the static
+    test. Executes each headline query once at sf0.1 (JVM-side RDD
+    count — no rows reach the driver)."""
+    from hadoop_20_warehouse_fix_spark.plans.inspect import adaptive_final_summary
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+
+    reg = load_all()
+    headline = {n: s for n, s in reg.items() if s.headline}
+    assert set(headline) == set(HEADLINE_FINAL_PLAN_FINGERPRINTS)
+    got = {}
+    for name, spec in sorted(headline.items()):
+        spark.catalog.clearCache()  # a warm cache rewrites scans as InMemory
+        s = adaptive_final_summary(spec.fn(spark, "/root/testdata/sf0.1"))
+        got[name] = dict(
+            exchanges=s.num_exchanges,
+            broadcast_joins=s.num_broadcast_joins,
+            sortmerge_joins=s.num_sortmerge_joins,
+            file_scans=s.num_file_scans,
+            pushed=len([p for p in s.pushed_filters if p.strip()]),
+        )
+    assert got == HEADLINE_FINAL_PLAN_FINGERPRINTS
+    spark.catalog.clearCache()  # the fns above persist intermediates
