@@ -272,6 +272,49 @@ def pair_cosine_udf(dim: int):
 _GemmQRow = namedtuple("_GemmQRow", "query_id cell qv qn")
 
 
+#: Soft cap on the bytes of per-query state a single _gemm_pool_frame
+#: task closure may carry (round-11 brief #4): at 1000 queries the PQ
+#: ADC tables are ~16 MB — fine — but nothing stopped a 100k-query
+#: batch from closing ~1.6 GB over every task. Past the budget the
+#: batch auto-chunks: each chunk scans only its own probed cells and
+#: the caller's window cut merges the per-chunk partial pools exactly
+#: (they are already per-batch partial pools in the global tie order).
+GEMM_CLOSURE_BUDGET_BYTES = 64 << 20
+
+
+def _gemm_closure_chunks(q_rows, dim: int, kind: str, pq, budget: int):
+    """Estimate the task-closure bytes of a gemm batch and, when over
+    ``budget``, greedily pack DISTINCT query ids into chunks that each
+    fit. Returns ``(est_bytes, chunks)`` where ``chunks`` is None when
+    no split is needed, else a list of q_rows subsets (a single
+    over-budget query still runs alone — the bound is per-chunk best
+    effort, never a correctness gate)."""
+    if kind == "pq":
+        m_sub, k_codes, _sub = pq[0].shape
+        per_query = m_sub * k_codes * 8  # one ADC table per distinct query
+        per_row = 32  # qid + qn + coarse term + lut index
+    else:
+        per_query = 0
+        per_row = dim * 8 + 24  # qv row in the per-cell stack + qid + qn
+    rows_by_q: dict = {}
+    for r in q_rows:
+        rows_by_q.setdefault(r.query_id, []).append(r)
+    est = per_query * len(rows_by_q) + per_row * len(q_rows)
+    if est <= budget or len(rows_by_q) <= 1:
+        return est, None
+    chunks, cur, cur_bytes = [], [], 0
+    for qid in sorted(rows_by_q):
+        q_bytes = per_query + per_row * len(rows_by_q[qid])
+        if cur and cur_bytes + q_bytes > budget:
+            chunks.append(cur)
+            cur, cur_bytes = [], 0
+        cur.extend(rows_by_q[qid])
+        cur_bytes += q_bytes
+    if cur:
+        chunks.append(cur)
+    return est, chunks
+
+
 def _gemm_pool_frame(
     lists: DataFrame,
     q: DataFrame,
@@ -280,6 +323,7 @@ def _gemm_pool_frame(
     keep: int,
     q_rows=None,
     pq=None,
+    closure_budget: int | None = None,
 ):
     """Blocked-GEMM scorer for the probe's approx stage at LARGE
     batches (round 10 — the 500k-loop finding, SCALING.md r10): the
@@ -320,9 +364,37 @@ def _gemm_pool_frame(
 
     ``q_rows`` lets the caller hand over the (query_id, cell, qv, qn)
     rows it already collected for scan pruning — the probe's serving
-    path must not pay a second driver job re-running the cell UDF."""
+    path must not pay a second driver job re-running the cell UDF.
+
+    Batches whose per-query closure state would exceed
+    ``closure_budget`` (default :data:`GEMM_CLOSURE_BUDGET_BYTES`)
+    auto-chunk by query id (round-11 brief #4): one mapInPandas pass
+    per chunk over ONLY that chunk's probed cells, results unioned —
+    the caller's window cut merges the partial pools exactly, since
+    every chunk emits them in the global tie order."""
     if q_rows is None:
         q_rows = q.select("query_id", "cell", "qv", "qn").collect()
+    budget = GEMM_CLOSURE_BUDGET_BYTES if closure_budget is None else closure_budget
+    _est, chunks = _gemm_closure_chunks(q_rows, dim, kind, pq, budget)
+    if chunks is not None:
+        from functools import reduce
+
+        parts = []
+        for sub in chunks:
+            cells = sorted({r.cell for r in sub})
+            parts.append(
+                _gemm_pool_frame(
+                    lists.filter(F.col("cell").isin(cells)),
+                    q,
+                    dim,
+                    kind,
+                    keep,
+                    q_rows=sub,
+                    pq=pq,
+                    closure_budget=budget,
+                )
+            )
+        return reduce(DataFrame.unionByName, parts)
     percell: dict = {}
     for r in q_rows:
         # degenerate queries (NULL / ragged / zero- or non-finite
@@ -439,19 +511,26 @@ def _gemm_pool_frame(
                     vec_col = grp["codes"] if sq8 else grp["cv"]
                     mats, valid = _stack_valid(vec_col, dim)
                     ok = valid & np.isfinite(cn) & (cn != 0.0)
+                    scale = None
                     if sq8:
                         scale = grp["scale"].to_numpy(dtype=np.float64)
                         ok &= np.isfinite(scale)  # defensive: writer never
-                        mats = mats * np.where(np.isfinite(scale), scale, 0.0)[
-                            :, None
-                        ]
                     deg_nbr = np.sort(nbr[~ok])  # NULL-cosine padding, id order
                     nbr, mats, cn = nbr[ok], mats[ok], cn[ok]
-                    sims = (
-                        (qmat @ mats.T) / (qn[:, None] * cn[None, :])
-                        if len(nbr)
-                        else np.zeros((len(qids), 0))
-                    )
+                    if len(nbr):
+                        sims = qmat @ mats.T
+                        if sq8:
+                            # scale AFTER the raw int-code dot — the pair
+                            # scorer computes scale*dot(q,codes)/denom, and
+                            # matching its operation order keeps near-tied
+                            # candidates in the same float order across
+                            # fold/arrow/gemm (round-10 ADVICE: per-element
+                            # pre-scaling diverges in the last ulp and can
+                            # reorder a tie before the pool cut)
+                            sims = sims * scale[ok][None, :]
+                        sims = sims / (qn[:, None] * cn[None, :])
+                    else:
+                        sims = np.zeros((len(qids), 0))
                 sims[qids[:, None] == nbr[None, :]] = -np.inf
                 tq, tn, tc = [], [], []
                 for qi in range(len(qids)):

@@ -999,6 +999,71 @@ def test_ivf_state_probe_scoring_paths_agree(spark, tmp_path):
         ivf_state_probe(queries, "vec_id", "embedding", "nope", scoring="gpu")
 
 
+def test_gemm_batch_auto_chunks_past_closure_budget(spark, tmp_path, monkeypatch):
+    """Round-11 brief #4: the gemm scorer's per-query closure state
+    (ADC tables / query stacks) was unguarded past the 1000-query
+    serving batch it was sized for. Over the budget the batch must
+    auto-chunk by query id and return EXACTLY the unchunked ranking —
+    the per-chunk partial pools are already in the global tie order,
+    so the window cut merges them losslessly."""
+    from hadoop_20_warehouse_fix_spark.operators import similarity as sim
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        _gemm_closure_chunks,
+        ivf_state_probe,
+        ivf_state_write,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    queries = emb.filter(F.col("vec_id") < 12)
+    for tag, kwargs in (("sq8", dict(quantize=True)), ("pq", dict(quantize="pq", pq_m=4))):
+        state = f"gemm_chunk_{tag}"
+        try:
+            ivf_state_write(
+                corpus, "vec_id", "embedding", state, n_centroids=8,
+                codebook="sample_md5", num_buckets=4,
+                path=str(tmp_path / tag), **kwargs,
+            )
+
+            def probe():
+                return ivf_state_probe(
+                    queries, "vec_id", "embedding", state, k=5, nprobe=3,
+                    scoring="gemm",
+                ).orderBy("query_id", "rank").collect()
+
+            unchunked = probe()
+            assert unchunked
+            # ~2 KB budget forces many chunks on a 12-query batch
+            monkeypatch.setattr(sim, "GEMM_CLOSURE_BUDGET_BYTES", 2048)
+            assert probe() == unchunked
+            monkeypatch.setattr(sim, "GEMM_CLOSURE_BUDGET_BYTES", 64 << 20)
+        finally:
+            for t in ("lists", "vectors", "codebook", "meta", "tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+            spark.catalog.clearCache()
+
+    # The bound itself: every chunk the packer emits must fit the
+    # budget (single over-budget queries run alone, never split).
+    from collections import namedtuple
+
+    Row = namedtuple("Row", "query_id cell qv qn")
+    rows = [Row(q, c, [0.0] * 16, 1.0) for q in range(40) for c in range(3)]
+    budget = 4096
+    est, chunks = _gemm_closure_chunks(rows, 16, "flat", None, budget)
+    assert est > budget and chunks is not None and len(chunks) > 1
+    per_row = 16 * 8 + 24
+    for ch in chunks:
+        ch_est, ch_split = _gemm_closure_chunks(ch, 16, "flat", None, budget)
+        assert ch_est <= budget and ch_split is None
+        assert ch_est == per_row * len(ch)
+    assert sorted(r.query_id for ch in chunks for r in ch) == sorted(r.query_id for r in rows)
+    # a query's rows never straddle chunks
+    seen = {}
+    for i, ch in enumerate(chunks):
+        for r in ch:
+            assert seen.setdefault(r.query_id, i) == i
+
+
 def test_ivf_pq_state_lifecycle_probe_equals_rebuild(spark, tmp_path):
     """Round-9 depth: true IVF-PQ (Jégou 2011) on the same persisted
     state machinery — m one-byte subspace codes per vector (8 bytes at
