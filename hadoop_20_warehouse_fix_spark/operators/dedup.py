@@ -1194,6 +1194,256 @@ def minhash_lsh_pairs_incremental(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# ---------------------------------------------------------------------------
+# Persisted incremental MEDIA dedup state (round-11 brief #2). Text has the
+# full crawl-ingest lifecycle above (minhash_state_write/append/probe/
+# delete/compact); media fingerprints (image dHash / audio spectral / video
+# frame-dHash) had none — every capstone run rescanned (and re-DECODED) the
+# whole media corpus. Same reference model: MapFile/BloomMapFile as
+# persistent probe-able state (/root/reference/src/core/org/apache/hadoop/
+# io/MapFile.java:49, BloomMapFile.java:45). Same machinery: bucketed band
+# tables, tombstones, rename-aside compaction — reused verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _media_band_rows(
+    media: DataFrame, n_frames: int, min_flatness: float, demux_av: bool
+) -> DataFrame:
+    """Exploded per-band fingerprint rows for the media state tables:
+    (id, modality, space, bi, bv, band0..band3). One row per (decoded
+    payload, band index) — the pigeonhole candidate key (bi, bv) plus
+    the full band vector for the Hamming verify, i.e. the `banded`
+    relation inside :func:`hamming_pairs_from_bands`, materialized.
+    ``space`` is the MATCHING space: ``audio_track`` shadow rows
+    (demux_av) fold into ``audio`` so a standalone WAV and a video's
+    demuxed soundtrack share a candidate key — the capstone's
+    cross-container semantics; image/video spaces are their own. The
+    space is ALSO folded into ``bi`` (image +0 / audio +4 / video +8),
+    so the probe's equality join runs on exactly the bucket columns
+    (bi, bv) — joining on a (bi, bv, space) superset would break the
+    bucketed-scan alignment and re-shuffle the corpus side.
+    Undecodable / gated payloads carry NULL bands and are excluded —
+    a fingerprint of a failed decode would manufacture pairs."""
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        media_fingerprint_bands,
+    )
+
+    bands = media_fingerprint_bands(
+        media, n_frames=n_frames, min_flatness=min_flatness, demux_av=demux_av
+    )
+    bcols = [f"band{i}" for i in range(4)]
+    space_offset = (
+        F.when(F.col("space") == "audio", F.lit(4))
+        .when(F.col("space") == "video", F.lit(8))
+        .otherwise(F.lit(0))
+    )
+    return (
+        bands.filter(F.col("band0").isNotNull())
+        .select(
+            "id",
+            "modality",
+            F.when(F.col("modality") == "audio_track", F.lit("audio"))
+            .otherwise(F.col("modality"))
+            .alias("space"),
+            *bcols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bv"))
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(
+            "id",
+            "modality",
+            "space",
+            (F.col("bb.bi") + space_offset).alias("bi"),
+            F.col("bb.bv").alias("bv"),
+            *bcols,
+        )
+    )
+
+
+def media_state_write(
+    media: DataFrame,
+    state_name: str,
+    n_frames: int = 3,
+    min_flatness: float = 0.0,
+    demux_av: bool = False,
+    num_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Materialize a media corpus's fingerprint-dedup state as a
+    probe-able bucketed table, so an ingest batch deduplicates against
+    the full corpus WITHOUT rescanning — or re-DECODING — it (decode
+    cost is the payload bytes; at 100 TB the state table is 4 rows x
+    ~40 B per decoded payload, orders under the corpus).
+
+    Tables:
+    - ``{state_name}_bands`` (id, modality, space, bi, bv,
+      band0..band3), bucketed+sorted by (bi, bv): the candidate-probe
+      side — the incremental join reads buckets in place, shuffling
+      ONLY the batch's band rows;
+    - ``{state_name}_meta``: one row pinning (n_frames, min_flatness,
+      demux_av, num_buckets). The fingerprint function IS the state
+      format (same discipline as :func:`minhash_state_write`): probe
+      and append take NO fingerprint parameters — they read the meta
+      row, so a mismatch is impossible by construction.
+
+    Thresholds (``max_hamming``) are PROBE-time parameters, like the
+    text state's ``threshold`` — they tighten candidate verification,
+    not the stored format."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+
+    spark = media.sparkSession
+    write_bucketed(
+        _media_band_rows(media, n_frames, min_flatness, demux_av),
+        f"{state_name}_bands",
+        ["bi", "bv"],
+        num_buckets,
+        path=f"{path}/bands" if path else None,
+    )
+    meta = spark.createDataFrame(
+        [(int(n_frames), float(min_flatness), bool(demux_av), int(num_buckets))],
+        "n_frames int, min_flatness double, demux_av boolean, num_buckets int",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_meta")
+    w = meta.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", f"{path}/meta")
+    w.saveAsTable(f"{state_name}_meta")
+    # Dropped LAST (round-8 review, as minhash_state_write): a rebuild
+    # that fails partway leaves the still-live OLD state's tombstones
+    # in force.
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
+
+
+def media_state_append(new_media: DataFrame, state_name: str) -> None:
+    """Fold an ingested media batch INTO the persisted state (run AFTER
+    the batch's pairs have been probed — the probe's lazy plan lists
+    state files at execution time, so appending first would let the
+    batch match itself). Appends bucketed files; no rewrite of the
+    existing state."""
+    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+
+    spark = new_media.sparkSession
+    m = spark.table(f"{state_name}_meta").collect()[0]
+    write_bucketed(
+        _media_band_rows(new_media, m.n_frames, m.min_flatness, m.demux_av),
+        f"{state_name}_bands",
+        ["bi", "bv"],
+        num_buckets=m.num_buckets,
+        mode="append",
+    )
+
+
+def media_state_probe(
+    new_media: DataFrame, state_name: str, max_hamming: int | dict[str, int] = 3
+) -> DataFrame:
+    """Incremental near-dup media pairs: every new payload within
+    ``max_hamming`` of an EXISTING corpus payload, probing the
+    persisted state instead of re-decoding the corpus. Semantics ≡ the
+    cross-corpus slice of a full fingerprint rerun on corpus ∪ batch
+    (pytest-pinned). Output: (id_a = corpus id, id_b = new id,
+    hamming, mod_a, mod_b) — modalities ride along so capstone-style
+    consumers can apply pair-shape policy (e.g. ignore track–track
+    pairs, drop only the standalone-audio side of an audio/audio_track
+    pair) without re-joining.
+
+    ``max_hamming`` may be a per-modality dict (image/audio/video —
+    the audio threshold also governs ``audio_track`` rows, which fold
+    into the audio matching space exactly as the capstone's
+    cross-container stage does). Ids must be globally unique across
+    corpus and batches (the text-state contract).
+
+    100 TB physics: the bands table is read bucket-aligned on
+    (bi, bv) — only the batch's band rows shuffle; per-ingest cost
+    scales with the batch + its collision neighborhood, never with
+    the corpus, and the corpus is never re-decoded."""
+    spark = new_media.sparkSession
+    m = spark.table(f"{state_name}_meta").collect()[0]
+    if isinstance(max_hamming, dict):
+        bad = set(max_hamming) - {"image", "audio", "video"}
+        if bad:
+            raise ValueError(
+                f"max_hamming keys must be image/audio/video, got {sorted(bad)}"
+            )
+        thresholds = {k: int(max_hamming.get(k, 3)) for k in ("image", "audio", "video")}
+    else:
+        thresholds = {k: int(max_hamming) for k in ("image", "audio", "video")}
+    new_rows = _media_band_rows(new_media, m.n_frames, m.min_flatness, m.demux_av)
+    corpus = spark.table(f"{state_name}_bands")
+    # space rides only the corpus side: bi already encodes it (equal bi
+    # implies equal space), and carrying it on both sides would either
+    # widen the join key past the bucket columns or duplicate-name it
+    a = corpus.select(
+        F.col("id").alias("id_a"),
+        F.col("modality").alias("mod_a"),
+        "space",
+        "bi",
+        "bv",
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = new_rows.select(
+        F.col("id").alias("id_b"),
+        F.col("modality").alias("mod_b"),
+        "bi",
+        "bv",
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
+    )
+    cand = a.join(b, ["bi", "bv"]).drop("bi", "bv").distinct()
+    tomb = _state_tombstones(spark, state_name)
+    if tomb is not None:
+        cand = cand.join(
+            F.broadcast(tomb.select(F.col("id").alias("id_a"))), "id_a", "left_anti"
+        )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")).bitwiseAND(F.lit(0xFFFF)))
+        for i in range(4)
+    )
+    thr = F.create_map(*[F.lit(x) for k, v in thresholds.items() for x in (k, v)])
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= thr[F.col("space")])
+        .select("id_a", "id_b", "hamming", "mod_a", "mod_b")
+    )
+
+
+def media_state_delete(spark, state_name: str, ids) -> None:
+    """Tombstone media payloads in the persisted fingerprint state —
+    takedowns and recrawl churn, same lifecycle as
+    :func:`minhash_state_delete` (whose implementation this reuses
+    verbatim: the tombstone table, the lossless-id-cast guard, the
+    probe anti-join, compaction as the physical-deletion point). A
+    tombstoned VIDEO's demuxed soundtrack rows share its id, so one
+    tombstone suppresses both the video and its shadow track."""
+    minhash_state_delete(spark, state_name, ids)
+
+
+def media_state_compact(spark, state_name: str) -> dict[str, tuple[int, int]]:
+    """Compact the media state's bands table (one file set per bucket
+    per append otherwise), physically dropping tombstoned rows, via
+    the shared rename-aside engine :func:`compact_bucketed_table`.
+    Returns {table: (files_before, files_after)}."""
+    m = spark.table(f"{state_name}_meta").collect()[0]
+    tomb = _state_tombstones(spark, state_name)
+    tomb_ids = tomb.select("id").distinct().persist() if tomb is not None else None
+    if tomb_ids is not None:
+        tomb_ids.count()  # materialize before the source table drops
+    t = f"{state_name}_bands"
+    report = {
+        t: compact_bucketed_table(
+            spark, t, ["bi", "bv"], m.num_buckets, tomb_ids=tomb_ids, tomb_col="id"
+        )
+    }
+    if tomb_ids is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {state_name}_tombstones")
+        tomb_ids.unpersist()
+    return report
+
+
 def _connected_components_star(
     edges: DataFrame,
     src: str,
