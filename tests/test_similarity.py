@@ -58,6 +58,48 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert km4 == run(4, "kmeans")
 
 
+def test_ivf_recall_clustered_vs_isotropic(spark):
+    """Round-11 brief #7: every prior recall number was measured on
+    isotropic vectors, where recall ≈ scanned fraction (ANN's worst
+    case, documented since r2). On PLANTED cluster structure (mixture
+    of seeded Gaussians — the shape real embedding corpora have) the
+    same K/nprobe buys far more: the 50k rig (SCALING.md r11,
+    ann_recall_grid.py) measured 0.985 recall@5 at nprobe=1/K=64
+    (1.6% scanned) on clustered vs 0.121 isotropic. This pins the
+    seeded small-scale floor: same generator physics, deterministic."""
+    import numpy as np
+
+    N, NQ, DIM, KP = 3000, 50, 32, 16
+    rng = np.random.default_rng(77)
+    centers = rng.standard_normal((KP, DIM))
+    assign = rng.integers(0, KP, N + NQ)
+    clustered = centers[assign] + 0.15 * rng.standard_normal((N + NQ, DIM))
+    isotropic = rng.standard_normal((N + NQ, DIM))
+
+    def recall(mat, nprobe):
+        rows = [(int(i), [float(x) for x in mat[i]]) for i in range(N + NQ)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        corpus = df.filter(F.col("vec_id") >= NQ)
+        queries = df.filter(F.col("vec_id") < NQ)
+        q, c = mat[:NQ], mat[NQ:]
+        sims = (q / np.linalg.norm(q, axis=1, keepdims=True)) @ (
+            c / np.linalg.norm(c, axis=1, keepdims=True)
+        ).T
+        truth = {i: set((np.argsort(-sims[i])[:5] + NQ).tolist()) for i in range(NQ)}
+        got: dict[int, set] = {}
+        for r in ivf_topk(corpus, queries, k=5, n_centroids=16, nprobe=nprobe).collect():
+            if r.neighbor_id is not None:
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return float(np.mean([len(got.get(i, set()) & t) / 5 for i, t in truth.items()]))
+
+    # nprobe=2 of K=16 scans ~1/8 of the corpus: cluster structure must
+    # deliver near-total recall where isotropic gets ~the scanned slice
+    rc = recall(clustered, 2)
+    ri = recall(isotropic, 2)
+    assert rc >= 0.9, f"clustered recall@5 regressed: {rc}"
+    assert rc >= ri + 0.5, f"cluster-structure advantage collapsed: {rc} vs {ri}"
+
+
 def test_multimodal_fake_features_deterministic(spark):
     media = documents_as_media(load_table(spark, SF_CORRECT, "documents").limit(50))
     a = {r.media_id: (r.n_bytes, r.byte_checksum, tuple(r.features)) for r in extract_features(media).collect()}
