@@ -262,7 +262,6 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — extra metric must not kill the bench
         print(json.dumps({"plan_fp_err": f"{type(exc).__name__}: {exc}"[:300]}), file=sys.stderr)
 
-    total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
