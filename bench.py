@@ -255,9 +255,12 @@ def main() -> None:
         for name, spec in sorted(headline.items()):
             if name in errors:
                 continue
-            plan_fp[name] = _fingerprint(plan_summary(spec.fn(spark, sf_dir)))
-            spark.catalog.clearCache()
-            plan_fp_final[name] = _fingerprint(adaptive_final_summary(spec.fn(spark, sf_dir)))
+            # ONE build per query: static summary first, then force the
+            # SAME QueryExecution for the AQE final plan — builders that
+            # run jobs during construction must not pay twice.
+            df = spec.fn(spark, sf_dir)
+            plan_fp[name] = _fingerprint(plan_summary(df))
+            plan_fp_final[name] = _fingerprint(adaptive_final_summary(df))
             spark.catalog.clearCache()  # the fns persist intermediates
     except Exception as exc:  # noqa: BLE001 — extra metric must not kill the bench
         print(json.dumps({"plan_fp_err": f"{type(exc).__name__}: {exc}"[:300]}), file=sys.stderr)

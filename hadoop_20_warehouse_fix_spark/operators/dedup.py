@@ -1355,8 +1355,14 @@ def media_state_probe(
     ``max_hamming`` may be a per-modality dict (image/audio/video —
     the audio threshold also governs ``audio_track`` rows, which fold
     into the audio matching space exactly as the capstone's
-    cross-container stage does). Ids must be globally unique across
-    corpus and batches (the text-state contract).
+    cross-container stage does); ABSENT keys default to 3, the same
+    fill the capstone's ``_media_thresholds`` applies. Thresholds are
+    capped at 3: candidates come from exact band equality, and by
+    pigeonhole over 4 bands that guarantees recall only for Hamming
+    <= 3 — a larger threshold would silently miss pairs whose
+    differing bits span all four bands, so it raises instead. Ids
+    must be globally unique across corpus and batches (the
+    text-state contract).
 
     100 TB physics: the bands table is read bucket-aligned on
     (bi, bv) — only the batch's band rows shuffle; per-ingest cost
@@ -1373,6 +1379,13 @@ def media_state_probe(
         thresholds = {k: int(max_hamming.get(k, 3)) for k in ("image", "audio", "video")}
     else:
         thresholds = {k: int(max_hamming) for k in ("image", "audio", "video")}
+    too_wide = {k: v for k, v in thresholds.items() if v > 3}
+    if too_wide:
+        raise ValueError(
+            f"max_hamming > 3 is not supported ({too_wide}): band-equality "
+            "candidates guarantee recall only for Hamming <= 3 (pigeonhole "
+            "over 4 bands) — a wider threshold would silently miss pairs"
+        )
     new_rows = _media_band_rows(new_media, m.n_frames, m.min_flatness, m.demux_av)
     corpus = spark.table(f"{state_name}_bands")
     # space rides only the corpus side: bi already encodes it (equal bi

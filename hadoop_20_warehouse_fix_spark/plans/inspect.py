@@ -26,6 +26,10 @@ class PlanSummary:
     codegen_spans: int
     pushed_filters: list[str]
     read_schemas: list[str]
+    #: When set (adaptive_final_summary), the node ids of the AQE FINAL
+    #: plan tree — detail-section methods filter on it so initial-plan
+    #: copies of the same operators don't double-report.
+    node_ids: frozenset[str] | None = None
 
     def broadcast_inputs(self) -> list[set[str]]:
         """Column-name sets entering each BroadcastExchange — the bytes
@@ -33,8 +37,10 @@ class PlanSummary:
         the first executor-OOM lever, so tests assert these sets carry
         only the join keys + projected columns."""
         out = []
-        for m in re.finditer(r"\(\d+\) BroadcastExchange\n(?:.*\n)*?Input \[\d+\]: \[([^\]]*)\]", self.text):
-            out.append({c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()})
+        for m in re.finditer(r"\((\d+)\) BroadcastExchange\n(?:.*\n)*?Input \[\d+\]: \[([^\]]*)\]", self.text):
+            if self.node_ids is not None and m.group(1) not in self.node_ids:
+                continue
+            out.append({c.strip().split("#")[0] for c in m.group(2).split(",") if c.strip()})
         return out
 
     def scans_only_columns(self, *cols: str) -> bool:
@@ -88,12 +94,15 @@ def adaptive_final_summary(df: DataFrame) -> PlanSummary:
     # the detail sections entirely (both found empirically, round 11).
     # Count node kinds from the FINAL tree lines, and join scan node
     # ids back to their detail blocks for PushedFilters / ReadSchema.
+    # Scan tree lines may carry a catalog name between format and id
+    # ("Scan parquet spark_catalog.default.t (1)") — the pattern must
+    # not assume a single token (round-11 review).
     tree = formatted.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
     if "== Final Plan ==" in simple:
         simple_final = simple.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
     else:
         simple_final = simple
-    scan_ids = set(re.findall(r"\bScan \S+\s+\((\d+)\)", tree))
+    scan_ids = set(re.findall(r"\bScan\b[^(\n]*\((\d+)\)", tree))
     pushed, schemas = [], []
     for block in formatted.split("\n\n"):
         m = re.match(r"\((\d+)\) Scan ", block.strip())
@@ -102,16 +111,21 @@ def adaptive_final_summary(df: DataFrame) -> PlanSummary:
         pushed += re.findall(r"PushedFilters: \[([^\]]*)\]", block)
         schemas += re.findall(r"ReadSchema: struct<([^>]*)>", block)
     return PlanSummary(
-        text=tree,
+        # FULL formatted text (tree + detail sections), not the sliced
+        # tree: detail-driven methods (broadcast_inputs) need the
+        # blocks and filter by node_ids instead (round-11 review — the
+        # sliced form made broadcast_inputs() silently return []).
+        text=formatted,
         # \bExchange skips BroadcastExchange (no word boundary mid-word)
         # and ShuffleQueryStage/AQEShuffleRead wrappers by name
         num_exchanges=len(re.findall(r"\bExchange \(\d+\)", tree)),
         num_broadcast_joins=len(re.findall(r"\bBroadcastHashJoin\b", tree)),
         num_sortmerge_joins=len(re.findall(r"\bSortMergeJoin\b", tree)),
-        num_file_scans=len(re.findall(r"\bScan \S+\s+\(\d+\)", tree)),
+        num_file_scans=len(re.findall(r"\bScan\b[^(\n]*\(\d+\)", tree)),
         codegen_spans=len(set(re.findall(r"\*\((\d+)\)", simple_final))),
         pushed_filters=pushed,
         read_schemas=schemas,
+        node_ids=frozenset(re.findall(r"\((\d+)\)", tree)),
     )
 
 

@@ -27,10 +27,10 @@ from hadoop_20_warehouse_fix_spark.queries import query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
                           * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
                           * (1 - CAST(l_discount AS DECIMAL(18,6)))
                           * (1 + CAST(l_tax AS DECIMAL(18,6)))), 2) AS DOUBLE)      AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
@@ -87,7 +87,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT l_orderkey,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
                           * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer
@@ -138,7 +138,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT n_name,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
                           * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey

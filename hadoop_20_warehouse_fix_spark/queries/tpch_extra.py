@@ -24,7 +24,7 @@ from hadoop_20_warehouse_fix_spark.queries import query
     "q6_forecast_revenue",
     headline=True,
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
                       * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
@@ -70,7 +70,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
                           * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
     FROM customer
@@ -215,7 +215,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
                             * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -401,7 +401,7 @@ def q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             CAST(l_extendedprice AS DECIMAL(18,6))
+             CAST(l_extendedprice AS DECIMAL(28,6))
                * (1 - CAST(l_discount AS DECIMAL(18,6))) AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
@@ -464,7 +464,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / sum(volume), 4) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(18,6))
+             CAST(l_extendedprice AS DECIMAL(28,6))
                * (1 - CAST(l_discount AS DECIMAL(18,6))) AS volume,
              n2.n_name AS nation
       FROM part
@@ -535,7 +535,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE)
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))) / 7.0, 2) AS DOUBLE)
              AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -576,7 +576,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_discounted_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
                           * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem
@@ -718,7 +718,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+             CAST(l_extendedprice AS DECIMAL(28,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
                - CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_tax AS DECIMAL(18,6)) AS amount
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
@@ -774,7 +774,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH val AS (
       SELECT l_partkey,
-             sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(8,2)))
+             sum(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(8,2)))
                AS value
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                     JOIN nation ON s_nationkey = n_nationkey

@@ -154,6 +154,12 @@ def test_media_state_lifecycle_probe_equals_rerun(spark, tmp_path):
         assert got_dict == got1
         with pytest.raises(ValueError, match="max_hamming"):
             media_state_probe(batch1, state, {"text": 1})
+        # thresholds past the pigeonhole recall guarantee are refused,
+        # never silently under-recalled (round-11 review)
+        with pytest.raises(ValueError, match="Hamming <= 3"):
+            media_state_probe(batch1, state, 4)
+        with pytest.raises(ValueError, match="Hamming <= 3"):
+            media_state_probe(batch1, state, {"audio": 5})
 
         # fold batch 1 in; a second batch must now match corpus AND batch 1
         media_state_append(batch1, state)

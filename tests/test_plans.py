@@ -437,6 +437,32 @@ HEADLINE_FINAL_PLAN_FINGERPRINTS = {
 }
 
 
+def test_adaptive_final_summary_catalog_scans_and_broadcast_inputs(spark):
+    """Round-11 review regressions: (1) the final-tree scan pattern must
+    match CATALOG-table scan lines ('Scan parquet spark_catalog.default.t
+    (1)') — the original single-token pattern silently reported 0 scans
+    and empty pushed filters for every persisted-state probe plan; (2)
+    broadcast_inputs() must keep working on an adaptive summary (full
+    text retained, detail blocks filtered by final-plan node ids — the
+    sliced-tree form returned [] vacuously)."""
+    from hadoop_20_warehouse_fix_spark.plans.inspect import adaptive_final_summary
+
+    spark.sql("DROP TABLE IF EXISTS afs_probe_t")
+    try:
+        spark.range(100).selectExpr("id", "id % 7 AS k").write.saveAsTable("afs_probe_t")
+        df = spark.table("afs_probe_t").filter("k > 2").join(
+            F.broadcast(spark.range(7).withColumnRenamed("id", "k")), "k"
+        )
+        s = adaptive_final_summary(df)
+        assert s.num_file_scans == 1, s.text  # the catalog scan is seen
+        assert s.pushed_filters and any("k" in p for p in s.pushed_filters)
+        ins = s.broadcast_inputs()
+        assert ins and all(cols <= {"k", "id"} for cols in ins), ins
+        assert s.node_ids  # adaptive summaries carry their final ids
+    finally:
+        spark.sql("DROP TABLE IF EXISTS afs_probe_t")
+
+
 def test_headline_final_plan_fingerprints_pinned(spark):
     """Every bench headline query's AQE-FINAL plan fingerprint matches
     its pin, with the same exact-coverage discipline as the static
