@@ -1339,6 +1339,32 @@ def media_state_append(new_media: DataFrame, state_name: str) -> None:
     )
 
 
+def media_hamming_thresholds(max_hamming: int | dict[str, int]) -> dict[str, int]:
+    """Validated per-modality Hamming thresholds for the media dedup
+    state family (probe + streaming ingest): dict keys restricted to
+    image/audio/video with ABSENT keys defaulting to 3 (the capstone's
+    fill), and every value capped at 3 — band-equality candidates
+    guarantee recall only for Hamming <= 3 (pigeonhole over 4 bands),
+    so a wider threshold raises instead of silently under-recalling."""
+    if isinstance(max_hamming, dict):
+        bad = set(max_hamming) - {"image", "audio", "video"}
+        if bad:
+            raise ValueError(
+                f"max_hamming keys must be image/audio/video, got {sorted(bad)}"
+            )
+        thresholds = {k: int(max_hamming.get(k, 3)) for k in ("image", "audio", "video")}
+    else:
+        thresholds = {k: int(max_hamming) for k in ("image", "audio", "video")}
+    too_wide = {k: v for k, v in thresholds.items() if v > 3}
+    if too_wide:
+        raise ValueError(
+            f"max_hamming > 3 is not supported ({too_wide}): band-equality "
+            "candidates guarantee recall only for Hamming <= 3 (pigeonhole "
+            "over 4 bands) — a wider threshold would silently miss pairs"
+        )
+    return thresholds
+
+
 def media_state_probe(
     new_media: DataFrame, state_name: str, max_hamming: int | dict[str, int] = 3
 ) -> DataFrame:
@@ -1370,22 +1396,7 @@ def media_state_probe(
     the corpus, and the corpus is never re-decoded."""
     spark = new_media.sparkSession
     m = spark.table(f"{state_name}_meta").collect()[0]
-    if isinstance(max_hamming, dict):
-        bad = set(max_hamming) - {"image", "audio", "video"}
-        if bad:
-            raise ValueError(
-                f"max_hamming keys must be image/audio/video, got {sorted(bad)}"
-            )
-        thresholds = {k: int(max_hamming.get(k, 3)) for k in ("image", "audio", "video")}
-    else:
-        thresholds = {k: int(max_hamming) for k in ("image", "audio", "video")}
-    too_wide = {k: v for k, v in thresholds.items() if v > 3}
-    if too_wide:
-        raise ValueError(
-            f"max_hamming > 3 is not supported ({too_wide}): band-equality "
-            "candidates guarantee recall only for Hamming <= 3 (pigeonhole "
-            "over 4 bands) — a wider threshold would silently miss pairs"
-        )
+    thresholds = media_hamming_thresholds(max_hamming)
     new_rows = _media_band_rows(new_media, m.n_frames, m.min_flatness, m.demux_av)
     corpus = spark.table(f"{state_name}_bands")
     # space rides only the corpus side: bi already encodes it (equal bi

@@ -134,3 +134,164 @@ def stream_dedup_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_media_dedup_ingest(
+    media_stream: DataFrame,
+    state_name: str,
+    output_path: str,
+    checkpoint_dir: str,
+    max_hamming: int | dict[str, int] = 3,
+    dup_path: str | None = None,
+) -> None:
+    """The media twin of :func:`stream_dedup_ingest` (round 11): an
+    always-on media ingest deduplicating each arriving batch of
+    (media_id, payload) rows against the persisted fingerprint state
+    (:func:`~..operators.dedup.media_state_write`) — the corpus is
+    never re-decoded. Same five-step batch shape and the same
+    exactly-once analysis as the text ingest (ledger table, dynamic
+    partition overwrite, append-after-materialize, the documented
+    crash seam between append and ledger neutralized by the self-pair
+    filter).
+
+    Per micro-batch:
+
+    1. WITHIN-batch near-dups: one fingerprint pass (parameters from
+       the state's meta row, so batch and corpus agree by
+       construction), in-modality Hamming pairs — the higher media_id
+       drops (greedy min-id winner, the text ingest's policy); when
+       the state was written with ``demux_av``, standalone audio
+       matching a batch video's demuxed soundtrack ALSO drops
+       (asymmetric — the video always survives, the capstone rule).
+    2. CROSS-corpus near-dups: :func:`~..operators.dedup.
+       media_state_probe` — batch drops on in-modality pairs and on
+       corpus-track vs batch-audio pairs (the rip arriving after its
+       video); a batch VIDEO whose track matches corpus standalone
+       audio survives (it carries strictly more), and track–track
+       pairs are ignored (whether the videos are dups is the video
+       fingerprint's call, made by the in-modality stage).
+    3. Clean payloads land under ``output_path/_batch_id=<id>/``;
+       dropped ids (+ ``reason``: ``batch`` | ``corpus``) under
+       ``dup_path``.
+    4. Clean payloads fold into the state (``media_state_append``).
+    5. Batch id recorded in ``{state_name}_ingest_log`` LAST.
+
+    Undecodable / gate-dropped payloads carry no fingerprint, match
+    nothing, and pass through as clean: this operator's contract is
+    DEDUP; quality/decodability filtering is the capstone's gate
+    stage, which counts them."""
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import (
+        media_fingerprint_bands,
+    )
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        hamming_pairs_from_bands,
+        media_hamming_thresholds,
+        media_state_append,
+        media_state_probe,
+    )
+
+    thresholds = media_hamming_thresholds(max_hamming)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        log_t = f"{state_name}_ingest_log"
+        if (
+            spark.catalog.tableExists(log_t)
+            and spark.table(log_t).filter(F.col("batch_id") == batch_id).count() > 0
+        ):
+            return  # fully-processed batch replayed after a checkpoint crash
+        batch = batch_df.select("media_id", "payload").persist()
+        m = spark.table(f"{state_name}_meta").collect()[0]
+        bands = media_fingerprint_bands(
+            batch,
+            n_frames=m.n_frames,
+            min_flatness=m.min_flatness,
+            demux_av=m.demux_av,
+        ).persist()
+        payload_bands = bands.filter(
+            F.coalesce(F.col("modality") != "audio_track", F.lit(True))
+        )
+        widest = max(thresholds.values())
+        pairs = hamming_pairs_from_bands(payload_bands, widest, key_cols=["modality"])
+        if len(set(thresholds.values())) > 1:
+            thr = F.create_map(
+                *[F.lit(x) for k in thresholds for x in (k, thresholds[k])]
+            )
+            pairs = (
+                pairs.join(
+                    payload_bands.select(F.col("id").alias("id_a"), "modality"), "id_a"
+                )
+                .filter(F.col("hamming") <= thr[F.col("modality")])
+                .select("id_a", "id_b", "hamming")
+            )
+        local_losers = pairs.select(F.col("id_b").alias("media_id"))
+        if m.demux_av:
+            # in-batch cross-container: the rip and its video arriving
+            # in the SAME batch — the audio side drops regardless of id
+            # order (asymmetric, the capstone rule)
+            audio_union = bands.filter(F.col("modality").isin("audio", "audio_track"))
+            side = audio_union.select("id", "modality")
+            cross_local = (
+                hamming_pairs_from_bands(audio_union, thresholds["audio"])
+                .join(side.select(F.col("id").alias("id_a"), F.col("modality").alias("mod_a")), "id_a")
+                .join(side.select(F.col("id").alias("id_b"), F.col("modality").alias("mod_b")), "id_b")
+                .filter(F.col("mod_a") != F.col("mod_b"))
+                .select(
+                    F.when(F.col("mod_a") == "audio", F.col("id_a"))
+                    .otherwise(F.col("id_b"))
+                    .alias("media_id")
+                )
+            )
+            local_losers = local_losers.unionByName(cross_local)
+        local_losers = local_losers.distinct()
+        survivors = batch.join(local_losers, "media_id", "left_anti")
+        # Self-pair guard: replay after the append/ledger crash seam
+        # finds the batch's own rows in the state (same as text ingest).
+        cross = media_state_probe(survivors, state_name, max_hamming).filter(
+            F.col("id_a") != F.col("id_b")
+        )
+        corpus_dups = (
+            cross.filter(
+                (F.col("mod_a") == F.col("mod_b"))
+                | ((F.col("mod_a") == "audio_track") & (F.col("mod_b") == "audio"))
+            )
+            .select(F.col("id_b").alias("media_id"))
+            .distinct()
+        )
+        clean = survivors.join(corpus_dups, "media_id", "left_anti").persist()
+        (
+            clean.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(output_path)
+        )
+        if dup_path is not None:
+            dropped = batch.join(
+                local_losers.withColumn("reason", F.lit("batch")).unionByName(
+                    corpus_dups.withColumn("reason", F.lit("corpus"))
+                ),
+                "media_id",
+            ).select("media_id", "reason")
+            (
+                dropped.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(dup_path)
+            )
+        media_state_append(clean, state_name)
+        spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+            "append"
+        ).format("parquet").saveAsTable(log_t)
+        batch.unpersist()
+        bands.unpersist()
+        clean.unpersist()
+
+    q = (
+        media_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

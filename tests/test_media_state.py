@@ -58,6 +58,30 @@ CLIP_A, CLIP_B, CLIP_V = _clip(3), _clip(4), _clip(6)
 VID_A, VID_B = _vid(5), _vid(6)
 
 
+def _shaped_clip(seed: int) -> np.ndarray:
+    """Shaped-noise clip (the round-11 generator recipe): a random 8x9
+    log-band energy grid — distinct seeds give fingerprints ~14+ bits
+    apart, where sine mixes (_clip) can collide within the Hamming
+    threshold (sparse-spectrum physics, SCALING.md r9/r11)."""
+    r = np.random.default_rng(seed)
+    edges = 100.0 * (2000.0 / 100.0) ** (np.arange(10) / 9)
+    n = 2000
+    freqs = np.fft.rfftfreq(n, 1 / 8000.0)
+    segs = []
+    for _ in range(8):
+        mag = np.full(freqs.shape, 0.04)
+        hi = r.random(9) < 0.5
+        while hi.sum() < 2 or hi.sum() > 7:
+            hi = r.random(9) < 0.5
+        for b in range(9):
+            sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            nb = max(int(sel.sum()), 1)
+            mag[sel] = (2.83 if hi[b] else 1.0) / np.sqrt(nb)
+        segs.append(np.fft.irfft(mag * np.exp(1j * r.uniform(0, 2 * np.pi, freqs.shape)), n))
+    clip = np.concatenate(segs)
+    return clip / (np.abs(clip).max() + 1e-9) * 0.6
+
+
 def _df(spark, rows):
     return spark.createDataFrame(
         [(i, bytearray(p)) for i, p in rows], "media_id long, payload binary"
@@ -192,6 +216,67 @@ def test_media_state_lifecycle_probe_equals_rerun(spark, tmp_path):
         assert _probe_set(media_state_probe(batch2, state)) == got_del
     finally:
         for t in ("bands", "meta", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
+        spark.catalog.clearCache()
+
+
+def test_stream_media_dedup_ingest_uses_and_updates_state(spark, tmp_path):
+    """Round 11: the media state's production shape — the media twin of
+    stream_dedup_ingest. Batch 1 plants: a re-encode of a corpus image
+    (corpus dup), a fresh image + its re-encode (batch dup, higher id
+    drops), a WAV rip of a corpus video's soundtrack (cross-container
+    corpus drop), and a fresh WAV. Batch 2 re-sends the fresh image
+    (caught by the state batch 1 updated) plus a genuinely new image.
+    Replay of the drained source is a no-op."""
+    from hadoop_20_warehouse_fix_spark.streaming import stream_media_dedup_ingest
+
+    state = "media_state_stream"
+    d = str(tmp_path / "media_landing")
+    out_p, dup_p = str(tmp_path / "m_clean"), str(tmp_path / "m_dup")
+    ckpt = str(tmp_path / "m_ckpt")
+
+    def drain():
+        sdf = spark.readStream.schema("media_id long, payload binary").parquet(d)
+        stream_media_dedup_ingest(sdf, state, out_p, ckpt, dup_path=dup_p)
+
+    img_fresh, img_new2 = _img(11), _img(12)
+    try:
+        media_state_write(
+            _df(spark, _corpus_rows()), state, demux_av=True, num_buckets=4,
+            path=str(tmp_path / "st"),
+        )
+        _df(spark, [
+            (1010, encode_jpeg_progressive(IMG_A, quant=8)),  # corpus dup of 10
+            (1020, encode_jpeg(img_fresh, quant=8)),          # fresh
+            (1021, encode_jpeg_progressive(img_fresh, quant=8)),  # batch dup of 1020
+            (1030, encode_wav(CLIP_V, 8000)),                 # rip of corpus video 30's track
+            (1040, encode_wav(_shaped_clip(21), 8000)),       # fresh audio
+        ]).coalesce(1).write.mode("append").parquet(d)
+        drain()
+        _df(spark, [
+            (2010, encode_jpeg(img_fresh, quant=8)),  # dup of batch-1 survivor 1020
+            (2020, encode_jpeg(img_new2, quant=8)),   # fresh
+        ]).coalesce(1).write.mode("append").parquet(d)
+        drain()
+
+        clean = {r.media_id for r in spark.read.parquet(out_p).collect()}
+        assert clean == {1020, 1040, 2020}
+        dups = {(r.media_id, r.reason) for r in spark.read.parquet(dup_p).collect()}
+        assert dups == {
+            (1010, "corpus"), (1021, "batch"), (1030, "corpus"), (2010, "corpus"),
+        }
+        log = sorted(r.batch_id for r in spark.table(f"{state}_ingest_log").collect())
+        assert log == [0, 1]
+        state_ids = {r.id for r in spark.table(f"{state}_bands").select("id").collect()}
+        assert {1020, 1040, 2020} <= state_ids and 1021 not in state_ids
+        # replay: nothing changes
+        drain()
+        assert {r.media_id for r in spark.read.parquet(out_p).collect()} == clean
+        assert sorted(
+            r.batch_id for r in spark.table(f"{state}_ingest_log").collect()
+        ) == [0, 1]
+    finally:
+        for t in ("bands", "meta", "tombstones", "ingest_log"):
             spark.sql(f"DROP TABLE IF EXISTS {state}_{t}")
         spark.catalog.clearCache()
 
