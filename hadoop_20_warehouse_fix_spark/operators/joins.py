@@ -515,3 +515,67 @@ def skew_join(
         # the name records that the picker verified AQE is live.
         return left.join(right, on=keys)
     raise ValueError(f"unknown skew-join strategy {strategy!r}")
+
+
+def key_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    max_keys: int = 4_000_000,
+    on_overflow: str = "plain",
+) -> DataFrame:
+    """Semi-join reduction: ship the (filtered) dimension's DISTINCT join
+    keys as a broadcast semi-filter on the fact BEFORE the join shuffle,
+    so only fact rows that can match are ever shuffled.
+
+    The 100 TB shape this exists for: fact is the scan-dominant side, dim
+    is selectively filtered but its ROWS are too wide to broadcast whole
+    (``broadcast_join`` would OOM executors), yet its distinct KEYS fit
+    comfortably. A plain SMJ shuffles ALL fact rows; with a 1% selective
+    dim filter, 99% of that shuffle is bytes moved to be discarded at the
+    join. This is exactly the rewrite Spark's runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.*``) injects adaptively —
+    measured head-to-head in SCALING.md r11 — but the explicit form is
+    exact (no false-positive pass-through), planner-visible, works below
+    the injection thresholds, and survives persist()/checkpoint barriers
+    that hide the creation-side filter from the optimizer rule.
+
+    Reference analog: the join package's inner composite expression
+    evaluates smallest-source keys first (``M/join/JoinRecordReader.java``)
+    — the same "probe the cheap side, skip the expensive rows" physics,
+    per-split instead of cluster-wide.
+
+    Correctness: only ``inner`` and ``left_semi`` are accepted — for any
+    fact-preserving join (left/full outer) dropping unmatched fact rows
+    up front would change the result. The key set is probed with one
+    bounded count (``LIMIT max_keys+1`` over the partial-agg distinct, an
+    early-out job); past the cap, ``on_overflow`` picks ``"plain"`` (fall
+    back to the unfiltered join — correct either way, pytest-pinned) or
+    ``"raise"``. The dim side is evaluated twice (keys pass + join pass);
+    that is two scans of the SMALL side bought against a fact-shuffle
+    reduction proportional to dim selectivity — at 100 TB the trade is
+    not close. Default cap 4M keys ≈ 32 MB of broadcast longs, inside
+    the same budget ``choose_skew_join_strategy`` allows a build side.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"key_prefilter_join is only sound for inner/left_semi joins, got {how!r}"
+        )
+    if on_overflow not in ("plain", "raise"):
+        raise ValueError(f"unknown on_overflow {on_overflow!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    key_set = dim.select(*keys).distinct()
+    probed = key_set.limit(max_keys + 1).count()
+    if probed > max_keys:
+        if on_overflow == "raise":
+            raise ValueError(
+                f"dim has >{max_keys} distinct join keys — broadcasting the key set "
+                "would blow the executor budget; raise max_keys or use the plain join"
+            )
+        return fact.join(dim, on=keys, how=how)
+    reduced = fact.join(F.broadcast(key_set), on=keys, how="left_semi")
+    if how == "left_semi":
+        # The prefilter IS the semi join once the keys fit — done.
+        return reduced
+    return reduced.join(dim, on=keys, how=how)

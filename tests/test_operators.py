@@ -1015,6 +1015,71 @@ def test_skew_strategy_aqe_probe_case_insensitive(spark):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_s)
 
 
+def test_key_prefilter_join_equals_plain_and_guards(spark):
+    """Round 11: semi-join reduction — the broadcast key prefilter must
+    be row-identical to the plain join (including dim-side key
+    multiplicity), fall back to the plain join past the key cap, and
+    refuse fact-preserving join types where dropping unmatched fact
+    rows up front would change the result."""
+    import pytest
+
+    from hadoop_20_warehouse_fix_spark.operators.joins import key_prefilter_join
+
+    fact = spark.range(10_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("fv")
+    )
+    # dim: 1% of the key space, keys 0..4, each key appearing TWICE
+    # (multiplicity must survive the prefilter's distinct())
+    dim = (
+        spark.range(10)
+        .select((F.col("id") % 5).alias("k"), (F.col("id") * 7).alias("dv"))
+    )
+
+    want = {(r.k, r.fv, r.dv) for r in fact.join(dim, "k").collect()}
+    got = {(r.k, r.fv, r.dv) for r in key_prefilter_join(fact, dim, "k").collect()}
+    assert got == want and len(want) == 10_000 // 500 * 5 * 2
+
+    want_semi = {(r.k, r.fv) for r in fact.join(dim, "k", "left_semi").collect()}
+    got_semi = {
+        (r.k, r.fv)
+        for r in key_prefilter_join(fact, dim, "k", how="left_semi").collect()
+    }
+    assert got_semi == want_semi
+
+    # past the cap: identical rows via the plain fallback
+    got_fb = {
+        (r.k, r.fv, r.dv)
+        for r in key_prefilter_join(fact, dim, "k", max_keys=2).collect()
+    }
+    assert got_fb == want
+    with pytest.raises(ValueError, match="distinct join keys"):
+        key_prefilter_join(fact, dim, "k", max_keys=2, on_overflow="raise")
+    with pytest.raises(ValueError, match="only sound"):
+        key_prefilter_join(fact, dim, "k", how="left")
+    with pytest.raises(ValueError, match="on_overflow"):
+        key_prefilter_join(fact, dim, "k", on_overflow="maybe")
+
+
+def test_key_prefilter_join_broadcasts_only_the_keys(spark):
+    """The prefilter's BroadcastExchange must carry ONLY the join key
+    column — shipping dim's payload columns would re-create exactly the
+    executor-memory problem the operator exists to avoid."""
+    from hadoop_20_warehouse_fix_spark.operators.joins import key_prefilter_join
+    from hadoop_20_warehouse_fix_spark.plans.inspect import plan_summary
+
+    fact = spark.range(50_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("fv")
+    )
+    dim = spark.range(20).select(
+        F.col("id").alias("k"), F.repeat(F.lit("x"), 100).alias("payload")
+    )
+    out = key_prefilter_join(fact, dim, "k")
+    s = plan_summary(out)
+    assert s.num_broadcast_joins >= 1
+    key_only = [cols for cols in s.broadcast_inputs() if cols == {"k"}]
+    assert key_only, f"no key-only broadcast in {s.broadcast_inputs()}"
+
+
 def test_bench_own_cpu_includes_reaped_children():
     """Round-8 ADVICE: _own_cpu_seconds must count CPU of descendants
     that already EXITED (cutime/cstime of live ancestors) — otherwise
