@@ -1,0 +1,134 @@
+"""File-stats manifest + planning-time file pruning (round 11).
+
+The contract under test: pruning may only drop files the predicate
+PROVABLY cannot match — every read_pruned result must be row-identical
+to the unpruned scan + filter, while the kept-file count shows the
+skipping actually happened on a clustered layout.
+"""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.operators.sort import write_zordered
+from hadoop_20_warehouse_fix_spark.sources.manifest import (
+    manifest_kept_files,
+    read_pruned,
+    write_file_stats_manifest,
+)
+
+
+@pytest.fixture(scope="module")
+def ztable(spark):
+    """50k rows z-ordered on (x, y) into 16 files, with a string, a
+    date, and an all-NULL double column riding along."""
+    tmp = tempfile.mkdtemp(prefix="manifest_")
+    path = f"{tmp}/ztab"
+    df = spark.range(50_000).select(
+        (F.col("id") % 512).alias("x"),
+        ((F.col("id") * 37) % 512).alias("y"),
+        F.md5(F.col("id").cast("string")).alias("s"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
+        F.lit(None).cast("double").alias("n"),
+        F.col("id").alias("payload"),
+    )
+    write_zordered(df, path, ["x", "y"], bits=9, num_files=16)
+    mpath = write_file_stats_manifest(spark, path)
+    yield path, mpath
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_pruned_scan_equals_full_filter_and_skips_files(spark, ztable):
+    path, mpath = ztable
+    full = spark.read.parquet(path)
+    preds = {"x": (10, 40), "y": (100, 160)}
+    got = read_pruned(spark, path, preds)
+    want = full.filter((F.col("x") >= 10) & (F.col("x") <= 40) & (F.col("y") >= 100) & (F.col("y") <= 160))
+    assert _rows(got) == _rows(want) and got.count() > 0
+    kept, total = manifest_kept_files(spark, mpath, preds)
+    # the point of the z-layout: a small box touches few of the 16 files
+    assert total == 16 and 0 < len(kept) < total
+
+
+def test_equality_string_and_date_predicates(spark, ztable):
+    path, _ = ztable
+    full = spark.read.parquet(path)
+    got = read_pruned(spark, path, {"x": 7})  # bare value = equality
+    assert _rows(got) == _rows(full.filter(F.col("x") == 7))
+    lo, hi = "a", "c"
+    got_s = read_pruned(spark, path, {"s": (lo, hi)})
+    assert _rows(got_s) == _rows(full.filter((F.col("s") >= lo) & (F.col("s") <= hi)))
+    d0, d1 = datetime.date(2024, 3, 1), datetime.date(2024, 3, 10)
+    got_d = read_pruned(spark, path, {"d": (d0, d1)})
+    assert _rows(got_d) == _rows(full.filter((F.col("d") >= F.lit(d0)) & (F.col("d") <= F.lit(d1))))
+
+
+def test_all_null_column_never_prunes_wrongly(spark, ztable):
+    """NULL stats (the all-NULL column has no min/max) must keep every
+    file, and the re-applied filter still makes the answer exact."""
+    path, mpath = ztable
+    kept, total = manifest_kept_files(spark, mpath, {"n": (0.0, 1.0)})
+    assert len(kept) == total  # conservative: nothing provably excluded
+    assert read_pruned(spark, path, {"n": (0.0, 1.0)}).count() == 0  # exact
+
+
+def test_fully_pruned_read_keeps_schema(spark, ztable):
+    path, _ = ztable
+    out = read_pruned(spark, path, {"x": (10_000, None)})
+    assert out.count() == 0
+    assert out.schema == spark.read.parquet(path).schema
+
+
+def test_open_ended_and_errors(spark, ztable):
+    path, mpath = ztable
+    full = spark.read.parquet(path)
+    got = read_pruned(spark, path, {"x": (500, None)})
+    assert _rows(got) == _rows(full.filter(F.col("x") >= 500))
+    with pytest.raises(ValueError, match="no stats"):
+        manifest_kept_files(spark, mpath, {"zzz": (0, 1)})  # not manifested
+    with pytest.raises(ValueError, match="no bounds"):
+        manifest_kept_files(spark, mpath, {"x": (None, None)})
+    with pytest.raises(ValueError, match="not in table schema"):
+        write_file_stats_manifest(spark, path, cols=["nope"])
+
+
+def test_manifest_on_partitioned_layout(spark):
+    """Recursive listing: a partitionBy directory layout manifests every
+    leaf file and pruning stays exact."""
+    tmp = tempfile.mkdtemp(prefix="manifest_part_")
+    path = f"{tmp}/ptab"
+    try:
+        df = spark.range(5_000).select(
+            (F.col("id") % 4).alias("p"), (F.col("id") % 100).alias("v")
+        )
+        df.write.partitionBy("p").mode("overwrite").parquet(path)
+        mpath = write_file_stats_manifest(spark, path, cols=["v"])
+        full = spark.read.parquet(path)
+        got = read_pruned(spark, path, {"v": (10, 20)})
+        want = full.filter((F.col("v") >= 10) & (F.col("v") <= 20))
+        assert {(r.v, r.p) for r in got.collect()} == {(r.v, r.p) for r in want.collect()}
+        kept, total = manifest_kept_files(spark, mpath, {"v": (10, 20)})
+        assert total >= 4 and len(kept) == total  # v spans every file: no skip, no loss
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_manifest_explicit_cols_only(spark, ztable):
+    path, _ = ztable
+    import tempfile as tf
+
+    with tf.TemporaryDirectory() as td:
+        mpath = write_file_stats_manifest(spark, path, cols=["x"], manifest_path=f"{td}/m")
+        m = spark.read.parquet(mpath)
+        assert {"file", "num_rows", "bytes", "min_x", "max_x", "nulls_x"} == set(m.columns)
+        assert m.count() == 16
+        assert m.agg(F.sum("num_rows")).first()[0] == 50_000
