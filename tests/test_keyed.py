@@ -1,0 +1,153 @@
+"""Keyed-table COW upsert/delete (round 11): override semantics at the
+storage layer, with ONLY the touched hash-bucket directories rewritten."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.sources.keyed import (
+    BUCKET_COL,
+    delete_from_keyed_table,
+    read_keyed_meta,
+    read_keyed_table,
+    upsert_keyed_table,
+    write_keyed_table,
+)
+
+
+def _bucket_files(path: str) -> dict[str, set[tuple[str, float, int]]]:
+    """bucket dir -> {(file, mtime, size)} — physical identity probe."""
+    out: dict[str, set] = {}
+    for d in os.listdir(path):
+        if not d.startswith(f"{BUCKET_COL}="):
+            continue
+        full = os.path.join(path, d)
+        out[d] = {
+            (f, os.path.getmtime(os.path.join(full, f)), os.path.getsize(os.path.join(full, f)))
+            for f in os.listdir(full)
+            if not f.startswith((".", "_"))
+        }
+    return out
+
+
+@pytest.fixture()
+def keyed(spark):
+    tmp = tempfile.mkdtemp(prefix="keyed_")
+    path = f"{tmp}/tab"
+    base = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("base").alias("tag")
+    )
+    write_keyed_table(base, path, ["k"], num_buckets=16)
+    yield path
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_upsert_override_semantics_and_cow(spark, keyed):
+    before = _bucket_files(keyed)
+    updates = spark.range(100).select(
+        (F.col("id") * 101).alias("k"),  # 0..9999 hits existing, >9999 inserts
+        F.lit(-1).cast("long").alias("v"),
+        F.lit("upd").alias("tag"),
+    )
+    diag = upsert_keyed_table(spark, keyed, updates)
+    got = {(r.k, r.v, r.tag) for r in read_keyed_table(spark, keyed).collect()}
+    want = {(k, 2 * k, "base") for k in range(10_000) if k % 101 != 0} | {
+        (i * 101, -1, "upd") for i in range(100)
+    }
+    assert got == want
+    # COW: every untouched bucket's files are physically identical
+    after = _bucket_files(keyed)
+    touched = {f"{BUCKET_COL}={b}" for b in diag["touched_buckets"]}
+    assert 0 < len(touched) <= 16 and diag["batch_rows"] == 100
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files, f"untouched bucket {d} was rewritten"
+
+
+def test_delete_and_new_bucket_insert(spark, keyed):
+    # delete every key divisible by 7
+    keys = spark.range(10_000).filter(F.col("id") % 7 == 0).select(F.col("id").alias("k"))
+    diag = delete_from_keyed_table(spark, keyed, keys)
+    assert diag["batch_rows"] == len([k for k in range(10_000) if k % 7 == 0])
+    left = read_keyed_table(spark, keyed)
+    assert left.count() == 10_000 - diag["batch_rows"]
+    assert left.filter(F.col("k") % 7 == 0).count() == 0
+    # duplicate delete keys are fine (assume_unique defaults True there)
+    delete_from_keyed_table(spark, keyed, keys.union(keys))
+
+
+def test_batch_validation(spark, keyed):
+    dup = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b")], "k long, v long, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_keyed_table(spark, keyed, dup)
+    with pytest.raises(ValueError, match="columns"):
+        upsert_keyed_table(spark, keyed, dup.select("k", "v"))
+    with pytest.raises(ValueError, match="lacks key columns"):
+        delete_from_keyed_table(spark, keyed, dup.select(F.col("v").alias("x")))
+    with pytest.raises(ValueError, match="not a keyed table"):
+        read_keyed_meta(spark, "/tmp/definitely_not_a_keyed_table")
+    # assume_unique skips the check and last..well, arbitrary row wins is
+    # NOT promised — the flag is for pre-proven batches; just assert it runs
+    upsert_keyed_table(
+        spark, keyed, dup.dropDuplicates(["k"]), assume_unique=True
+    )
+
+
+def test_composite_keys_and_meta(spark):
+    tmp = tempfile.mkdtemp(prefix="keyed_comp_")
+    path = f"{tmp}/tab"
+    try:
+        df = spark.range(1_000).select(
+            (F.col("id") % 50).alias("a"),
+            (F.col("id") / 50).cast("long").alias("b"),
+            F.col("id").alias("v"),
+        )
+        write_keyed_table(df, path, ["a", "b"], num_buckets=8)
+        meta = read_keyed_meta(spark, path)
+        assert meta["key_cols"] == ["a", "b"] and meta["num_buckets"] == 8
+        ups = spark.createDataFrame([(3, 2, -7)], "a long, b long, v long")
+        upsert_keyed_table(spark, path, ups)
+        tab = read_keyed_table(spark, path)
+        assert tab.filter((F.col("a") == 3) & (F.col("b") == 2)).first().v == -7
+        assert tab.count() == 1_000
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_touched_read_prunes_directories(spark, keyed):
+    """Behavioral partition-pruning proof: a kb.isin filter only ever
+    opens files under the matching bucket dirs."""
+    few = [0, 3]
+    files = {
+        r.f
+        for r in spark.read.parquet(keyed)
+        .filter(F.col(BUCKET_COL).isin(few))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert files
+    for f in files:
+        assert any(f"{BUCKET_COL}={b}/" in f for b in few), f
+
+
+def test_initial_load_uniqueness_and_reserved_col(spark):
+    tmp = tempfile.mkdtemp(prefix="keyed_uni_")
+    try:
+        dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+        with pytest.raises(ValueError, match="duplicate keys"):
+            write_keyed_table(dup, f"{tmp}/t1", ["k"])
+        bad = dup.withColumnRenamed("v", BUCKET_COL)
+        with pytest.raises(ValueError, match="reserved"):
+            write_keyed_table(bad, f"{tmp}/t2", ["k"])
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            write_keyed_table(dup, f"{tmp}/t3", ["zzz"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
