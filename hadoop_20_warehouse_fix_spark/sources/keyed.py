@@ -1,4 +1,5 @@
-"""Keyed tables: bucket-pruned copy-on-write upsert / delete (round 11).
+"""Keyed tables: copy-on-write AND merge-on-read upsert / delete
+(round 11).
 
 The reference's mutable-state story is MapFile merge — rewrite the
 sorted file with the new keys folded in (``C/io/MapFile.java``), and
@@ -7,31 +8,53 @@ the engine already exposes that semantics relationally as
 warehouse needs on top is the STORAGE form: apply a small batch of
 upserts/deletes to a huge table without rewriting the table.
 
-Layout: plain parquet partitioned by a derived hash bucket
-``kb = pmod(xxhash64(key_cols), num_buckets)`` — one directory per
-bucket, Spark partition pruning on ``kb`` is directory pruning. An
-upsert batch touches ``|distinct kb(updates)| ≤ num_buckets`` buckets;
-copy-on-write rewrites ONLY those directories and leaves every other
-file physically untouched (pytest pins untouched-file identity). At
-100 TB / 4096 buckets, a point-update batch rewrites ~1/4096th of the
-table per touched bucket, not the table.
+Layout: plain parquet partitioned by a derived bucket column —
+``layout="hash"``: ``kb = pmod(xxhash64(key_cols), num_buckets)``;
+``layout="range"``: ``kb = floor(key / range_step)`` on the leading
+key (time-series / monotonic-id tables). One directory per bucket;
+Spark partition pruning on ``kb`` is directory pruning.
 
-Crash story (same honesty as ``dedup.minhash_state_compact``): the
+Two write paths, because the round-11 study (SCALING.md) measured the
+quadrant honestly:
+
+- **COW** (``mode="cow"``): rewrite ONLY the touched bucket dirs,
+  leave every other file physically untouched (pytest pins identity).
+  Wins when the batch's keys are BUCKET-LOCAL — a backfill of one day
+  on a range layout touches one dir of thousands. LOSES for scattered
+  point updates on a hash layout: 1,000 uniform keys over 256 buckets
+  touch ~254 of them (birthday math — touched ≈ B·(1-(1-1/B)^n)), and
+  the "pruned" rewrite IS the full rewrite plus swap overhead
+  (measured 36.5 s vs 10.4 s at 20M rows).
+- **MOR** (``mode="mor"``): append the batch as a delta file set under
+  ``_delta/seq=N`` — O(batch) write cost regardless of key spread (the
+  scattered-batch answer). Readers resolve latest-seq-wins per key
+  (one max_by shuffle — the read tax), deletes are tombstone rows,
+  and :func:`compact_keyed_table` folds deltas back into the base via
+  the COW machinery, pruned to the buckets the deltas actually touch.
+
+This is the publicly documented Hudi/Iceberg COW-vs-MOR trade
+re-expressed on plain parquet directories; the delta/compact lifecycle
+mirrors this repo's ``minhash_state_append``/``_compact`` discipline.
+
+Crash story (same honesty as ``dedup.minhash_state_compact``): the COW
 swap is per-bucket rename-aside — merged data lands in a hidden
 ``_staging`` dir, then per bucket: live dir → ``_old.kb=<b>``, staged
 dir → live, delete old. No multi-bucket transaction exists on a plain
 filesystem: a crash mid-swap leaves SOME buckets new and some old
 (readers never see a half-bucket — renames are atomic per directory on
 HDFS/local — but cross-bucket consistency needs the recovery sweep:
-``_staging``/``_old.*`` present ⇒ finish or roll back by rename).
+``_staging``/``_old.*`` present ⇒ finish or roll back by rename). A
+MOR append is one rename of the staged seq dir — atomic per batch.
 Engines that need multi-writer transactions layer a log on top
-(Delta/Iceberg); this is the bucket-granular COW those logs commit.
+(Delta/Iceberg); this is the bucket-granular storage those logs commit.
 
 Key uniqueness is the table's contract (it is a keyed table): the
 initial write and every batch refuse duplicate keys unless the caller
 passes ``assume_unique=True`` (bulk loads that already proved it — the
 check is one groupBy over the written side, cheap for batches, a full
-pass for the initial load).
+pass for the initial load). Reads go through
+:func:`read_keyed_table` — a plain ``spark.read.parquet`` of the path
+sees only the BASE (deltas live under a hidden dir by design).
 """
 
 from __future__ import annotations
@@ -44,6 +67,8 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "kb"
 _META = "_keyed_meta.json"
+_DELTA_DIR = "_delta"
+_DEL_COL = "_del"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -71,8 +96,20 @@ def read_keyed_meta(spark: SparkSession, path: str) -> dict:
     return json.loads(data.decode())
 
 
-def _bucket_expr(key_cols: Sequence[str], num_buckets: int):
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+def _bucket_expr(meta: dict):
+    """Bucket id from the layout metadata — every batch derives the
+    identical bucketing the initial load used."""
+    key_cols = meta["key_cols"]
+    if meta.get("layout", "hash") == "range":
+        # `div` (truncate toward zero) not floor: the bucket id only
+        # needs to be DETERMINISTIC, and div stays exact on longs where
+        # floor(col/step) detours through double. Leading key must be
+        # integral (derive an epoch column for time keys).
+        step = int(meta["range_step"])
+        return F.expr(f"CAST({key_cols[0]} AS BIGINT) div {step}").cast("int")
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(meta["num_buckets"])
+    ).cast("int")
 
 
 def _check_unique(df: DataFrame, key_cols: Sequence[str], what: str) -> None:
@@ -91,19 +128,35 @@ def write_keyed_table(
     key_cols: Sequence[str],
     num_buckets: int = 64,
     assume_unique: bool = False,
+    layout: str = "hash",
+    range_step: int | None = None,
 ) -> None:
-    """Initial load of a keyed table: hash-bucket directory layout +
-    layout metadata, so every later batch derives the same bucketing."""
+    """Initial load of a keyed table: bucket directory layout + layout
+    metadata, so every later batch derives the same bucketing.
+    ``layout="range"`` buckets by ``leading_key div range_step`` —
+    pick it when update batches are key-local (time-series backfills),
+    so COW touches few directories (SCALING.md r11 quadrant study)."""
     key_cols = list(key_cols)
     missing = [c for c in key_cols if c not in df.columns]
     if missing:
         raise ValueError(f"key columns {missing} not in DataFrame")
-    if BUCKET_COL in df.columns:
-        raise ValueError(f"{BUCKET_COL!r} is reserved for the bucket layout")
+    if BUCKET_COL in df.columns or _DEL_COL in df.columns:
+        raise ValueError(f"{BUCKET_COL!r}/{_DEL_COL!r} are reserved column names")
+    if layout not in ("hash", "range"):
+        raise ValueError(f"layout must be 'hash' or 'range', got {layout!r}")
+    if layout == "range" and (range_step is None or int(range_step) <= 0):
+        raise ValueError("layout='range' needs a positive range_step")
     if not assume_unique:
         _check_unique(df, key_cols, "initial load")
     spark = df.sparkSession
-    out = df.withColumn(BUCKET_COL, _bucket_expr(key_cols, num_buckets))
+    meta = {
+        "key_cols": key_cols,
+        "num_buckets": num_buckets,
+        "data_cols": list(df.columns),
+        "layout": layout,
+        "range_step": int(range_step) if range_step else None,
+    }
+    out = df.withColumn(BUCKET_COL, _bucket_expr(meta))
     # One shuffle keyed exactly like the layout: each writer task owns
     # whole buckets, so a bucket directory is ~one file, not one file
     # per (task, bucket) pair.
@@ -113,17 +166,98 @@ def write_keyed_table(
         .mode("overwrite")
         .parquet(path)
     )
-    _write_meta(
-        spark,
-        path,
-        {"key_cols": key_cols, "num_buckets": num_buckets, "data_cols": [c for c in df.columns]},
+    _write_meta(spark, path, meta)
+
+
+def _delta_seq_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
+    """Sorted (seq, dir) of committed MOR delta batches."""
+    fs, root, jvm = _fs(spark, f"{path}/{_DELTA_DIR}")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("seq="):
+            out.append((int(name.split("=", 1)[1]), st.getPath().toUri().getPath()))
+    return sorted(out)
+
+
+def _read_deltas(spark: SparkSession, path: str, meta: dict) -> DataFrame | None:
+    """All delta rows as data_cols + _del + kb (regular column) + _seq
+    (None if no deltas). The seq dirs are passed explicitly with
+    basePath so the hidden ``_delta`` root never hits Spark's
+    ignored-path check."""
+    dirs = _delta_seq_dirs(spark, path)
+    if not dirs:
+        return None
+    df = spark.read.option("basePath", f"{path}/{_DELTA_DIR}").parquet(
+        *[d for _, d in dirs]
     )
+    return df.withColumnRenamed("seq", "_seq")
+
+
+#: Above this many total delta bytes the broadcast resolution path
+#: gives way to the shuffle path (delta keys may no longer fit a
+#: broadcast; the threshold is bytes-on-disk, a driver-side listing —
+#: no probe job on the read path).
+DELTA_BROADCAST_BYTES = 256 << 20
+
+
+def _delta_bytes(spark: SparkSession, path: str) -> int:
+    fs, root, jvm = _fs(spark, f"{path}/{_DELTA_DIR}")
+    if not fs.exists(root):
+        return 0
+    return fs.getContentSummary(root).getLength()
+
+
+def _resolve_winners(deltas: DataFrame, meta: dict, extra: Sequence[str]) -> DataFrame:
+    """Latest-seq-wins WITHIN the deltas (delta-sized shuffle): one row
+    per key carrying non-key cols + ``extra`` + the tombstone flag."""
+    key_cols = meta["key_cols"]
+    non_key = [c for c in meta["data_cols"] if c not in key_cols]
+    picked = list(non_key) + list(extra) + [_DEL_COL]
+    w = deltas.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*picked), F.col("_seq")).alias("_w")
+    )
+    return w.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in picked])
+
+
+def _merged_view(
+    base: DataFrame, deltas: DataFrame, meta: dict, extra: Sequence[str], broadcast_keys: bool
+) -> DataFrame:
+    """base ∪ deltas with override semantics. The base is NEVER put
+    through a shuffle when the delta keys fit a broadcast (the common
+    MOR regime — measured 7.7 s → anti-join-streaming at 20M base
+    rows): resolve winners among the (small) deltas, anti-join the base
+    against their keys, union. Past DELTA_BROADCAST_BYTES the same
+    algebra runs with a plain (shuffle) anti join."""
+    key_cols = meta["key_cols"]
+    data_cols = list(meta["data_cols"]) + list(extra)
+    winners = _resolve_winners(deltas, meta, extra)
+    keys = winners.select(*key_cols)
+    survivors = base.select(*data_cols).join(
+        F.broadcast(keys) if broadcast_keys else keys, on=key_cols, how="left_anti"
+    )
+    live = winners.filter(~F.col(_DEL_COL)).select(*data_cols)
+    return survivors.unionByName(live)
 
 
 def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
-    """The table's data columns (the bucket column stays internal)."""
+    """The table's current rows (data columns only): base overridden by
+    any pending MOR deltas, latest batch wins per key, tombstones
+    filtered. With no deltas this is the plain base scan; with deltas
+    the tax is a broadcast anti-join of the delta keys against the base
+    (no base shuffle) until the deltas outgrow
+    :data:`DELTA_BROADCAST_BYTES` — :func:`compact_keyed_table` clears
+    it entirely."""
     meta = read_keyed_meta(spark, path)
-    return spark.read.parquet(path).select(*meta["data_cols"])
+    data_cols = meta["data_cols"]
+    base = spark.read.parquet(path)
+    deltas = _read_deltas(spark, path, meta)
+    if deltas is None:
+        return base.select(*data_cols)
+    bcast = _delta_bytes(spark, path) <= DELTA_BROADCAST_BYTES
+    return _merged_view(base, deltas, meta, extra=[], broadcast_keys=bcast).select(*data_cols)
 
 
 def _swap_buckets(spark: SparkSession, path: str, staging: str, buckets: list[int]) -> None:
@@ -147,15 +281,10 @@ def _swap_buckets(spark: SparkSession, path: str, staging: str, buckets: list[in
     fs.delete(Path(staging), True)
 
 
-def _apply_batch(
-    spark: SparkSession,
-    path: str,
-    batch: DataFrame,
-    delete: bool,
-    assume_unique: bool,
-) -> dict:
-    meta = read_keyed_meta(spark, path)
-    key_cols, n, data_cols = meta["key_cols"], meta["num_buckets"], meta["data_cols"]
+def _validated_batch(
+    meta: dict, batch: DataFrame, delete: bool, assume_unique: bool
+) -> DataFrame:
+    key_cols, data_cols = meta["key_cols"], meta["data_cols"]
     if delete:
         missing = [c for c in key_cols if c not in batch.columns]
         if missing:
@@ -170,7 +299,29 @@ def _apply_batch(
         batch = batch.select(*data_cols)
     if not assume_unique:
         _check_unique(batch, key_cols, "batch")
-    batch = batch.withColumn(BUCKET_COL, _bucket_expr(key_cols, n)).persist()
+    return batch
+
+
+def _apply_batch(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    delete: bool,
+    assume_unique: bool,
+) -> dict:
+    meta = read_keyed_meta(spark, path)
+    key_cols, n, data_cols = meta["key_cols"], meta["num_buckets"], meta["data_cols"]
+    if _delta_seq_dirs(spark, path):
+        # A COW rewrite puts the new value in the base at logical seq 0;
+        # any pending delta (seq >= 1) would still override it at read
+        # time — silently resurrecting older writes. Refuse instead.
+        raise ValueError(
+            "table has pending MOR deltas — compact_keyed_table() first, "
+            "then apply COW batches (mixing modes would let older deltas "
+            "override this newer write at read time)"
+        )
+    batch = _validated_batch(meta, batch, delete, assume_unique)
+    batch = batch.withColumn(BUCKET_COL, _bucket_expr(meta)).persist()
     try:
         touched = sorted(r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect())
         if not touched:
@@ -193,28 +344,145 @@ def _apply_batch(
         )
         batch_rows = batch.count()
         _swap_buckets(spark, path, staging, [int(b) for b in touched])
+        # Count untouched from the DIRECTORIES present: range layouts
+        # have data-dependent bucket ids, so meta num_buckets is only
+        # the hash layout's denominator.
+        fs2, root, jvm2 = _fs(spark, path)
+        live = sum(
+            1
+            for st in fs2.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith(f"{BUCKET_COL}=")
+        )
         return {
             "touched_buckets": [int(b) for b in touched],
-            "untouched_buckets": n - len(touched),
+            "untouched_buckets": live - len(touched),
             "batch_rows": batch_rows,
         }
     finally:
         batch.unpersist()
 
 
+def _mor_append(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    delete: bool,
+    assume_unique: bool,
+) -> dict:
+    """Append the batch as the next ``_delta/seq=N`` file set —
+    O(batch) whatever the key spread. Deletes ride as tombstone rows
+    (non-key columns NULLed, ``_del`` true). The staged dir is renamed
+    into place as the LAST step, so a crash mid-write leaves no
+    half-visible batch."""
+    meta = read_keyed_meta(spark, path)
+    key_cols, data_cols = meta["key_cols"], meta["data_cols"]
+    batch = _validated_batch(meta, batch, delete, assume_unique)
+    if delete:
+        base_schema = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+        batch = batch.select(
+            *key_cols,
+            *[
+                F.lit(None).cast(base_schema[c]).alias(c)
+                for c in data_cols
+                if c not in key_cols
+            ],
+        )
+    batch = (
+        batch.select(*data_cols)
+        .withColumn(_DEL_COL, F.lit(delete))
+        .withColumn(BUCKET_COL, _bucket_expr(meta))
+    )
+    seqs = _delta_seq_dirs(spark, path)
+    next_seq = (seqs[-1][0] + 1) if seqs else 1
+    staging = f"{path}/{_DELTA_DIR}/_staging_seq"
+    fs, _, jvm = _fs(spark, staging)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(staging), True)
+    # kb rides as a REGULAR column: partitionBy(kb) here exploded a
+    # scattered 1k-row batch into ~one tiny file per touched bucket
+    # (measured 10 s of pure file-open overhead); nothing reads deltas
+    # by bucket dir — compaction takes kb from the column.
+    batch.write.mode("overwrite").parquet(staging)
+    final = Path(f"{path}/{_DELTA_DIR}/seq={next_seq}")
+    if not fs.rename(Path(staging), final):
+        raise IOError(f"delta commit rename failed for seq={next_seq}")
+    return {"mode": "mor", "seq": next_seq, "delete": delete}
+
+
+def compact_keyed_table(spark: SparkSession, path: str) -> dict:
+    """Fold pending MOR deltas into the base: resolve latest-seq-wins
+    over (base ∪ deltas) for ONLY the buckets the deltas touch, COW-swap
+    those bucket dirs, then drop the delta dirs. Idempotent across a
+    crash between swap and delta removal — re-applying the same deltas
+    reproduces the same rows (overrides are absolute values, tombstones
+    delete already-absent keys)."""
+    meta = read_keyed_meta(spark, path)
+    deltas = _read_deltas(spark, path, meta)
+    if deltas is None:
+        return {"touched_buckets": [], "deltas_folded": 0}
+    n_deltas = len(_delta_seq_dirs(spark, path))
+    deltas = deltas.persist()
+    try:
+        touched = sorted(
+            int(r[BUCKET_COL]) for r in deltas.select(BUCKET_COL).distinct().collect()
+        )
+        base = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+        # Same no-base-shuffle resolution as the read path (the first
+        # draft's whole-table max_by measured 50.5 s against the full
+        # rewrite's 12.3 — a compaction slower than the rewrite it
+        # amortizes is pointless); kb rides through as the write key.
+        bcast = _delta_bytes(spark, path) <= DELTA_BROADCAST_BYTES
+        merged = _merged_view(base, deltas, meta, extra=[BUCKET_COL], broadcast_keys=bcast)
+        staging = f"{path}/_staging"
+        fs, _, jvm = _fs(spark, staging)
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs.delete(Path(staging), True)
+        (
+            merged.repartition(max(1, len(touched)), BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        _swap_buckets(spark, path, staging, touched)
+        fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
+        return {"touched_buckets": touched, "deltas_folded": n_deltas}
+    finally:
+        deltas.unpersist()
+
+
 def upsert_keyed_table(
-    spark: SparkSession, path: str, updates: DataFrame, assume_unique: bool = False
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    assume_unique: bool = False,
+    mode: str = "cow",
 ) -> dict:
     """Override-join semantics at the storage layer: rows whose keys
-    appear in ``updates`` are replaced, new keys are inserted, and only
-    the hash buckets containing an updated key are rewritten. Returns
-    ``{touched_buckets, untouched_buckets, batch_rows}``."""
-    return _apply_batch(spark, path, updates, delete=False, assume_unique=assume_unique)
+    appear in ``updates`` are replaced, new keys are inserted.
+    ``mode="cow"`` rewrites only the touched bucket dirs (key-local
+    batches); ``mode="mor"`` appends an O(batch) delta the readers
+    merge until :func:`compact_keyed_table` folds it (scattered
+    batches — the measured quadrant split, SCALING.md r11)."""
+    if mode == "cow":
+        return _apply_batch(spark, path, updates, delete=False, assume_unique=assume_unique)
+    if mode == "mor":
+        return _mor_append(spark, path, updates, delete=False, assume_unique=assume_unique)
+    raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
 
 
 def delete_from_keyed_table(
-    spark: SparkSession, path: str, keys: DataFrame, assume_unique: bool = True
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    assume_unique: bool = True,
+    mode: str = "cow",
 ) -> dict:
-    """Physical key deletion, same bucket-pruned COW path (duplicate
-    keys in a delete batch are harmless, so uniqueness defaults off)."""
-    return _apply_batch(spark, path, keys, delete=True, assume_unique=assume_unique)
+    """Key deletion: ``cow`` removes rows physically from the touched
+    buckets now; ``mor`` writes tombstones the readers honor and
+    compaction makes physical. Duplicate keys in a delete batch are
+    harmless, so uniqueness defaults off."""
+    if mode == "cow":
+        return _apply_batch(spark, path, keys, delete=True, assume_unique=assume_unique)
+    if mode == "mor":
+        return _mor_append(spark, path, keys, delete=True, assume_unique=assume_unique)
+    raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_fix_spark.sources.keyed import (
     BUCKET_COL,
+    compact_keyed_table,
     delete_from_keyed_table,
     read_keyed_meta,
     read_keyed_table,
@@ -136,6 +137,94 @@ def test_touched_read_prunes_directories(spark, keyed):
     assert files
     for f in files:
         assert any(f"{BUCKET_COL}={b}/" in f for b in few), f
+
+
+def _ups(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v long, tag string")
+
+
+def test_mor_upsert_is_append_only_and_resolves(spark, keyed):
+    before = _bucket_files(keyed)
+    d1 = upsert_keyed_table(spark, keyed, _ups(spark, [(5, -5, "m1"), (20_001, 1, "m1")]), mode="mor")
+    d2 = upsert_keyed_table(spark, keyed, _ups(spark, [(5, -55, "m2")]), mode="mor")
+    assert (d1["seq"], d2["seq"]) == (1, 2)
+    # base files byte-identical: MOR writes never touch them
+    assert _bucket_files(keyed) == before
+    assert os.path.isdir(f"{keyed}/_delta/seq=1") and os.path.isdir(f"{keyed}/_delta/seq=2")
+    tab = read_keyed_table(spark, keyed)
+    assert tab.count() == 10_001  # one insert
+    got = {(r.k, r.v, r.tag) for r in tab.filter(F.col("k").isin(5, 20_001, 7)).collect()}
+    assert got == {(5, -55, "m2"), (20_001, 1, "m1"), (7, 14, "base")}  # latest seq wins
+    # a plain parquet read sees only the base — the documented contract
+    assert spark.read.parquet(keyed).count() == 10_000
+
+
+def test_mor_delete_tombstone_then_compact_physical(spark, keyed):
+    upsert_keyed_table(spark, keyed, _ups(spark, [(3, -3, "m")]), mode="mor")
+    delete_from_keyed_table(
+        spark, keyed, spark.createDataFrame([(3,), (8,)], "k long"), mode="mor"
+    )
+    tab = read_keyed_table(spark, keyed)
+    assert tab.count() == 9_998  # 3 (overridden then tombstoned) and 8 gone
+    assert tab.filter(F.col("k").isin(3, 8)).count() == 0
+    want_rows = {tuple(r) for r in tab.collect()}  # BEFORE compact drops the delta files
+    before = _bucket_files(keyed)
+    diag = compact_keyed_table(spark, keyed)
+    assert diag["deltas_folded"] == 2 and diag["touched_buckets"]
+    assert not os.path.exists(f"{keyed}/_delta")
+    after_tab = read_keyed_table(spark, keyed)
+    assert {tuple(r) for r in after_tab.collect()} == want_rows
+    # tombstoned keys physically gone from the base scan
+    assert spark.read.parquet(keyed).filter(F.col("k").isin(3, 8)).count() == 0
+    # compaction itself is COW: untouched buckets keep their files
+    after = _bucket_files(keyed)
+    touched = {f"{BUCKET_COL}={b}" for b in diag["touched_buckets"]}
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files, f"untouched bucket {d} rewritten by compact"
+    # idempotence of the fold: a second compact is a no-op
+    assert compact_keyed_table(spark, keyed) == {"touched_buckets": [], "deltas_folded": 0}
+
+
+def test_cow_refused_while_deltas_pending(spark, keyed):
+    upsert_keyed_table(spark, keyed, _ups(spark, [(1, 0, "m")]), mode="mor")
+    with pytest.raises(ValueError, match="pending MOR deltas"):
+        upsert_keyed_table(spark, keyed, _ups(spark, [(2, 0, "c")]), mode="cow")
+    with pytest.raises(ValueError, match="pending MOR deltas"):
+        delete_from_keyed_table(spark, keyed, spark.createDataFrame([(2,)], "k long"))
+    compact_keyed_table(spark, keyed)
+    upsert_keyed_table(spark, keyed, _ups(spark, [(2, -2, "c")]), mode="cow")
+    assert read_keyed_table(spark, keyed).filter("k = 2").first().v == -2
+    with pytest.raises(ValueError, match="mode"):
+        upsert_keyed_table(spark, keyed, _ups(spark, [(9, 0, "x")]), mode="merge")
+
+
+def test_range_layout_keeps_local_batches_local(spark):
+    """The COW quadrant fix: a key-local batch on a range layout touches
+    ONE bucket dir of many (hash scatters the same batch everywhere —
+    the SCALING.md r11 birthday-math finding)."""
+    tmp = tempfile.mkdtemp(prefix="keyed_range_")
+    path = f"{tmp}/tab"
+    try:
+        base = spark.range(100_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("base").alias("tag")
+        )
+        write_keyed_table(base, path, ["k"], layout="range", range_step=10_000)
+        assert read_keyed_meta(spark, path)["layout"] == "range"
+        # backfill one "day": keys 30_000..30_099
+        ups = spark.range(30_000, 30_100).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v"), F.lit("fix").alias("tag")
+        )
+        diag = upsert_keyed_table(spark, path, ups)
+        assert diag["touched_buckets"] == [3] and diag["untouched_buckets"] == 9
+        tab = read_keyed_table(spark, path)
+        assert tab.filter("tag = 'fix'").count() == 100 and tab.count() == 100_000
+        with pytest.raises(ValueError, match="range_step"):
+            write_keyed_table(base, f"{tmp}/bad", ["k"], layout="range")
+        with pytest.raises(ValueError, match="layout"):
+            write_keyed_table(base, f"{tmp}/bad2", ["k"], layout="zorder")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_initial_load_uniqueness_and_reserved_col(spark):
