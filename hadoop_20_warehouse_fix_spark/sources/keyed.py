@@ -362,20 +362,51 @@ def _apply_batch(
         batch.unpersist()
 
 
+_INGEST_KEY = "_ingest_key"
+
+
+def _delta_ingest_keys(spark: SparkSession, path: str) -> dict[str, int]:
+    """{idempotency key: seq} of committed deltas that carry one —
+    small driver-side marker reads, the replay ledger for streaming
+    ingest."""
+    out: dict[str, int] = {}
+    for seq, d in _delta_seq_dirs(spark, path):
+        fs, marker, jvm = _fs(spark, f"{d}/{_INGEST_KEY}")
+        if fs.exists(marker):
+            stream = fs.open(marker)
+            try:
+                out[bytes(stream.readAllBytes()).decode()] = seq
+            finally:
+                stream.close()
+    return out
+
+
 def _mor_append(
     spark: SparkSession,
     path: str,
     batch: DataFrame,
     delete: bool,
     assume_unique: bool,
+    idempotency_key: str | None = None,
 ) -> dict:
     """Append the batch as the next ``_delta/seq=N`` file set —
     O(batch) whatever the key spread. Deletes ride as tombstone rows
     (non-key columns NULLed, ``_del`` true). The staged dir is renamed
     into place as the LAST step, so a crash mid-write leaves no
-    half-visible batch."""
+    half-visible batch. ``idempotency_key`` (written INTO the staged
+    dir, so it commits atomically with the data) makes a replayed
+    append a no-op — the streaming-ingest contract."""
     meta = read_keyed_meta(spark, path)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
+    if idempotency_key is not None:
+        seen = _delta_ingest_keys(spark, path)
+        if idempotency_key in seen:
+            return {
+                "mode": "mor",
+                "seq": seen[idempotency_key],
+                "delete": delete,
+                "replayed": True,
+            }
     batch = _validated_batch(meta, batch, delete, assume_unique)
     if delete:
         base_schema = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
@@ -403,6 +434,10 @@ def _mor_append(
     # (measured 10 s of pure file-open overhead); nothing reads deltas
     # by bucket dir — compaction takes kb from the column.
     batch.write.mode("overwrite").parquet(staging)
+    if idempotency_key is not None:
+        marker = fs.create(Path(f"{staging}/{_INGEST_KEY}"), True)
+        marker.write(bytearray(idempotency_key.encode()))
+        marker.close()
     final = Path(f"{path}/{_DELTA_DIR}/seq={next_seq}")
     if not fs.rename(Path(staging), final):
         raise IOError(f"delta commit rename failed for seq={next_seq}")
@@ -456,17 +491,24 @@ def upsert_keyed_table(
     updates: DataFrame,
     assume_unique: bool = False,
     mode: str = "cow",
+    idempotency_key: str | None = None,
 ) -> dict:
     """Override-join semantics at the storage layer: rows whose keys
     appear in ``updates`` are replaced, new keys are inserted.
     ``mode="cow"`` rewrites only the touched bucket dirs (key-local
     batches); ``mode="mor"`` appends an O(batch) delta the readers
     merge until :func:`compact_keyed_table` folds it (scattered
-    batches — the measured quadrant split, SCALING.md r11)."""
+    batches — the measured quadrant split, SCALING.md r11).
+    ``idempotency_key`` (MOR only) makes a replayed batch a no-op."""
+    if idempotency_key is not None and mode != "mor":
+        raise ValueError("idempotency_key is a MOR-delta contract; mode='cow' rewrites in place")
     if mode == "cow":
         return _apply_batch(spark, path, updates, delete=False, assume_unique=assume_unique)
     if mode == "mor":
-        return _mor_append(spark, path, updates, delete=False, assume_unique=assume_unique)
+        return _mor_append(
+            spark, path, updates, delete=False, assume_unique=assume_unique,
+            idempotency_key=idempotency_key,
+        )
     raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
 
 
@@ -476,13 +518,19 @@ def delete_from_keyed_table(
     keys: DataFrame,
     assume_unique: bool = True,
     mode: str = "cow",
+    idempotency_key: str | None = None,
 ) -> dict:
     """Key deletion: ``cow`` removes rows physically from the touched
     buckets now; ``mor`` writes tombstones the readers honor and
     compaction makes physical. Duplicate keys in a delete batch are
     harmless, so uniqueness defaults off."""
+    if idempotency_key is not None and mode != "mor":
+        raise ValueError("idempotency_key is a MOR-delta contract; mode='cow' rewrites in place")
     if mode == "cow":
         return _apply_batch(spark, path, keys, delete=True, assume_unique=assume_unique)
     if mode == "mor":
-        return _mor_append(spark, path, keys, delete=True, assume_unique=assume_unique)
+        return _mor_append(
+            spark, path, keys, delete=True, assume_unique=assume_unique,
+            idempotency_key=idempotency_key,
+        )
     raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")

@@ -11,6 +11,7 @@ reference-parity item.
 
 from hadoop_20_warehouse_fix_spark.streaming.ingest import (  # noqa: F401
     stream_dedup_ingest,
+    stream_keyed_upsert_ingest,
     stream_media_dedup_ingest,
 )
 from hadoop_20_warehouse_fix_spark.streaming.windows import (  # noqa: F401

@@ -295,3 +295,92 @@ def stream_media_dedup_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_keyed_upsert_ingest(
+    updates_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    op_col: str | None = None,
+    assume_unique: bool = False,
+    compact_every: int | None = None,
+) -> None:
+    """CDC ingest onto a keyed table (round 11): drain a stream of
+    row-level changes into ``sources.keyed`` MOR deltas — the
+    streaming twin of the dedup/media state ingests, closing the
+    streaming↔storage seam for mutable tables.
+
+    Each micro-batch becomes at most two O(batch) delta appends
+    (tombstones first, then upserts — the split is only cosmetic since
+    a key may appear ONCE per batch; the shared uniqueness check
+    enforces that, turning an ambiguous delete+upsert of one key into
+    an error instead of an order-dependent answer). ``op_col`` names
+    an optional change-kind column (``"delete"`` rows become
+    tombstones; anything else upserts); without it every row upserts.
+
+    Exactly-once: each append carries an ``idempotency_key`` derived
+    from the Structured Streaming batch id, committed atomically with
+    the delta (the marker rides inside the staged dir through the
+    rename) — a replayed batch after a checkpoint crash is a no-op,
+    whichever of the two appends it died between. ``compact_every=N``
+    folds deltas into the base whenever ≥N are pending AFTER a batch,
+    bounding the readers' merge tax in an always-on ingest; the
+    compaction itself is crash-idempotent (see
+    :func:`~..sources.keyed.compact_keyed_table`). One honest seam: a
+    crash between an in-batch compaction and the checkpoint commit
+    replays a batch whose markers the compaction folded away — the
+    replay re-appends, which is VALUE-idempotent (overrides are
+    absolute, tombstones delete already-absent keys; pytest-pinned),
+    not physically no-op. Same recovery model the dedup ingest
+    documents for its step-4/5 seam.
+    """
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        _check_unique,
+        _delta_seq_dirs,
+        compact_keyed_table,
+        delete_from_keyed_table,
+        read_keyed_meta,
+        upsert_keyed_table,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        meta = read_keyed_meta(spark, table_path)
+        batch = batch_df.persist()
+        try:
+            if not assume_unique:
+                # ONE check across the whole batch: also catches the
+                # same key arriving as both a delete and an upsert.
+                _check_unique(batch, meta["key_cols"], "stream batch")
+            if op_col is not None:
+                dels = batch.filter(F.col(op_col) == "delete").select(*meta["key_cols"])
+                ups = batch.filter(
+                    F.col(op_col).isNull() | (F.col(op_col) != "delete")
+                ).drop(op_col)
+            else:
+                dels, ups = None, batch
+            if dels is not None and not dels.isEmpty():
+                delete_from_keyed_table(
+                    spark, table_path, dels, mode="mor",
+                    idempotency_key=f"stream-{batch_id}-del",
+                )
+            if not ups.isEmpty():
+                upsert_keyed_table(
+                    spark, table_path, ups, assume_unique=True, mode="mor",
+                    idempotency_key=f"stream-{batch_id}-ups",
+                )
+            if (
+                compact_every is not None
+                and len(_delta_seq_dirs(spark, table_path)) >= compact_every
+            ):
+                compact_keyed_table(spark, table_path)
+        finally:
+            batch.unpersist()
+
+    q = (
+        updates_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
