@@ -56,6 +56,12 @@ _PRUNABLE = (
 )
 
 
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
 def _list_data_files(spark: SparkSession, table_path: str) -> list[str]:
     """All parquet data files under ``table_path`` via the Hadoop FS
     (recursive — partitioned layouts included), skipping hidden
@@ -110,20 +116,30 @@ def write_file_stats_manifest(
     files = _list_data_files(spark, table_path)
     if not files:
         raise ValueError(f"no parquet data files under {table_path!r}")
+    manifest = _stats_frame(spark, files, list(cols), by_name)
+    dest = manifest_path or f"{table_path.rstrip('/')}/{MANIFEST_DIR}"
+    manifest.coalesce(1).write.mode("overwrite").parquet(dest)
+    return dest
 
+
+def _stats_frame(
+    spark: SparkSession, files: list[str], want: list[str], by_name: dict
+) -> DataFrame:
+    """The distributed footer pass: one manifest row per path in
+    ``files`` (Arrow-batched mapInPandas — a million footers is task
+    work, not a driver loop)."""
     out_fields = [
         T.StructField("file", T.StringType(), False),
         T.StructField("num_rows", T.LongType(), False),
         T.StructField("bytes", T.LongType(), False),
     ]
-    for c in cols:
+    for c in want:
         out_fields += [
             T.StructField(f"min_{c}", by_name[c], True),
             T.StructField(f"max_{c}", by_name[c], True),
             T.StructField(f"nulls_{c}", T.LongType(), True),
         ]
     out_schema = T.StructType(out_fields)
-    want = list(cols)
 
     def footer_stats(batches: Iterator) -> Iterator:
         import os
@@ -166,10 +182,63 @@ def write_file_stats_manifest(
 
     paths_df = spark.createDataFrame([(f,) for f in files], "file string")
     n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
-    manifest = paths_df.repartition(n_tasks).mapInPandas(footer_stats, out_schema)
+    return paths_df.repartition(n_tasks).mapInPandas(footer_stats, out_schema)
+
+
+def refresh_file_stats_manifest(
+    spark: SparkSession,
+    table_path: str,
+    manifest_path: str | None = None,
+) -> dict:
+    """Incremental manifest maintenance: footer-read ONLY files that
+    appeared since the last build, drop rows for files that vanished
+    (compaction, COW swaps, deletes), keep everything else verbatim.
+    At 100 TB a full rebuild is O(all files) per ingest — this is
+    O(changed files) + one small manifest rewrite, the same
+    cost-tracks-the-batch discipline as the dedup/IVF state appends.
+
+    The stat COLUMNS are taken from the existing manifest (consistency
+    by construction); no manifest yet → falls back to the full build.
+    The updated manifest lands via rename-aside (``__next`` then swap)
+    — the live manifest is never half-written; a crash between the two
+    renames leaves ``__next`` complete on disk and recovery is a
+    rename. Returns ``{added, removed, kept, total}``."""
     dest = manifest_path or f"{table_path.rstrip('/')}/{MANIFEST_DIR}"
-    manifest.coalesce(1).write.mode("overwrite").parquet(dest)
-    return dest
+    fs, droot, jvm = _fs_for(spark, dest)
+    if not fs.exists(droot):
+        write_file_stats_manifest(spark, table_path, manifest_path=manifest_path)
+        n = len(_list_data_files(spark, table_path))
+        return {"added": n, "removed": 0, "kept": 0, "total": n}
+    old = _read_manifest(spark, dest)
+    known = {r.file for r in old.select("file").collect()}
+    current = set(_list_data_files(spark, table_path))
+    if not current:
+        raise ValueError(f"no parquet data files under {table_path!r}")
+    added = sorted(current - known)
+    removed = known - current
+    if not added and not removed:
+        return {"added": 0, "removed": 0, "kept": len(known), "total": len(known)}
+    schema = spark.read.parquet(table_path).schema
+    by_name = {f.name: f.dataType for f in schema.fields}
+    want = [c[len("min_"):] for c in old.columns if c.startswith("min_")]
+    kept = old.filter(~F.col("file").isin(list(removed))) if removed else old
+    pieces = [kept]
+    if added:
+        pieces.append(_stats_frame(spark, added, want, by_name))
+    combined = pieces[0] if len(pieces) == 1 else pieces[0].unionByName(pieces[1])
+    nxt = f"{dest}__next"
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(nxt), True)
+    combined.coalesce(1).write.mode("overwrite").parquet(nxt)
+    fs.delete(droot, True)
+    if not fs.rename(Path(nxt), droot):
+        raise IOError(f"manifest swap rename failed for {dest}")
+    return {
+        "added": len(added),
+        "removed": len(removed),
+        "kept": len(known) - len(removed),
+        "total": len(current),
+    }
 
 
 def _read_manifest(spark: SparkSession, mpath: str) -> DataFrame:

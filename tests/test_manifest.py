@@ -122,6 +122,50 @@ def test_manifest_on_partitioned_layout(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_refresh_manifest_incremental(spark):
+    """Appended files get footer-read, vanished files get dropped,
+    untouched rows survive verbatim, and pruning stays exact through
+    the whole lifecycle."""
+    import os
+
+    from hadoop_20_warehouse_fix_spark.sources.manifest import (
+        refresh_file_stats_manifest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="manifest_inc_")
+    path = f"{tmp}/tab"
+    try:
+        df1 = spark.range(1_000).select((F.col("id") % 50).alias("v"))
+        df1.coalesce(2).write.parquet(path)
+        # first refresh with no manifest = the full build
+        diag = refresh_file_stats_manifest(spark, path)
+        assert diag["added"] == 2 and diag["removed"] == 0
+        # append a batch with a DISJOINT value range
+        spark.range(1_000).select((F.col("id") % 50 + 1_000).alias("v")).coalesce(
+            2
+        ).write.mode("append").parquet(path)
+        diag = refresh_file_stats_manifest(spark, path)
+        assert diag == {"added": 2, "removed": 0, "kept": 2, "total": 4}
+        kept, total = manifest_kept_files(spark, f"{path}/_stats_manifest", {"v": (1_000, None)})
+        assert total == 4 and len(kept) == 2  # only the appended files qualify
+        got = read_pruned(spark, path, {"v": (1_000, None)})
+        assert got.count() == 1_000
+        # simulate a compaction: remove one ORIGINAL-batch file (pick it
+        # by its stats — part-file names don't encode the batch), refresh
+        m = spark.read.parquet(f"{path}/_stats_manifest")
+        victim = m.filter(F.col("max_v") < 1_000).select("file").first().file
+        os.remove(victim)
+        diag = refresh_file_stats_manifest(spark, path)
+        assert diag["removed"] == 1 and diag["added"] == 0 and diag["total"] == 3
+        # idempotent no-change refresh
+        assert refresh_file_stats_manifest(spark, path) == {
+            "added": 0, "removed": 0, "kept": 3, "total": 3,
+        }
+        assert read_pruned(spark, path, {"v": (1_000, None)}).count() == 1_000
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_manifest_explicit_cols_only(spark, ztable):
     path, _ = ztable
     import tempfile as tf
