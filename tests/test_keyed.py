@@ -279,6 +279,58 @@ def test_stream_keyed_upsert_ingest_cdc(spark, tmp_path):
     ).collect()} == got
 
 
+def test_cdc_compact_manifest_pruned_read_composition(spark, tmp_path):
+    """The round-11 storage seams composed end-to-end: a range-keyed
+    table takes a CDC stream (upserts + a tombstone), in-stream
+    compaction folds it into the base via COW swaps, the stats
+    manifest refreshes incrementally over exactly the swapped bucket
+    dirs, and a manifest-pruned range read returns the post-CDC truth
+    while skipping most files."""
+    from hadoop_20_warehouse_fix_spark.sources.manifest import (
+        manifest_kept_files,
+        read_pruned,
+        refresh_file_stats_manifest,
+        write_file_stats_manifest,
+    )
+    from hadoop_20_warehouse_fix_spark.streaming import stream_keyed_upsert_ingest
+
+    path = str(tmp_path / "ts")
+    base = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v"), F.lit("base").alias("tag")
+    )
+    write_keyed_table(base, path, ["k"], layout="range", range_step=10_000)
+    mpath = write_file_stats_manifest(spark, path, cols=["k", "v"])
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    spark.createDataFrame(
+        [(35_000, -1, "fix", "upsert"), (35_001, -1, "fix", "upsert"), (35_002, 0, "", "delete")],
+        "k long, v long, tag string, op string",
+    ).coalesce(1).write.parquet(f"{landing}/f1")
+    sdf = (
+        spark.readStream.schema("k long, v long, tag string, op string")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    stream_keyed_upsert_ingest(sdf, path, str(tmp_path / "ckpt"), op_col="op", compact_every=1)
+    assert not os.path.exists(f"{path}/_delta")  # compacted in-stream
+
+    diag = refresh_file_stats_manifest(spark, path)
+    # only the one swapped bucket dir (kb=3) changed files
+    assert diag["removed"] >= 1 and diag["added"] >= 1 and diag["added"] <= 4
+
+    got = read_pruned(spark, path, {"k": (34_990, 35_010)})
+    want = {
+        (k, -1 if k in (35_000, 35_001) else k % 97,
+         "fix" if k in (35_000, 35_001) else "base")
+        for k in range(34_990, 35_011)
+        if k != 35_002  # tombstoned
+    }
+    assert {(r.k, r.v, r.tag) for r in got.select("k", "v", "tag").collect()} == want
+    kept, total = manifest_kept_files(spark, mpath, {"k": (34_990, 35_010)})
+    assert 0 < len(kept) < total  # the range layout made the skip real
+
+
 def test_mor_idempotency_key_replay(spark, keyed):
     ups = _ups(spark, [(10, -10, "m")])
     d1 = upsert_keyed_table(spark, keyed, ups, mode="mor", idempotency_key="batch-7")
