@@ -168,8 +168,18 @@ def _stats_frame(
                             if st is None or not st.has_min_max:
                                 ok = False
                                 break
-                            mn = st.min if mn is None else min(mn, st.min)
-                            mx = st.max if mx is None else max(mx, st.max)
+                            try:
+                                # pyarrow raises ArrowNotImplementedError
+                                # for logical types it can't cast stats
+                                # for (DECIMAL, live-tested) even when
+                                # has_min_max is true — conservative keep,
+                                # same as absent stats.
+                                lo, hi = st.min, st.max
+                            except Exception:  # noqa: BLE001
+                                ok = False
+                                break
+                            mn = lo if mn is None else min(mn, lo)
+                            mx = hi if mx is None else max(mx, hi)
                             if st.null_count is None:
                                 nulls = None
                             elif nulls is not None:

@@ -166,6 +166,49 @@ def test_refresh_manifest_incremental(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_typed_columns_timestamp_decimal_nan(spark):
+    """Type-edge pins: timestamps prune exactly; DECIMAL stats are
+    uncastable in this pyarrow (ArrowNotImplementedError despite
+    has_min_max — found live) so every file is conservatively kept and
+    the answer stays exact; a NaN-bearing double column stays exact."""
+    import datetime
+    import decimal as dec
+
+    tmp = tempfile.mkdtemp(prefix="manifest_typed_")
+    path = f"{tmp}/t"
+    try:
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60).alias("ts"),
+            (F.col("id").cast("decimal(12,2)") / 7).alias("d"),
+            F.when(F.col("id") % 100 == 0, float("nan"))
+            .otherwise(F.col("id") * 1.5)
+            .alias("dbl"),
+        )
+        df.repartition(4, "k").sortWithinPartitions("k").write.parquet(path)
+        mpath = write_file_stats_manifest(spark, path)
+        full = spark.read.parquet(path)
+
+        t0 = datetime.datetime(2023, 11, 14, 22, 13, 20)
+        t1 = t0 + datetime.timedelta(hours=1)
+        got = read_pruned(spark, path, {"ts": (t0, t1)})
+        want = full.filter((F.col("ts") >= F.lit(t0)) & (F.col("ts") <= F.lit(t1)))
+        assert got.count() == want.count() == 61
+
+        lo, hi = dec.Decimal("100.00"), dec.Decimal("200.00")
+        kept, total = manifest_kept_files(spark, mpath, {"d": (lo, hi)})
+        assert len(kept) == total  # uncastable stats: keep everything
+        got_d = read_pruned(spark, path, {"d": (lo, hi)})
+        want_d = full.filter((F.col("d") >= lo) & (F.col("d") <= hi))
+        assert got_d.count() == want_d.count() > 0
+
+        got_n = read_pruned(spark, path, {"dbl": (0.0, 10.0)})
+        want_n = full.filter((F.col("dbl") >= 0.0) & (F.col("dbl") <= 10.0))
+        assert got_n.count() == want_n.count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_manifest_explicit_cols_only(spark, ztable):
     path, _ = ztable
     import tempfile as tf
