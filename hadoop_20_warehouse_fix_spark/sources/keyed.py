@@ -64,6 +64,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 BUCKET_COL = "kb"
 _META = "_keyed_meta.json"
@@ -113,8 +114,28 @@ def _bucket_expr(meta: dict):
 
 
 def _check_unique(df: DataFrame, key_cols: Sequence[str], what: str) -> None:
-    dup = df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
-    if dup:
+    """One aggregation pass enforcing BOTH key-contract halves:
+    uniqueness, and no NULL key components. NULL keys are not a
+    style rule — the COW/MOR override machinery anti-joins on the
+    keys, and NULL never equi-matches, so a NULL-keyed row would
+    survive every override/delete aimed at it and duplicate forever."""
+    from functools import reduce
+
+    any_null = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in key_cols])
+    bad = (
+        df.groupBy(*key_cols)
+        .count()
+        .filter((F.col("count") > 1) | any_null)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        if any(bad[0][c] is None for c in key_cols):
+            raise ValueError(
+                f"{what} has NULL key components on {list(key_cols)} — NULL never "
+                "equi-matches, so such rows can never be overridden or deleted; "
+                "filter or backfill them first"
+            )
         raise ValueError(
             f"{what} has duplicate keys on {list(key_cols)} — a keyed table is "
             "key-unique by contract; dedupe first (exact_dedup_rows / override_join) "
@@ -146,6 +167,17 @@ def write_keyed_table(
         raise ValueError(f"layout must be 'hash' or 'range', got {layout!r}")
     if layout == "range" and (range_step is None or int(range_step) <= 0):
         raise ValueError("layout='range' needs a positive range_step")
+    if layout == "range":
+        ltype = df.schema[key_cols[0]].dataType
+        if not isinstance(ltype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            # CAST(<string> AS BIGINT) silently NULLs in non-ANSI Spark,
+            # sending rows to a __HIVE_DEFAULT_PARTITION__ bucket the
+            # swap machinery never touches — fail at write time instead.
+            raise ValueError(
+                f"layout='range' needs an integral leading key, got "
+                f"{ltype.simpleString()} for {key_cols[0]!r} — derive an epoch "
+                "column for time keys"
+            )
     if not assume_unique:
         _check_unique(df, key_cols, "initial load")
     spark = df.sparkSession

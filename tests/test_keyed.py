@@ -362,5 +362,15 @@ def test_initial_load_uniqueness_and_reserved_col(spark):
             write_keyed_table(bad, f"{tmp}/t2", ["k"])
         with pytest.raises(ValueError, match="not in DataFrame"):
             write_keyed_table(dup, f"{tmp}/t3", ["zzz"])
+        # NULL key components can never be overridden or deleted
+        # (anti-joins never equi-match NULL) — refused up front
+        nullk = spark.createDataFrame([(1, "x"), (None, "y")], "k long, v string")
+        with pytest.raises(ValueError, match="NULL key"):
+            write_keyed_table(nullk, f"{tmp}/t4", ["k"])
+        # range layout demands an integral leading key (a string would
+        # CAST to NULL and land in a hive-default bucket)
+        skey = spark.createDataFrame([("a", 1)], "k string, v long")
+        with pytest.raises(ValueError, match="integral leading key"):
+            write_keyed_table(skey, f"{tmp}/t5", ["k"], layout="range", range_step=10)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
