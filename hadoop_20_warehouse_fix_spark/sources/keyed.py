@@ -38,7 +38,7 @@ mirrors this repo's ``minhash_state_append``/``_compact`` discipline.
 
 Crash story (same honesty as ``dedup.minhash_state_compact``): the COW
 swap is per-bucket rename-aside — merged data lands in a hidden
-``_staging`` dir, then per bucket: live dir → ``_old.kb=<b>``, staged
+``_staging`` dir, then per bucket: live dir → ``_old.kb.<b>``, staged
 dir → live, delete old. No multi-bucket transaction exists on a plain
 filesystem: a crash mid-swap leaves SOME buckets new and some old
 (readers never see a half-bucket — renames are atomic per directory on
@@ -95,6 +95,22 @@ def read_keyed_meta(spark: SparkSession, path: str) -> dict:
     finally:
         stream.close()
     return json.loads(data.decode())
+
+
+def _base_df(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    """The base scan, surviving a fully-emptied table: with zero bucket
+    dirs left, reconstruct an empty frame (data cols + bucket col) from
+    the schema recorded at load time."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        sj = meta.get("schema_json")
+        if not sj:
+            raise
+        schema = T.StructType.fromJson(json.loads(sj)).add(BUCKET_COL, T.IntegerType())
+        return spark.createDataFrame([], schema)
 
 
 def _bucket_expr(meta: dict):
@@ -161,8 +177,14 @@ def write_keyed_table(
     missing = [c for c in key_cols if c not in df.columns]
     if missing:
         raise ValueError(f"key columns {missing} not in DataFrame")
-    if BUCKET_COL in df.columns or _DEL_COL in df.columns:
-        raise ValueError(f"{BUCKET_COL!r}/{_DEL_COL!r} are reserved column names")
+    reserved = {BUCKET_COL, _DEL_COL, "seq", "_seq"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # "seq"/"_seq" collide with the MOR delta partition column and
+        # its rename — a data column named seq would either break the
+        # delta read or resolve winners by the wrong ordering column
+        # (round-11 review).
+        raise ValueError(f"{sorted(clash)} are reserved column names in keyed tables")
     if layout not in ("hash", "range"):
         raise ValueError(f"layout must be 'hash' or 'range', got {layout!r}")
     if layout == "range" and (range_step is None or int(range_step) <= 0):
@@ -185,6 +207,10 @@ def write_keyed_table(
         "key_cols": key_cols,
         "num_buckets": num_buckets,
         "data_cols": list(df.columns),
+        # Lets an EMPTY table stay readable: deleting every row removes
+        # every bucket dir, and a bare parquet read of a data-less dir
+        # throws UNABLE_TO_INFER_SCHEMA (round-11 review).
+        "schema_json": df.schema.json(),
         "layout": layout,
         "range_step": int(range_step) if range_step else None,
     }
@@ -233,6 +259,11 @@ def _read_deltas(spark: SparkSession, path: str, meta: dict) -> DataFrame | None
 #: broadcast; the threshold is bytes-on-disk, a driver-side listing —
 #: no probe job on the read path).
 DELTA_BROADCAST_BYTES = 256 << 20
+
+#: COW batches above this many rows anti-join the base with a plain
+#: shuffle instead of a broadcast hint — the same executor-budget cap
+#: as ``key_prefilter_join``'s default (≈32 MB of broadcast longs).
+COW_BROADCAST_KEY_ROWS = 4_000_000
 
 
 def _delta_bytes(spark: SparkSession, path: str) -> int:
@@ -284,7 +315,7 @@ def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
     it entirely."""
     meta = read_keyed_meta(spark, path)
     data_cols = meta["data_cols"]
-    base = spark.read.parquet(path)
+    base = _base_df(spark, path, meta)
     deltas = _read_deltas(spark, path, meta)
     if deltas is None:
         return base.select(*data_cols)
@@ -298,9 +329,27 @@ def _swap_buckets(spark: SparkSession, path: str, staging: str, buckets: list[in
     for b in buckets:
         live = Path(f"{path}/{BUCKET_COL}={b}")
         staged = Path(f"{staging}/{BUCKET_COL}={b}")
-        old = Path(f"{path}/_old.{BUCKET_COL}={b}")
+        old = Path(f"{path}/_old.{BUCKET_COL}.{b}")
         if fs.exists(old):
-            fs.delete(old, True)  # leftover from a crashed prior swap
+            # Leftover from a crashed prior swap. Which side of the
+            # crash matters (round-11 review — the unconditional delete
+            # here could destroy the ONLY copy of a bucket): live
+            # missing ⇒ _old IS the bucket — restore it, but the merged
+            # data about to swap in was computed from a read that did
+            # NOT see these rows (found live in the pin test: swapping
+            # anyway replaces the bucket with batch-only rows), so
+            # abort and make the caller re-apply. Writers run
+            # recover_keyed_table up front, so reaching this means the
+            # crash happened DURING this very run. live present ⇒ _old
+            # is a superseded copy — drop it.
+            if not fs.exists(live):
+                if not fs.rename(old, live):
+                    raise IOError(f"crash-recovery restore failed for bucket {b}")
+                raise IOError(
+                    f"bucket {b} was restored from a crashed swap AFTER this "
+                    "batch's merge plan was built — re-apply the batch"
+                )
+            fs.delete(old, True)
         had_live = fs.exists(live)
         if had_live:
             if not fs.rename(live, old):
@@ -311,6 +360,38 @@ def _swap_buckets(spark: SparkSession, path: str, staging: str, buckets: list[in
         if had_live:
             fs.delete(old, True)
     fs.delete(Path(staging), True)
+
+
+def recover_keyed_table(spark: SparkSession, path: str) -> dict:
+    """Finish/roll back a crashed COW swap NOW instead of at the next
+    write: every ``_old.kb.<b>`` whose live dir is missing is restored
+    (it is the bucket's only copy — readers were silently missing it),
+    every one whose live dir exists is dropped, and the ``_staging``
+    dir is cleared. Run after an unclean shutdown; reads never mutate
+    state, so the sweep is explicit. Returns
+    ``{restored: [...], dropped: [...], staging_cleared: bool}``."""
+    fs, root, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    restored, dropped = [], []
+    prefix = f"_old.{BUCKET_COL}."
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        b = int(name[len(prefix):])
+        live = Path(f"{path}/{BUCKET_COL}={b}")
+        if not fs.exists(live):
+            if not fs.rename(st.getPath(), live):
+                raise IOError(f"crash-recovery restore failed for bucket {b}")
+            restored.append(b)
+        else:
+            fs.delete(st.getPath(), True)
+            dropped.append(b)
+    staging = Path(f"{path}/_staging")
+    had_staging = fs.exists(staging)
+    if had_staging:
+        fs.delete(staging, True)
+    return {"restored": sorted(restored), "dropped": sorted(dropped), "staging_cleared": had_staging}
 
 
 def _validated_batch(
@@ -352,6 +433,10 @@ def _apply_batch(
             "then apply COW batches (mixing modes would let older deltas "
             "override this newer write at read time)"
         )
+    # Finish/roll back any crashed prior swap BEFORE planning reads —
+    # the merge below must see every bucket's true contents (a bucket
+    # stranded at _old.kb.<b> is invisible to the base scan).
+    recover_keyed_table(spark, path)
     batch = _validated_batch(meta, batch, delete, assume_unique)
     batch = batch.withColumn(BUCKET_COL, _bucket_expr(meta)).persist()
     try:
@@ -360,10 +445,19 @@ def _apply_batch(
             return {"touched_buckets": [], "batch_rows": 0, "survivor_rows": 0}
         # Partition-pruned read of ONLY the touched bucket dirs (the
         # isin filter is a directory filter — plan pytest-pinned).
-        old = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin([int(b) for b in touched]))
-        survivors = old.join(
-            F.broadcast(batch.select(*key_cols)), on=key_cols, how="left_anti"
+        old = _base_df(spark, path, meta).filter(
+            F.col(BUCKET_COL).isin([int(b) for b in touched])
         )
+        # Broadcast the batch keys only while they plausibly fit the
+        # executor budget (round-11 review: a multi-million-row range
+        # backfill is exactly this path, and an unconditional broadcast
+        # hint fails outright past the 8 GB hard limit where the plain
+        # shuffle anti-join succeeds). Same cap as key_prefilter_join.
+        batch_rows = batch.count()
+        batch_keys = batch.select(*key_cols)
+        if batch_rows <= COW_BROADCAST_KEY_ROWS:
+            batch_keys = F.broadcast(batch_keys)
+        survivors = old.join(batch_keys, on=key_cols, how="left_anti")
         merged = survivors if delete else survivors.unionByName(batch)
         staging = f"{path}/_staging"
         fs, _, jvm = _fs(spark, staging)
@@ -374,7 +468,6 @@ def _apply_batch(
             .mode("overwrite")
             .parquet(staging)
         )
-        batch_rows = batch.count()
         _swap_buckets(spark, path, staging, [int(b) for b in touched])
         # Count untouched from the DIRECTORIES present: range layouts
         # have data-dependent bucket ids, so meta num_buckets is only
@@ -397,19 +490,34 @@ def _apply_batch(
 _INGEST_KEY = "_ingest_key"
 
 
+def _key_digest(key: str) -> str:
+    import hashlib
+
+    return hashlib.md5(key.encode()).hexdigest()
+
+
 def _delta_ingest_keys(spark: SparkSession, path: str) -> dict[str, int]:
-    """{idempotency key: seq} of committed deltas that carry one —
-    small driver-side marker reads, the replay ledger for streaming
-    ingest."""
+    """{md5(idempotency key): seq} of committed deltas that carry one —
+    the replay ledger for streaming ingest. The digest rides IN the
+    marker FILENAME (``_ingest_key.<md5>``), so one recursive listing
+    answers every pending delta at once; the first draft opened and
+    read one marker file per delta, O(pending deltas) driver RPCs per
+    append (round-11 review). ``compact_every`` bounds the listing
+    itself the same way it bounds the read tax."""
+    fs, root, jvm = _fs(spark, f"{path}/{_DELTA_DIR}")
+    if not fs.exists(root):
+        return {}
     out: dict[str, int] = {}
-    for seq, d in _delta_seq_dirs(spark, path):
-        fs, marker, jvm = _fs(spark, f"{d}/{_INGEST_KEY}")
-        if fs.exists(marker):
-            stream = fs.open(marker)
-            try:
-                out[bytes(stream.readAllBytes()).decode()] = seq
-            finally:
-                stream.close()
+    it = fs.listFiles(root, True)
+    prefix = f"{_INGEST_KEY}."
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if not name.startswith(prefix):
+            continue
+        seg = [s for s in p.toUri().getPath().split("/") if s.startswith("seq=")]
+        if seg:
+            out[name[len(prefix):]] = int(seg[-1].split("=", 1)[1])
     return out
 
 
@@ -432,16 +540,17 @@ def _mor_append(
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
     if idempotency_key is not None:
         seen = _delta_ingest_keys(spark, path)
-        if idempotency_key in seen:
+        digest = _key_digest(idempotency_key)
+        if digest in seen:
             return {
                 "mode": "mor",
-                "seq": seen[idempotency_key],
+                "seq": seen[digest],
                 "delete": delete,
                 "replayed": True,
             }
     batch = _validated_batch(meta, batch, delete, assume_unique)
     if delete:
-        base_schema = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+        base_schema = {f.name: f.dataType for f in _base_df(spark, path, meta).schema.fields}
         batch = batch.select(
             *key_cols,
             *[
@@ -467,8 +576,12 @@ def _mor_append(
     # by bucket dir — compaction takes kb from the column.
     batch.write.mode("overwrite").parquet(staging)
     if idempotency_key is not None:
-        marker = fs.create(Path(f"{staging}/{_INGEST_KEY}"), True)
-        marker.write(bytearray(idempotency_key.encode()))
+        # Empty marker, key digest in the NAME — detection is a listing,
+        # never a per-file read; md5 also makes arbitrary caller keys
+        # filesystem-safe.
+        marker = fs.create(
+            Path(f"{staging}/{_INGEST_KEY}.{_key_digest(idempotency_key)}"), True
+        )
         marker.close()
     final = Path(f"{path}/{_DELTA_DIR}/seq={next_seq}")
     if not fs.rename(Path(staging), final):
@@ -484,6 +597,7 @@ def compact_keyed_table(spark: SparkSession, path: str) -> dict:
     reproduces the same rows (overrides are absolute values, tombstones
     delete already-absent keys)."""
     meta = read_keyed_meta(spark, path)
+    recover_keyed_table(spark, path)  # same pre-read sweep as _apply_batch
     deltas = _read_deltas(spark, path, meta)
     if deltas is None:
         return {"touched_buckets": [], "deltas_folded": 0}
@@ -493,7 +607,7 @@ def compact_keyed_table(spark: SparkSession, path: str) -> dict:
         touched = sorted(
             int(r[BUCKET_COL]) for r in deltas.select(BUCKET_COL).distinct().collect()
         )
-        base = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+        base = _base_df(spark, path, meta).filter(F.col(BUCKET_COL).isin(touched))
         # Same no-base-shuffle resolution as the read path (the first
         # draft's whole-table max_by measured 50.5 s against the full
         # rewrite's 12.3 — a compaction slower than the rewrite it

@@ -69,16 +69,22 @@ def _list_data_files(spark: SparkSession, table_path: str) -> list[str]:
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # Hidden-segment filtering applies only BELOW the table root —
+    # Spark's FileIndex does the same; filtering the absolute path
+    # listed zero files for any table living under a '_'/'.'-prefixed
+    # ancestor directory (round-11 review).
+    root = fs.getFileStatus(hpath).getPath().toUri().getPath().rstrip("/")
     out: list[str] = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
         p = st.getPath()
-        parts = p.toUri().getPath().split("/")
-        if any(seg.startswith(("_", ".")) for seg in parts if seg):
+        full = p.toUri().getPath()
+        rel = full[len(root):] if full.startswith(root) else full
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
             continue
         if p.getName().endswith(".parquet"):
-            out.append(p.toUri().getPath())
+            out.append(full)
     return sorted(out)
 
 
@@ -240,9 +246,20 @@ def refresh_file_stats_manifest(
     Path = jvm.org.apache.hadoop.fs.Path
     fs.delete(Path(nxt), True)
     combined.coalesce(1).write.mode("overwrite").parquet(nxt)
-    fs.delete(droot, True)
+    # True rename-aside (round-11 review: the first draft deleted the
+    # live manifest BEFORE renaming the new one in, so a crash between
+    # the two left NO manifest): live → __old, __next → live, drop
+    # __old. Both copies exist on disk at every instant; a crash
+    # between the renames is recovered by one rename of __next.
+    old = Path(f"{dest}__old")
+    fs.delete(old, True)
+    if not fs.rename(droot, old):
+        raise IOError(f"manifest rename-aside failed for {dest}")
     if not fs.rename(Path(nxt), droot):
-        raise IOError(f"manifest swap rename failed for {dest}")
+        raise IOError(
+            f"manifest swap rename failed for {dest} — live copy preserved at {dest}__old"
+        )
+    fs.delete(old, True)
     return {
         "added": len(added),
         "removed": len(removed),

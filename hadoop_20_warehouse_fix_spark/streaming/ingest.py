@@ -334,6 +334,9 @@ def stream_keyed_upsert_ingest(
     not physically no-op. Same recovery model the dedup ingest
     documents for its step-4/5 seam.
     """
+    import hashlib
+    import os
+
     from hadoop_20_warehouse_fix_spark.sources.keyed import (
         _check_unique,
         _delta_seq_dirs,
@@ -342,6 +345,14 @@ def stream_keyed_upsert_ingest(
         read_keyed_meta,
         upsert_keyed_table,
     )
+
+    # Namespace the idempotency keys by the CHECKPOINT identity:
+    # foreachBatch batch ids restart at 0 for every fresh checkpoint,
+    # so a bare "stream-{batch_id}" would let a second pipeline's (or a
+    # reset pipeline's) batch 0 be silently swallowed as a replay of
+    # the first's (round-11 review). Same checkpoint ⇒ same namespace
+    # ⇒ true replays still dedupe.
+    ns = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -362,12 +373,12 @@ def stream_keyed_upsert_ingest(
             if dels is not None and not dels.isEmpty():
                 delete_from_keyed_table(
                     spark, table_path, dels, mode="mor",
-                    idempotency_key=f"stream-{batch_id}-del",
+                    idempotency_key=f"stream-{ns}-{batch_id}-del",
                 )
             if not ups.isEmpty():
                 upsert_keyed_table(
                     spark, table_path, ups, assume_unique=True, mode="mor",
-                    idempotency_key=f"stream-{batch_id}-ups",
+                    idempotency_key=f"stream-{ns}-{batch_id}-ups",
                 )
             if (
                 compact_every is not None

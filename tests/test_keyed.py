@@ -351,6 +351,98 @@ def test_mor_idempotency_key_replay(spark, keyed):
     assert read_keyed_table(spark, keyed).filter("k = 10").first().v == -10
 
 
+def test_swap_crash_recovery_never_loses_a_bucket(spark, keyed):
+    """Round-11 review (most severe): a crash between rename-aside and
+    swap-in leaves _old.kb.<b> as the bucket's ONLY copy; both the
+    explicit recovery sweep and the next write must RESTORE it, never
+    delete it as leftover."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import recover_keyed_table
+
+    want = {tuple(r) for r in read_keyed_table(spark, keyed).collect()}
+    # simulate the crash window: live dir renamed aside, swap-in never
+    # happened (pick any populated bucket)
+    b = next(int(d.split("=")[1]) for d in os.listdir(keyed) if d.startswith("kb="))
+    os.rename(f"{keyed}/kb={b}", f"{keyed}/_old.kb.{b}")
+    assert spark.read.parquet(keyed).count() < 10_000  # reads silently miss it
+    diag = recover_keyed_table(spark, keyed)
+    assert diag["restored"] == [b] and diag["dropped"] == []
+    assert {tuple(r) for r in read_keyed_table(spark, keyed).collect()} == want
+    # and the in-write recovery path: crash again, then upsert INTO the
+    # crashed bucket — _swap_buckets must restore before swapping
+    os.rename(f"{keyed}/kb={b}", f"{keyed}/_old.kb.{b}")
+    victim_key = spark.read.parquet(f"{keyed}/_old.kb.{b}").first().k
+    ups = _ups(spark, [(int(victim_key), -77, "fixed")])
+    upsert_keyed_table(spark, keyed, ups)
+    got = {tuple(r) for r in read_keyed_table(spark, keyed).collect()}
+    assert (victim_key, -77, "fixed") in got and len(got) == 10_000
+    # a superseded leftover (live present) is dropped, not restored
+    os.makedirs(f"{keyed}/_old.kb.{b}")
+    diag = recover_keyed_table(spark, keyed)
+    assert diag["dropped"] == [b] and not os.path.exists(f"{keyed}/_old.kb.{b}")
+
+
+def test_delete_everything_keeps_table_readable(spark):
+    """Round-11 review: an all-rows delete removes every bucket dir —
+    the table must stay readable (schema from meta) and writable."""
+    tmp = tempfile.mkdtemp(prefix="keyed_empty_")
+    path = f"{tmp}/tab"
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        write_keyed_table(df, path, ["k"], num_buckets=4)
+        delete_from_keyed_table(spark, path, df.select("k"))
+        out = read_keyed_table(spark, path)
+        assert out.count() == 0 and out.columns == ["k", "v"]
+        # MOR ops on the empty table work too (base schema from meta)
+        delete_from_keyed_table(spark, path, df.select("k"), mode="mor")
+        upsert_keyed_table(
+            spark, path, spark.createDataFrame([(9, "z")], "k long, v string"), mode="mor"
+        )
+        assert [tuple(r) for r in read_keyed_table(spark, path).collect()] == [(9, "z")]
+        compact_keyed_table(spark, path)
+        assert [tuple(r) for r in read_keyed_table(spark, path).collect()] == [(9, "z")]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cow_broadcast_cap_falls_back_to_shuffle(spark, keyed, monkeypatch):
+    """Round-11 review: past the key cap the COW anti-join must run as
+    a plain shuffle (a forced broadcast of a huge backfill fails where
+    the shuffle succeeds) — rows identical either way."""
+    import hadoop_20_warehouse_fix_spark.sources.keyed as K
+
+    monkeypatch.setattr(K, "COW_BROADCAST_KEY_ROWS", 1)
+    ups = _ups(spark, [(11, -11, "s"), (12, -12, "s"), (20_002, 1, "s")])
+    upsert_keyed_table(spark, keyed, ups)
+    got = {
+        (r.k, r.v, r.tag)
+        for r in read_keyed_table(spark, keyed).filter(F.col("k").isin(11, 12, 20_002)).collect()
+    }
+    assert got == {(11, -11, "s"), (12, -12, "s"), (20_002, 1, "s")}
+
+
+def test_stream_namespace_isolates_checkpoints(spark, tmp_path):
+    """Round-11 review: a second pipeline (fresh checkpoint, batch ids
+    restart at 0) writing the same table must NOT be swallowed as a
+    replay of the first pipeline's batch 0."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import _delta_seq_dirs
+    from hadoop_20_warehouse_fix_spark.streaming import stream_keyed_upsert_ingest
+
+    path = str(tmp_path / "tab")
+    write_keyed_table(
+        spark.createDataFrame([(1, 0)], "k long, v long"), path, ["k"], num_buckets=4
+    )
+    land1, land2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    spark.createDataFrame([(10, 1)], "k long, v long").coalesce(1).write.parquet(land1)
+    spark.createDataFrame([(20, 2)], "k long, v long").coalesce(1).write.parquet(land2)
+    for i, land in enumerate((land1, land2)):
+        sdf = spark.readStream.schema("k long, v long").parquet(land)
+        stream_keyed_upsert_ingest(sdf, path, str(tmp_path / f"ckpt{i}"))
+    assert len(_delta_seq_dirs(spark, path)) == 2  # neither swallowed
+    assert {tuple(r) for r in read_keyed_table(spark, path).collect()} == {
+        (1, 0), (10, 1), (20, 2),
+    }
+
+
 def test_initial_load_uniqueness_and_reserved_col(spark):
     tmp = tempfile.mkdtemp(prefix="keyed_uni_")
     try:
@@ -372,5 +464,9 @@ def test_initial_load_uniqueness_and_reserved_col(spark):
         skey = spark.createDataFrame([("a", 1)], "k string, v long")
         with pytest.raises(ValueError, match="integral leading key"):
             write_keyed_table(skey, f"{tmp}/t5", ["k"], layout="range", range_step=10)
+        # 'seq' collides with the MOR delta partition column
+        seqcol = spark.createDataFrame([(1, 2)], "k long, seq long")
+        with pytest.raises(ValueError, match="reserved"):
+            write_keyed_table(seqcol, f"{tmp}/t6", ["k"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

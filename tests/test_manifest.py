@@ -101,6 +101,20 @@ def test_open_ended_and_errors(spark, ztable):
         write_file_stats_manifest(spark, path, cols=["nope"])
 
 
+def test_table_under_hidden_ancestor_dir(spark):
+    """Round-11 review: only segments BELOW the table root are
+    hidden-filtered — a table living under /_lake/... must manifest."""
+    tmp = tempfile.mkdtemp(prefix="manifest_anc_")
+    path = f"{tmp}/_lake/.cache/tab"
+    try:
+        spark.range(100).select(F.col("id").alias("v")).coalesce(1).write.parquet(path)
+        mpath = write_file_stats_manifest(spark, path, cols=["v"], manifest_path=f"{tmp}/m")
+        assert spark.read.parquet(mpath).count() == 1
+        assert read_pruned(spark, path, {"v": (10, 20)}, manifest_path=mpath).count() == 11
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_manifest_on_partitioned_layout(spark):
     """Recursive listing: a partitionBy directory layout manifests every
     leaf file and pruning stays exact."""
