@@ -167,12 +167,17 @@ def write_keyed_table(
     assume_unique: bool = False,
     layout: str = "hash",
     range_step: int | None = None,
+    sort_cols: Sequence[str] | None = None,
 ) -> None:
     """Initial load of a keyed table: bucket directory layout + layout
     metadata, so every later batch derives the same bucketing.
     ``layout="range"`` buckets by ``leading_key div range_step`` —
     pick it when update batches are key-local (time-series backfills),
-    so COW touches few directories (SCALING.md r11 quadrant study)."""
+    so COW touches few directories (SCALING.md r11 quadrant study).
+    ``sort_cols`` orders rows WITHIN each bucket file (preserved by COW
+    rewrites and compaction) so parquet row-group min/max prunes on the
+    sort key inside every bucket — the MapFile sorted-index discipline
+    at the file level."""
     key_cols = list(key_cols)
     missing = [c for c in key_cols if c not in df.columns]
     if missing:
@@ -200,6 +205,10 @@ def write_keyed_table(
                 f"{ltype.simpleString()} for {key_cols[0]!r} — derive an epoch "
                 "column for time keys"
             )
+    if sort_cols:
+        missing_s = [c for c in sort_cols if c not in df.columns]
+        if missing_s:
+            raise ValueError(f"sort columns {missing_s} not in DataFrame")
     if not assume_unique:
         _check_unique(df, key_cols, "initial load")
     spark = df.sparkSession
@@ -213,18 +222,29 @@ def write_keyed_table(
         "schema_json": df.schema.json(),
         "layout": layout,
         "range_step": int(range_step) if range_step else None,
+        # The MapFile discipline one level down: rows sorted inside each
+        # bucket file give parquet row-group min/max pruning on the sort
+        # key — COW rewrites and compaction preserve the order.
+        "sort_cols": list(sort_cols) if sort_cols else [],
     }
     out = df.withColumn(BUCKET_COL, _bucket_expr(meta))
     # One shuffle keyed exactly like the layout: each writer task owns
     # whole buckets, so a bucket directory is ~one file, not one file
     # per (task, bucket) pair.
-    (
-        out.repartition(num_buckets, BUCKET_COL)
-        .write.partitionBy(BUCKET_COL)
-        .mode("overwrite")
-        .parquet(path)
-    )
+    _write_layout(out, path, num_buckets, meta, mode="overwrite")
     _write_meta(spark, path, meta)
+
+
+def _write_layout(
+    df: DataFrame, dest: str, n_parts: int, meta: dict, mode: str
+) -> None:
+    """The single choke point for base-layout writes (initial load, COW
+    staging, compaction staging): bucket-aligned repartition, the
+    table's within-bucket sort order, partitioned parquet."""
+    out = df.repartition(max(1, n_parts), BUCKET_COL)
+    if meta.get("sort_cols"):
+        out = out.sortWithinPartitions(BUCKET_COL, *meta["sort_cols"])
+    out.write.partitionBy(BUCKET_COL).mode(mode).parquet(dest)
 
 
 def _delta_seq_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
@@ -462,12 +482,7 @@ def _apply_batch(
         staging = f"{path}/_staging"
         fs, _, jvm = _fs(spark, staging)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-        (
-            merged.repartition(len(touched), BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(staging)
-        )
+        _write_layout(merged, staging, len(touched), meta, mode="overwrite")
         _swap_buckets(spark, path, staging, [int(b) for b in touched])
         # Count untouched from the DIRECTORIES present: range layouts
         # have data-dependent bucket ids, so meta num_buckets is only
@@ -618,12 +633,7 @@ def compact_keyed_table(spark: SparkSession, path: str) -> dict:
         fs, _, jvm = _fs(spark, staging)
         Path = jvm.org.apache.hadoop.fs.Path
         fs.delete(Path(staging), True)
-        (
-            merged.repartition(max(1, len(touched)), BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(staging)
-        )
+        _write_layout(merged, staging, len(touched), meta, mode="overwrite")
         _swap_buckets(spark, path, staging, touched)
         fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
         return {"touched_buckets": touched, "deltas_folded": n_deltas}

@@ -443,6 +443,46 @@ def test_stream_namespace_isolates_checkpoints(spark, tmp_path):
     }
 
 
+def test_sort_cols_preserved_through_cow_and_compact(spark, tmp_path):
+    """sort_cols orders rows within every bucket file (row-group
+    min/max pruning on the sort key) — and the order must survive COW
+    rewrites AND compaction, not just the initial load."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "tab")
+    df = spark.range(40_000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("ts"),
+        F.lit("x").alias("tag"),
+    )
+    write_keyed_table(df, path, ["k"], num_buckets=4, sort_cols=["ts"])
+
+    def assert_sorted_files():
+        for d in os.listdir(path):
+            if not d.startswith(f"{BUCKET_COL}="):
+                continue
+            for f in os.listdir(os.path.join(path, d)):
+                if not f.endswith(".parquet"):
+                    continue
+                ts = pq.read_table(os.path.join(path, d, f), columns=["ts"])["ts"].to_pylist()
+                assert ts == sorted(ts), f"{d}/{f} not ts-sorted"
+
+    assert_sorted_files()
+    ups = spark.createDataFrame([(5, 12345, "u"), (17, 1, "u")], "k long, ts long, tag string")
+    upsert_keyed_table(spark, path, ups)  # COW rewrite of touched buckets
+    assert_sorted_files()
+    upsert_keyed_table(
+        spark, path,
+        spark.createDataFrame([(6, 99, "m")], "k long, ts long, tag string"),
+        mode="mor",
+    )
+    compact_keyed_table(spark, path)
+    assert_sorted_files()
+    assert read_keyed_table(spark, path).count() == 40_000
+    with pytest.raises(ValueError, match="sort columns"):
+        write_keyed_table(df, str(tmp_path / "bad"), ["k"], sort_cols=["nope"])
+
+
 def test_initial_load_uniqueness_and_reserved_col(spark):
     tmp = tempfile.mkdtemp(prefix="keyed_uni_")
     try:
