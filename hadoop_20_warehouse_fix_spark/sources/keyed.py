@@ -690,3 +690,97 @@ def delete_from_keyed_table(
             idempotency_key=idempotency_key,
         )
     raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+
+
+def lookup_keys(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[tuple] | Sequence[int] | DataFrame,
+    max_literal_keys: int = 10_000,
+) -> DataFrame:
+    """Point lookup — the ``MapFile.get()`` analog
+    (``C/io/MapFile.java:426``: seek the sorted index, read one
+    record): return the current rows for the requested keys, touching
+    only the bucket DIRECTORIES those keys can live in.
+
+    ``keys`` as a literal list (tuples for composite keys) computes the
+    bucket ids DRIVER-SIDE from the layout metadata — zero probe jobs —
+    and plans a scan of just those dirs with an ``isin``/key filter the
+    parquet reader pushes to row groups (pair with ``sort_cols`` on the
+    key for the full seek discipline). Capped at ``max_literal_keys``
+    (an isin of millions of literals chokes planning); pass a DataFrame
+    of keys past that — it runs as the broadcast-semi form instead
+    (:func:`~..operators.joins.key_prefilter_join` physics, one probe
+    of the key frame). Pending MOR deltas are honored either way: the
+    same latest-seq-wins resolution, restricted to the touched buckets.
+    """
+    meta = read_keyed_meta(spark, path)
+    key_cols, data_cols = meta["key_cols"], meta["data_cols"]
+
+    if isinstance(keys, DataFrame):
+        missing = [c for c in key_cols if c not in keys.columns]
+        if missing:
+            raise ValueError(f"key frame lacks key columns {missing}")
+        key_df = keys.select(*key_cols).distinct()
+        buckets = [
+            int(r[BUCKET_COL])
+            for r in key_df.select(_bucket_expr(meta).alias(BUCKET_COL)).distinct().collect()
+        ]
+        def restrict(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(key_df), on=key_cols, how="left_semi")
+    else:
+        rows = [(k,) if not isinstance(k, tuple) else k for k in keys]
+        if not rows:
+            return read_keyed_table(spark, path).limit(0)
+        if len(rows) > max_literal_keys:
+            raise ValueError(
+                f"{len(rows)} literal keys > max_literal_keys={max_literal_keys} — "
+                "pass the keys as a DataFrame instead (broadcast-semi form)"
+            )
+        if any(len(r) != len(key_cols) for r in rows):
+            raise ValueError(f"each key needs {len(key_cols)} component(s): {key_cols}")
+        # Driver-side bucket ids: replicate the layout arithmetic on
+        # plain Python ints for the range layout; the hash layout needs
+        # xxhash64, which only exists JVM-side — ONE local-relation job
+        # (no table scan) computes the ids there.
+        if meta.get("layout", "hash") == "range":
+            step = int(meta["range_step"])
+            # Spark's `div` truncates toward zero; Python's // floors —
+            # they disagree on negative keys, which would probe the
+            # wrong directory.
+            buckets = sorted(
+                {abs(int(r[0])) // step * (1 if int(r[0]) >= 0 else -1) for r in rows}
+            )
+        else:
+            if meta.get("schema_json"):
+                full = T.StructType.fromJson(json.loads(meta["schema_json"]))
+                kschema = T.StructType([full[c] for c in key_cols])
+                kdf = spark.createDataFrame(rows, kschema)
+            else:
+                kdf = spark.createDataFrame(rows, list(key_cols))
+            buckets = [
+                int(r[BUCKET_COL])
+                for r in kdf.select(_bucket_expr(meta).alias(BUCKET_COL)).distinct().collect()
+            ]
+        if len(key_cols) == 1:
+            vals = [r[0] for r in rows]
+            cond = F.col(key_cols[0]).isin(vals)
+        else:
+            cond = F.lit(False)
+            for r in rows:
+                c = F.lit(True)
+                for name, v in zip(key_cols, r):
+                    c = c & (F.col(name) == F.lit(v))
+                cond = cond | c
+        def restrict(df: DataFrame) -> DataFrame:
+            return df.filter(cond)
+
+    base = _base_df(spark, path, meta).filter(F.col(BUCKET_COL).isin(buckets))
+    deltas = _read_deltas(spark, path, meta)
+    if deltas is None:
+        return restrict(base.select(*data_cols, BUCKET_COL)).select(*data_cols)
+    deltas = restrict(deltas.filter(F.col(BUCKET_COL).isin(buckets)))
+    bcast = _delta_bytes(spark, path) <= DELTA_BROADCAST_BYTES
+    return restrict(
+        _merged_view(base, deltas, meta, extra=[], broadcast_keys=bcast)
+    ).select(*data_cols)

@@ -483,6 +483,60 @@ def test_sort_cols_preserved_through_cow_and_compact(spark, tmp_path):
         write_keyed_table(df, str(tmp_path / "bad"), ["k"], sort_cols=["nope"])
 
 
+def test_lookup_keys_point_reads(spark, keyed):
+    """MapFile.get() analog: literal keys resolve driver-side to bucket
+    dirs, honor pending MOR overrides and tombstones, and miss cleanly."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import lookup_keys
+
+    upsert_keyed_table(spark, keyed, _ups(spark, [(42, -42, "m")]), mode="mor")
+    delete_from_keyed_table(
+        spark, keyed, spark.createDataFrame([(43,)], "k long"), mode="mor"
+    )
+    got = {(r.k, r.v, r.tag) for r in lookup_keys(spark, keyed, [42, 43, 44, 99_999]).collect()}
+    assert got == {(42, -42, "m"), (44, 88, "base")}  # 43 tombstoned, 99999 absent
+    # DataFrame form agrees
+    kdf = spark.createDataFrame([(42,), (43,), (44,)], "k long")
+    got_df = {(r.k, r.v, r.tag) for r in lookup_keys(spark, keyed, kdf).collect()}
+    assert got_df == {(42, -42, "m"), (44, 88, "base")}
+    assert lookup_keys(spark, keyed, []).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_literal_keys"):
+        lookup_keys(spark, keyed, list(range(50)), max_literal_keys=10)
+    with _pt.raises(ValueError, match="component"):
+        lookup_keys(spark, keyed, [(1, 2)])
+    with _pt.raises(ValueError, match="lacks key columns"):
+        lookup_keys(spark, keyed, kdf.withColumnRenamed("k", "x"))
+
+
+def test_lookup_keys_prunes_directories_range_layout(spark, tmp_path):
+    """On a range layout with no deltas, a literal lookup must only
+    open files under the keys' bucket dirs (behavioral pruning proof,
+    driver-side bucket math incl. the div-vs-floor negative edge)."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import lookup_keys
+
+    path = str(tmp_path / "tab")
+    df = spark.range(-5_000, 45_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_keyed_table(df, path, ["k"], layout="range", range_step=10_000)
+    out = lookup_keys(spark, path, [-4_999, 12_345])
+    assert {(r.k, r.v) for r in out.collect()} == {(-4_999, -14_997), (12_345, 37_035)}
+    files = {
+        r.f for r in out.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files and all("/kb=0/" in f or "/kb=1/" in f for f in files), files
+    # composite-key literal form on a hash layout
+    path2 = str(tmp_path / "tab2")
+    df2 = spark.range(1_000).select(
+        (F.col("id") % 10).alias("a"), (F.col("id") / 10).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    write_keyed_table(df2, path2, ["a", "b"], num_buckets=8)
+    got = lookup_keys(spark, path2, [(3, 7), (9, 99)]).collect()
+    assert {(r.a, r.b, r.v) for r in got} == {(3, 7, 73), (9, 99, 999)}
+
+
 def test_initial_load_uniqueness_and_reserved_col(spark):
     tmp = tempfile.mkdtemp(prefix="keyed_uni_")
     try:
