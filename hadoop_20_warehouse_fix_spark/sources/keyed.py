@@ -231,20 +231,20 @@ def write_keyed_table(
     # One shuffle keyed exactly like the layout: each writer task owns
     # whole buckets, so a bucket directory is ~one file, not one file
     # per (task, bucket) pair.
-    _write_layout(out, path, num_buckets, meta, mode="overwrite")
+    _write_layout(out, path, num_buckets, meta)
     _write_meta(spark, path, meta)
 
 
-def _write_layout(
-    df: DataFrame, dest: str, n_parts: int, meta: dict, mode: str
-) -> None:
+def _write_layout(df: DataFrame, dest: str, n_parts: int, meta: dict) -> None:
     """The single choke point for base-layout writes (initial load, COW
     staging, compaction staging): bucket-aligned repartition, the
-    table's within-bucket sort order, partitioned parquet."""
+    table's within-bucket sort order, partitioned parquet. Always
+    overwrite — appends must go through the delta/swap machinery, never
+    around it."""
     out = df.repartition(max(1, n_parts), BUCKET_COL)
     if meta.get("sort_cols"):
         out = out.sortWithinPartitions(BUCKET_COL, *meta["sort_cols"])
-    out.write.partitionBy(BUCKET_COL).mode(mode).parquet(dest)
+    out.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(dest)
 
 
 def _delta_seq_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
@@ -482,7 +482,7 @@ def _apply_batch(
         staging = f"{path}/_staging"
         fs, _, jvm = _fs(spark, staging)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-        _write_layout(merged, staging, len(touched), meta, mode="overwrite")
+        _write_layout(merged, staging, len(touched), meta)
         _swap_buckets(spark, path, staging, [int(b) for b in touched])
         # Count untouched from the DIRECTORIES present: range layouts
         # have data-dependent bucket ids, so meta num_buckets is only
@@ -633,7 +633,7 @@ def compact_keyed_table(spark: SparkSession, path: str) -> dict:
         fs, _, jvm = _fs(spark, staging)
         Path = jvm.org.apache.hadoop.fs.Path
         fs.delete(Path(staging), True)
-        _write_layout(merged, staging, len(touched), meta, mode="overwrite")
+        _write_layout(merged, staging, len(touched), meta)
         _swap_buckets(spark, path, staging, touched)
         fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
         return {"touched_buckets": touched, "deltas_folded": n_deltas}
@@ -704,30 +704,46 @@ def lookup_keys(
     only the bucket DIRECTORIES those keys can live in.
 
     ``keys`` as a literal list (tuples for composite keys) computes the
-    bucket ids DRIVER-SIDE from the layout metadata — zero probe jobs —
-    and plans a scan of just those dirs with an ``isin``/key filter the
-    parquet reader pushes to row groups (pair with ``sort_cols`` on the
-    key for the full seek discipline). Capped at ``max_literal_keys``
-    (an isin of millions of literals chokes planning); pass a DataFrame
-    of keys past that — it runs as the broadcast-semi form instead
-    (:func:`~..operators.joins.key_prefilter_join` physics, one probe
-    of the key frame). Pending MOR deltas are honored either way: the
-    same latest-seq-wins resolution, restricted to the touched buckets.
+    bucket ids DRIVER-SIDE from the layout metadata — zero table-scan
+    jobs — and plans a scan of just those dirs with a key filter the
+    parquet reader pushes to row groups for single-column keys (pair
+    with ``sort_cols`` on the key for the full seek discipline);
+    composite-key literals restrict via a broadcast semi-join instead
+    (a 10k-branch OR-of-ANDs predicate blows up planning and never
+    pushes down — second-pass review). Capped at ``max_literal_keys``;
+    pass a DataFrame of keys past that — it runs as the
+    broadcast-semi form (:func:`~..operators.joins.key_prefilter_join`
+    physics), falling back to a shuffle semi-join past
+    ``COW_BROADCAST_KEY_ROWS`` keys. The key frame is cached and
+    materialized ONCE (bucket probe + semi-join reuse the same rows —
+    a non-deterministic frame re-evaluated between the two could probe
+    buckets inconsistent with the keys it then matches) and left
+    cached for the returned plan; values are cast to the table's key
+    types first, because the hash layout's xxhash64 is type-sensitive
+    (an int-keyed table probed with longs scans the WRONG directory
+    and reports the key absent). Pending MOR deltas are honored either
+    way: the same latest-seq-wins resolution, restricted to the
+    touched buckets.
     """
     meta = read_keyed_meta(spark, path)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
+    key_types: dict | None = None
+    if meta.get("schema_json"):
+        full = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        key_types = {c: full[c].dataType for c in key_cols}
 
+    def typed(df: DataFrame) -> DataFrame:
+        if key_types is None:
+            return df.select(*key_cols)
+        return df.select(*[F.col(c).cast(key_types[c]).alias(c) for c in key_cols])
+
+    key_df: DataFrame | None = None
+    cond = None
     if isinstance(keys, DataFrame):
         missing = [c for c in key_cols if c not in keys.columns]
         if missing:
             raise ValueError(f"key frame lacks key columns {missing}")
-        key_df = keys.select(*key_cols).distinct()
-        buckets = [
-            int(r[BUCKET_COL])
-            for r in key_df.select(_bucket_expr(meta).alias(BUCKET_COL)).distinct().collect()
-        ]
-        def restrict(df: DataFrame) -> DataFrame:
-            return df.join(F.broadcast(key_df), on=key_cols, how="left_semi")
+        key_df = typed(keys).distinct()
     else:
         rows = [(k,) if not isinstance(k, tuple) else k for k in keys]
         if not rows:
@@ -739,41 +755,41 @@ def lookup_keys(
             )
         if any(len(r) != len(key_cols) for r in rows):
             raise ValueError(f"each key needs {len(key_cols)} component(s): {key_cols}")
-        # Driver-side bucket ids: replicate the layout arithmetic on
-        # plain Python ints for the range layout; the hash layout needs
-        # xxhash64, which only exists JVM-side — ONE local-relation job
-        # (no table scan) computes the ids there.
-        if meta.get("layout", "hash") == "range":
-            step = int(meta["range_step"])
-            # Spark's `div` truncates toward zero; Python's // floors —
-            # they disagree on negative keys, which would probe the
-            # wrong directory.
-            buckets = sorted(
-                {abs(int(r[0])) // step * (1 if int(r[0]) >= 0 else -1) for r in rows}
-            )
+        if len(key_cols) == 1 and key_types is not None:
+            # single-key literal: a typed isin pushes to row groups —
+            # keep it AND compute buckets without any Spark job where
+            # the layout math is plain arithmetic
+            cond = F.col(key_cols[0]).isin([r[0] for r in rows])
+        if key_types is not None:
+            kschema = T.StructType([T.StructField(c, key_types[c], True) for c in key_cols])
+            key_df = spark.createDataFrame(rows, kschema)
         else:
-            if meta.get("schema_json"):
-                full = T.StructType.fromJson(json.loads(meta["schema_json"]))
-                kschema = T.StructType([full[c] for c in key_cols])
-                kdf = spark.createDataFrame(rows, kschema)
-            else:
-                kdf = spark.createDataFrame(rows, list(key_cols))
-            buckets = [
-                int(r[BUCKET_COL])
-                for r in kdf.select(_bucket_expr(meta).alias(BUCKET_COL)).distinct().collect()
-            ]
-        if len(key_cols) == 1:
-            vals = [r[0] for r in rows]
-            cond = F.col(key_cols[0]).isin(vals)
-        else:
-            cond = F.lit(False)
-            for r in rows:
-                c = F.lit(True)
-                for name, v in zip(key_cols, r):
-                    c = c & (F.col(name) == F.lit(v))
-                cond = cond | c
+            key_df = typed(spark.createDataFrame(rows, list(key_cols)))
+
+    if meta.get("layout", "hash") == "range" and not isinstance(keys, DataFrame):
+        step = int(meta["range_step"])
+        # Spark's `div` truncates toward zero; Python's // floors —
+        # they disagree on negative keys, which would probe the
+        # wrong directory.
+        buckets = sorted(
+            {abs(int(r[0])) // step * (1 if int(r[0]) >= 0 else -1) for r in rows}
+        )
+    else:
+        key_df = key_df.persist()
+        buckets = [
+            int(r[BUCKET_COL])
+            for r in key_df.select(_bucket_expr(meta).alias(BUCKET_COL)).distinct().collect()
+        ]
+
+    if cond is not None:
         def restrict(df: DataFrame) -> DataFrame:
             return df.filter(cond)
+    else:
+        n_keys = key_df.count()
+        probe = F.broadcast(key_df) if n_keys <= COW_BROADCAST_KEY_ROWS else key_df
+
+        def restrict(df: DataFrame) -> DataFrame:
+            return df.join(probe, on=key_cols, how="left_semi")
 
     base = _base_df(spark, path, meta).filter(F.col(BUCKET_COL).isin(buckets))
     deltas = _read_deltas(spark, path, meta)

@@ -221,6 +221,15 @@ def refresh_file_stats_manifest(
     rename. Returns ``{added, removed, kept, total}``."""
     dest = manifest_path or f"{table_path.rstrip('/')}/{MANIFEST_DIR}"
     fs, droot, jvm = _fs_for(spark, dest)
+    Path0 = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(droot) and fs.exists(Path0(f"{dest}__next")):
+        # The documented one-rename crash recovery (second-pass review:
+        # it was promised but not implemented — a crash between the two
+        # swap renames would otherwise degrade to a full rebuild):
+        # __next is a COMPLETE manifest written just before the crash.
+        if not fs.rename(Path0(f"{dest}__next"), droot):
+            raise IOError(f"manifest crash-recovery rename failed for {dest}")
+        fs.delete(Path0(f"{dest}__old"), True)
     if not fs.exists(droot):
         write_file_stats_manifest(spark, table_path, manifest_path=manifest_path)
         n = len(_list_data_files(spark, table_path))

@@ -335,7 +335,6 @@ def stream_keyed_upsert_ingest(
     documents for its step-4/5 seam.
     """
     import hashlib
-    import os
 
     from hadoop_20_warehouse_fix_spark.sources.keyed import (
         _check_unique,
@@ -351,8 +350,17 @@ def stream_keyed_upsert_ingest(
     # so a bare "stream-{batch_id}" would let a second pipeline's (or a
     # reset pipeline's) batch 0 be silently swallowed as a replay of
     # the first's (round-11 review). Same checkpoint ⇒ same namespace
-    # ⇒ true replays still dedupe.
-    ns = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    # ⇒ true replays still dedupe. Canonicalize through the Hadoop FS
+    # (makeQualified), NOT os.path.abspath: abspath mangles URI
+    # checkpoints (hdfs://, s3a://) with the driver's cwd, which is a
+    # fresh dir per cluster-mode restart — the exact replay-after-crash
+    # case would then hash to a NEW namespace and re-append
+    # (second-pass review).
+    sess = updates_stream.sparkSession
+    jpath = sess._jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    jfs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
+    canonical = jfs.makeQualified(jpath).toString()
+    ns = hashlib.md5(canonical.encode()).hexdigest()[:12]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -537,6 +537,49 @@ def test_lookup_keys_prunes_directories_range_layout(spark, tmp_path):
     assert {(r.a, r.b, r.v) for r in got} == {(3, 7, 73), (9, 99, 999)}
 
 
+def test_lookup_keys_casts_to_table_key_types(spark, tmp_path):
+    """Second-pass review pin: xxhash64 is TYPE-sensitive — an
+    int-keyed table probed with long keys hashes to the wrong bucket
+    and silently reports the key absent. Both key forms must cast to
+    the table's key schema first."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import lookup_keys
+
+    path = str(tmp_path / "tab")
+    df = spark.range(1_000).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_keyed_table(df, path, ["k"], num_buckets=16)
+    got = lookup_keys(spark, path, [42, 999])  # python ints -> long by default
+    assert {(r.k, r.v) for r in got.collect()} == {(42, 84), (999, 1998)}
+    kdf = spark.createDataFrame([(42,)], "k long")  # deliberately long-typed
+    assert [(r.k, r.v) for r in lookup_keys(spark, path, kdf).collect()] == [(42, 84)]
+
+
+def test_manifest_refresh_crash_recovery(spark, tmp_path):
+    """Second-pass review pin: a crash between the refresh's two swap
+    renames leaves __next complete and the live dir missing — the next
+    refresh must recover by ONE rename, not a full rebuild."""
+    from hadoop_20_warehouse_fix_spark.sources.manifest import (
+        refresh_file_stats_manifest,
+        write_file_stats_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(1_000).select((F.col("id") % 50).alias("v")).coalesce(2).write.parquet(path)
+    mpath = write_file_stats_manifest(spark, path)
+    # need one real refresh first so file sets match the manifest
+    spark.range(10).select((F.col("id") + 500).alias("v")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    refresh_file_stats_manifest(spark, path)
+    # simulate the crash window: live renamed away, __next holds the
+    # complete manifest
+    os.rename(mpath, f"{mpath}__next")
+    diag = refresh_file_stats_manifest(spark, path)
+    assert diag == {"added": 0, "removed": 0, "kept": 3, "total": 3}  # recovered, no rebuild
+    assert os.path.isdir(mpath) and not os.path.exists(f"{mpath}__next")
+
+
 def test_initial_load_uniqueness_and_reserved_col(spark):
     tmp = tempfile.mkdtemp(prefix="keyed_uni_")
     try:
