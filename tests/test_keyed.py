@@ -580,6 +580,24 @@ def test_manifest_refresh_crash_recovery(spark, tmp_path):
     assert os.path.isdir(mpath) and not os.path.exists(f"{mpath}__next")
 
 
+def test_read_plan_shapes(spark, keyed):
+    """Plan discipline: with no deltas the keyed read is ONE file scan
+    and ZERO exchanges (a plain base scan, no resolution machinery);
+    with pending deltas the broadcast path adds no base shuffle —
+    exchanges stay zero, the only join is the broadcast anti."""
+    from hadoop_20_warehouse_fix_spark.plans.inspect import plan_summary
+
+    s = plan_summary(read_keyed_table(spark, keyed))
+    assert s.num_file_scans == 1 and s.num_exchanges == 0 and s.num_broadcast_joins == 0
+    upsert_keyed_table(spark, keyed, _ups(spark, [(1, -1, "m")]), mode="mor")
+    s2 = plan_summary(read_keyed_table(spark, keyed))
+    # base anti-join must be BROADCAST (an SMJ would mean the base got
+    # shuffled); the only exchanges allowed are the two DELTA-sized
+    # ones (distinct keys + winner resolution)
+    assert s2.num_broadcast_joins >= 1 and s2.num_sortmerge_joins == 0
+    assert s2.num_exchanges <= 2, "extra exchange implies the base was shuffled"
+
+
 def test_initial_load_uniqueness_and_reserved_col(spark):
     tmp = tempfile.mkdtemp(prefix="keyed_uni_")
     try:
