@@ -604,13 +604,19 @@ def _mor_append(
     return {"mode": "mor", "seq": next_seq, "delete": delete}
 
 
-def compact_keyed_table(spark: SparkSession, path: str) -> dict:
+def compact_keyed_table(
+    spark: SparkSession, path: str, refresh_manifest: bool = False
+) -> dict:
     """Fold pending MOR deltas into the base: resolve latest-seq-wins
     over (base ∪ deltas) for ONLY the buckets the deltas touch, COW-swap
     those bucket dirs, then drop the delta dirs. Idempotent across a
     crash between swap and delta removal — re-applying the same deltas
     reproduces the same rows (overrides are absolute values, tombstones
-    delete already-absent keys)."""
+    delete already-absent keys). ``refresh_manifest=True`` additionally
+    runs the incremental stats-manifest refresh over the swapped files
+    when the table carries a ``_stats_manifest`` (compaction is THE
+    file-churn point of the MOR lifecycle; the refresh cost tracks the
+    swapped buckets — see ``sources.manifest``)."""
     meta = read_keyed_meta(spark, path)
     recover_keyed_table(spark, path)  # same pre-read sweep as _apply_batch
     deltas = _read_deltas(spark, path, meta)
@@ -636,7 +642,16 @@ def compact_keyed_table(spark: SparkSession, path: str) -> dict:
         _write_layout(merged, staging, len(touched), meta)
         _swap_buckets(spark, path, staging, touched)
         fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
-        return {"touched_buckets": touched, "deltas_folded": n_deltas}
+        out = {"touched_buckets": touched, "deltas_folded": n_deltas}
+        if refresh_manifest:
+            from hadoop_20_warehouse_fix_spark.sources.manifest import (
+                MANIFEST_DIR,
+                refresh_file_stats_manifest,
+            )
+
+            if fs.exists(Path(f"{path}/{MANIFEST_DIR}")):
+                out["manifest"] = refresh_file_stats_manifest(spark, path)
+        return out
     finally:
         deltas.unpersist()
 

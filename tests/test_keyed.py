@@ -331,6 +331,30 @@ def test_cdc_compact_manifest_pruned_read_composition(spark, tmp_path):
     assert 0 < len(kept) < total  # the range layout made the skip real
 
 
+def test_compact_refresh_manifest_flag(spark, tmp_path):
+    """compact_keyed_table(refresh_manifest=True) runs the incremental
+    manifest refresh over exactly the swapped files when a manifest
+    exists, and is a silent no-op when none does."""
+    from hadoop_20_warehouse_fix_spark.sources.manifest import (
+        read_pruned,
+        write_file_stats_manifest,
+    )
+
+    path = str(tmp_path / "tab")
+    df = spark.range(1_000).select(F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+    write_keyed_table(df, path, ["k"], num_buckets=4)
+    ups = spark.createDataFrame([(5, -1)], "k long, v long")
+    upsert_keyed_table(spark, path, ups, mode="mor")
+    diag = compact_keyed_table(spark, path, refresh_manifest=True)
+    assert "manifest" not in diag  # no manifest on the table: no-op
+    write_file_stats_manifest(spark, path, cols=["v"])
+    upsert_keyed_table(spark, path, spark.createDataFrame([(6, -2)], "k long, v long"), mode="mor")
+    diag = compact_keyed_table(spark, path, refresh_manifest=True)
+    assert diag["manifest"]["added"] >= 1 and diag["manifest"]["removed"] >= 1
+    got = read_pruned(spark, path, {"v": (-2, -1)})
+    assert {(r.k, r.v) for r in got.select("k", "v").collect()} == {(5, -1), (6, -2)}
+
+
 def test_mor_idempotency_key_replay(spark, keyed):
     ups = _ups(spark, [(10, -10, "m")])
     d1 = upsert_keyed_table(spark, keyed, ups, mode="mor", idempotency_key="batch-7")
