@@ -192,6 +192,12 @@ def write_keyed_table(
         raise ValueError(f"{sorted(clash)} are reserved column names in keyed tables")
     if layout not in ("hash", "range"):
         raise ValueError(f"layout must be 'hash' or 'range', got {layout!r}")
+    if layout == "hash" and int(num_buckets) < 1:
+        # pmod(xxhash64(...), 0) is NULL — every row would land in a
+        # __HIVE_DEFAULT_PARTITION__ dir the touched-bucket/swap
+        # machinery never addresses (round-11 ADVICE #1: the same
+        # failure mode the range-layout string-key guard prevents).
+        raise ValueError(f"layout='hash' needs num_buckets >= 1, got {num_buckets}")
     if layout == "range" and (range_step is None or int(range_step) <= 0):
         raise ValueError("layout='range' needs a positive range_step")
     if layout == "range":
@@ -552,6 +558,13 @@ def _mor_append(
     dir, so it commits atomically with the data) makes a replayed
     append a no-op — the streaming-ingest contract."""
     meta = read_keyed_meta(spark, path)
+    # Same pre-write sweep as _apply_batch/compact (round-11 ADVICE #2):
+    # after a crashed COW swap a bucket can be stranded at _old.kb.<b>;
+    # the append itself never reads the base, but every SUBSEQUENT read
+    # of base ∪ deltas would silently miss that bucket until something
+    # ran the sweep — make MOR appends honor the "writers recover up
+    # front" contract the swap's crash handling already assumes.
+    recover_keyed_table(spark, path)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
     if idempotency_key is not None:
         seen = _delta_ingest_keys(spark, path)
@@ -729,11 +742,17 @@ def lookup_keys(
     pass a DataFrame of keys past that — it runs as the
     broadcast-semi form (:func:`~..operators.joins.key_prefilter_join`
     physics), falling back to a shuffle semi-join past
-    ``COW_BROADCAST_KEY_ROWS`` keys. The key frame is cached and
-    materialized ONCE (bucket probe + semi-join reuse the same rows —
-    a non-deterministic frame re-evaluated between the two could probe
-    buckets inconsistent with the keys it then matches) and left
-    cached for the returned plan; values are cast to the table's key
+    ``COW_BROADCAST_KEY_ROWS`` keys. A caller-supplied key frame is
+    snapshotted ONCE via ``localCheckpoint(eager=True)`` (bucket probe
+    + semi-join reuse the same rows — a non-deterministic frame
+    re-evaluated between the two could probe buckets inconsistent with
+    the keys it then matches; the checkpoint blocks are released by the
+    ContextCleaner when the returned plan is garbage-collected, where a
+    bare ``persist`` pinned them in the CacheManager forever —
+    round-11 ADVICE #4; caveat: a lost executor loses checkpoint
+    blocks and fails the lookup, the standard localCheckpoint trade).
+    Literal key lists are deterministic by construction and need no
+    snapshot; values are cast to the table's key
     types first, because the hash layout's xxhash64 is type-sensitive
     (an int-keyed table probed with longs scans the WRONG directory
     and reports the key absent). Pending MOR deltas are honored either
@@ -758,7 +777,7 @@ def lookup_keys(
         missing = [c for c in key_cols if c not in keys.columns]
         if missing:
             raise ValueError(f"key frame lacks key columns {missing}")
-        key_df = typed(keys).distinct()
+        key_df = typed(keys).distinct().localCheckpoint(eager=True)
     else:
         rows = [(k,) if not isinstance(k, tuple) else k for k in keys]
         if not rows:
@@ -790,7 +809,6 @@ def lookup_keys(
             {abs(int(r[0])) // step * (1 if int(r[0]) >= 0 else -1) for r in rows}
         )
     else:
-        key_df = key_df.persist()
         buckets = [
             int(r[BUCKET_COL])
             for r in key_df.select(_bucket_expr(meta).alias(BUCKET_COL)).distinct().collect()

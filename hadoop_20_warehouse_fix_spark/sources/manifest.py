@@ -237,15 +237,20 @@ def refresh_file_stats_manifest(
     old = _read_manifest(spark, dest)
     known = {r.file for r in old.select("file").collect()}
     current = set(_list_data_files(spark, table_path))
-    if not current:
-        raise ValueError(f"no parquet data files under {table_path!r}")
+    # A now-empty table (e.g. a compaction that tombstoned every
+    # remaining row) refreshes to an EMPTY manifest rather than raising
+    # (round-11 ADVICE #3: the raise fired AFTER the caller's compact
+    # had already committed, leaving the manifest stale with dead file
+    # paths while reporting failure for a compact that succeeded).
     added = sorted(current - known)
     removed = known - current
     if not added and not removed:
         return {"added": 0, "removed": 0, "kept": len(known), "total": len(known)}
-    schema = spark.read.parquet(table_path).schema
-    by_name = {f.name: f.dataType for f in schema.fields}
     want = [c[len("min_"):] for c in old.columns if c.startswith("min_")]
+    by_name: dict = {}
+    if added:  # schema only needed to footer-read NEW files
+        schema = spark.read.parquet(table_path).schema
+        by_name = {f.name: f.dataType for f in schema.fields}
     kept = old.filter(~F.col("file").isin(list(removed))) if removed else old
     pieces = [kept]
     if added:
@@ -342,8 +347,27 @@ def read_pruned(
     out for ``predicates``, then re-apply the predicates as a real
     filter (row-group pruning + exactness on top of the file pruning).
     Returns an empty DataFrame with the table schema when every file is
-    pruned."""
+    pruned.
+
+    Keyed tables with PENDING MOR deltas are refused (round-11 ADVICE
+    #5): the manifest lists only non-hidden base files, so ``_delta``
+    rows are invisible — a pruned read would silently miss un-compacted
+    updates and resurrect tombstoned keys. The two features compose
+    only after ``compact_keyed_table(refresh_manifest=True)``."""
     mpath = manifest_path or f"{table_path.rstrip('/')}/{MANIFEST_DIR}"
+    from hadoop_20_warehouse_fix_spark.sources import keyed as _keyed
+
+    fs, _, jvm = _fs_for(spark, table_path)
+    root = table_path.rstrip("/")
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/{_keyed._META}")
+    ) and _keyed._delta_seq_dirs(spark, root):
+        raise ValueError(
+            f"{table_path!r} is a keyed table with pending MOR deltas — the "
+            "stats manifest covers only base files, so a pruned read would "
+            "miss un-compacted updates/tombstones; run "
+            "compact_keyed_table(refresh_manifest=True) first"
+        )
     kept, _ = manifest_kept_files(spark, mpath, predicates)
     preds = _normalize(predicates)
     if not kept:

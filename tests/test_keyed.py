@@ -649,3 +649,34 @@ def test_initial_load_uniqueness_and_reserved_col(spark):
             write_keyed_table(seqcol, f"{tmp}/t6", ["k"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_hash_layout_refuses_nonpositive_buckets(spark):
+    # num_buckets=0 would make pmod(xxhash64, 0) NULL — every row in a
+    # __HIVE_DEFAULT_PARTITION__ dir the swap machinery never touches
+    # (round-11 ADVICE #1).
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    tmp = tempfile.mkdtemp(prefix="keyed_nb_")
+    try:
+        with pytest.raises(ValueError, match="num_buckets >= 1"):
+            write_keyed_table(df, f"{tmp}/t", ["k"], num_buckets=0)
+        with pytest.raises(ValueError, match="num_buckets >= 1"):
+            write_keyed_table(df, f"{tmp}/t", ["k"], num_buckets=-3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_mor_append_recovers_crashed_cow_swap_first(spark, keyed):
+    # Round-11 ADVICE #2: a bucket stranded at _old.kb.<b> by a crashed
+    # COW swap must be restored by the NEXT writer, whichever kind. A
+    # MOR append that skipped the sweep would leave base∪delta reads
+    # silently missing the bucket until a COW batch or compaction ran.
+    some = os.path.join(keyed, f"{BUCKET_COL}=3")
+    stranded = os.path.join(keyed, f"_old.{BUCKET_COL}.3")
+    os.rename(some, stranded)  # simulate the crash window
+    n_missing = read_keyed_table(spark, keyed).count()
+    assert n_missing < 10_000  # the bucket really is invisible pre-sweep
+    batch = spark.createDataFrame([(20_001, 42, "new")], "k long, v long, tag string")
+    upsert_keyed_table(spark, keyed, batch, mode="mor")
+    assert not os.path.exists(stranded)
+    assert read_keyed_table(spark, keyed).count() == 10_001

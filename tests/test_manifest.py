@@ -233,3 +233,66 @@ def test_manifest_explicit_cols_only(spark, ztable):
         assert {"file", "num_rows", "bytes", "min_x", "max_x", "nulls_x"} == set(m.columns)
         assert m.count() == 16
         assert m.agg(F.sum("num_rows")).first()[0] == 50_000
+
+
+def test_refresh_on_emptied_table_writes_empty_manifest(spark):
+    # Round-11 ADVICE #3: a compaction that tombstones every remaining
+    # row used to make refresh raise AFTER the compact committed,
+    # stranding a stale manifest full of dead paths.
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        delete_from_keyed_table,
+        write_keyed_table,
+    )
+    from hadoop_20_warehouse_fix_spark.sources.manifest import (
+        refresh_file_stats_manifest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="manifest_empty_")
+    try:
+        path = f"{tmp}/t"
+        df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        write_keyed_table(df, path, ["k"], num_buckets=4)
+        mpath = write_file_stats_manifest(spark, path)
+        n_files = spark.read.parquet(mpath).count()
+        assert n_files >= 1
+        delete_from_keyed_table(spark, path, df.select("k"), mode="cow")
+        out = refresh_file_stats_manifest(spark, path)
+        assert out == {"added": 0, "removed": n_files, "kept": 0, "total": 0}
+        assert spark.read.parquet(mpath).count() == 0
+        # and the refresh is idempotent on the empty state
+        out2 = refresh_file_stats_manifest(spark, path)
+        assert out2 == {"added": 0, "removed": 0, "kept": 0, "total": 0}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_read_pruned_refuses_pending_mor_deltas(spark):
+    # Round-11 ADVICE #5: the manifest covers only base files, so a
+    # pruned read over a keyed table with pending deltas would silently
+    # return stale/resurrected rows.
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        compact_keyed_table,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+    from hadoop_20_warehouse_fix_spark.sources.manifest import (
+        refresh_file_stats_manifest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="manifest_mor_")
+    try:
+        path = f"{tmp}/t"
+        df = spark.range(1_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        write_keyed_table(df, path, ["k"], num_buckets=4)
+        write_file_stats_manifest(spark, path)
+        batch = spark.createDataFrame([(5, 999)], "k long, v long")
+        upsert_keyed_table(spark, path, batch, mode="mor")
+        with pytest.raises(ValueError, match="pending MOR deltas"):
+            read_pruned(spark, path, {"k": (0, 10)})
+        compact_keyed_table(spark, path)
+        refresh_file_stats_manifest(spark, path)
+        got = {tuple(r) for r in read_pruned(spark, path, {"k": (0, 10)}).select("k", "v").collect()}
+        want = {(i, i * 3) for i in range(11)} - {(5, 15)} | {(5, 999)}
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
