@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         sorts,
         sources,
+        storage,
         streaming,
         text,
         tpch_extra,

@@ -1,0 +1,194 @@
+"""Driver-gated storage-layer queries (round 12): the keyed-table
+COW/MOR lifecycle and manifest file-pruning under the DuckDB oracle.
+
+Round 11 built the mutable-table storage layer (``sources/keyed.py``,
+``sources/manifest.py``) with pytest-only evidence; these queries make
+it driver-visible (VERDICT r11 "Next round" #1). Each query constructs
+its table in scratch space DETERMINISTICALLY from the shared testdata
+views, so the oracle can recompute the expected end state in plain SQL
+— stronger than comparing against the table's own files, because a bug
+anywhere in the write/delta/compact/read cycle shows up as a value
+mismatch, not just a self-consistent wrong answer.
+
+Reference parity: the MapFile get/merge semantics (``C/io/MapFile.java:49``
+get at :426, exercised by ``src/test/org/apache/hadoop/io/TestMapFile``
+round-trips) — rewritten keys fold over the sorted base, reads see the
+merged view, point gets seek only the index's bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.queries import query
+from hadoop_20_warehouse_fix_spark.scratch import scratch_dir
+
+
+@query(
+    "keyed_upsert_mor_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice + 2
+                WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 20 = 3 THEN 'u3'
+                WHEN o_orderkey % 10 = 3 THEN 'u1'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 7
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'ins'
+    FROM orders WHERE o_orderkey % 1000 = 1
+    """,
+)
+def keyed_upsert_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-table MOR lifecycle end-to-end under the oracle gate:
+    initial bucketed load of ``orders``, three O(batch) delta appends
+    (update, tombstone, update-override + insert), then the resolved
+    read — latest-seq-wins per key, tombstones filtered, no base
+    shuffle (the broadcast-anti resolution, plan-pinned in
+    tests/test_keyed.py). The oracle recomputes the identical end state
+    from the source view in plain SQL, so every stage of the
+    write/delta/read cycle is value-checked.
+
+    Batch 3 deliberately overrides half of batch 1's keys (%20==3 is a
+    subset of %10==3) — the seq ordering, not the union order, must
+    decide the winner.
+
+    100 TB: each append costs O(batch) regardless of key spread; the
+    read tax is a broadcast anti-join of delta keys against the base
+    (SCALING.md r11: 0.35 s appends vs 13.6 s scattered COW at 20M
+    rows). Reference analog: MapFile merge (``C/io/MapFile.java:49``).
+    """
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        delete_from_keyed_table,
+        read_keyed_table,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = scratch_dir(prefix="keyed_mor_q_") + "/tab"
+    write_keyed_table(orders, path, ["o_orderkey"], num_buckets=16, assume_unique=True)
+    k = F.col("o_orderkey")
+    upd1 = (
+        orders.filter(k % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("o_orderpriority", F.lit("u1"))
+    )
+    upsert_keyed_table(spark, path, upd1, assume_unique=True, mode="mor")
+    dels = orders.filter(k % 10 == 7).select("o_orderkey")
+    delete_from_keyed_table(spark, path, dels, mode="mor")
+    upd3 = (
+        orders.filter(k % 20 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 2)
+        .withColumn("o_orderpriority", F.lit("u3"))
+        .unionByName(
+            orders.filter(k % 1000 == 1)
+            .withColumn("o_orderkey", k + 100_000_000)
+            .withColumn("o_orderpriority", F.lit("ins"))
+        )
+    )
+    upsert_keyed_table(spark, path, upd3, assume_unique=True, mode="mor")
+    return read_keyed_table(spark, path).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
+    "keyed_compact_point_lookup",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey IN (2, 4) THEN c_acctbal + 100
+                WHEN c_custkey = 6 THEN c_acctbal + 7
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey IN (2, 4) THEN 'upd'
+                WHEN c_custkey = 6 THEN 'upd2'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer WHERE c_custkey IN (0, 1, 2, 4, 6, 7, 8)
+    """,
+)
+def keyed_compact_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the keyed lifecycle: MOR deltas folded into the base
+    by compaction, a FRESH delta layered on top, then a literal-key
+    point lookup (``MapFile.get()`` analog, ``C/io/MapFile.java:426``)
+    that must resolve base + pending delta while scanning only the
+    bucket directories the keys hash to (directory pruning pinned in
+    tests/test_keyed.py). Deleted keys return nothing, absent keys
+    return nothing, updated keys return the latest value whether the
+    update was compacted (2, 4) or still pending (6).
+
+    100 TB: the lookup's plan touches O(distinct key buckets)
+    directories, never the table; compaction cost tracks the touched
+    buckets (SCALING.md r11: 65x cheaper than per-batch COW)."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        compact_keyed_table,
+        delete_from_keyed_table,
+        lookup_keys,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = scratch_dir(prefix="keyed_pl_q_") + "/tab"
+    write_keyed_table(cust, path, ["c_custkey"], num_buckets=8, assume_unique=True)
+    k = F.col("c_custkey")
+    upd = (
+        cust.filter(k.isin(2, 4))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("c_mktsegment", F.lit("upd"))
+    )
+    upsert_keyed_table(spark, path, upd, assume_unique=True, mode="mor")
+    delete_from_keyed_table(
+        spark, path, cust.filter(k.isin(3, 5)).select("c_custkey"), mode="mor"
+    )
+    compact_keyed_table(spark, path)
+    upd2 = (
+        cust.filter(k == 6)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 7)
+        .withColumn("c_mktsegment", F.lit("upd2"))
+    )
+    upsert_keyed_table(spark, path, upd2, assume_unique=True, mode="mor")
+    found = lookup_keys(spark, path, [0, 1, 2, 3, 4, 5, 6, 7, 8, 999_999])
+    return found.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "manifest_pruned_read",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 2000 AND 4000
+      AND l_partkey BETWEEN 100 AND 600
+    """,
+)
+def manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stats-manifest data skipping under the oracle gate: write a
+    z-ordered copy of lineitem, build the per-file min/max manifest
+    (distributed footer pass), then answer a 2-D box query through
+    :func:`~..sources.manifest.read_pruned` — the manifest prunes to
+    the files whose stats can match, the scan re-applies the exact
+    predicate. The oracle is the PLAIN filtered scan of the source
+    view: pruning must be invisible in the answer, by construction.
+
+    100 TB: the z-order layout makes the box land in few files
+    (SCALING.md r11: 2/64 files z-ordered vs 64/64 random); the
+    manifest read replaces a million footer opens with one tiny
+    parquet scan. Reference analog: BloomMapFile's membership gate in
+    front of the MapFile index (``C/io/BloomMapFile.java:45``)."""
+    from hadoop_20_warehouse_fix_spark.operators.sort import write_zordered
+    from hadoop_20_warehouse_fix_spark.sources.manifest import (
+        read_pruned,
+        write_file_stats_manifest,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    path = scratch_dir(prefix="manifest_q_") + "/ztab"
+    write_zordered(li, path, ["l_orderkey", "l_partkey"], bits=16, num_files=16)
+    write_file_stats_manifest(spark, path, cols=["l_orderkey", "l_partkey"])
+    return read_pruned(
+        spark, path, {"l_orderkey": (2000, 4000), "l_partkey": (100, 600)}
+    )

@@ -680,3 +680,29 @@ def test_mor_append_recovers_crashed_cow_swap_first(spark, keyed):
     upsert_keyed_table(spark, keyed, batch, mode="mor")
     assert not os.path.exists(stranded)
     assert read_keyed_table(spark, keyed).count() == 10_001
+
+
+def test_registered_storage_queries_plan_shapes(spark):
+    """The round-12 registered storage queries keep the storage layer's
+    plan discipline at the registered scale: the MOR-resolved read
+    behind keyed_upsert_mor_read never shuffles the base (broadcast
+    anti only, delta-sized exchanges), and manifest_pruned_read's scan
+    enumerates only manifest-kept files."""
+    from hadoop_20_warehouse_fix_spark.plans.inspect import plan_summary
+    from hadoop_20_warehouse_fix_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    df = reg["keyed_upsert_mor_read"].fn(spark, sf)
+    s = plan_summary(df)
+    assert s.num_broadcast_joins >= 1 and s.num_sortmerge_joins == 0
+    assert s.num_exchanges <= 2, "extra exchange implies the base was shuffled"
+
+    # sf0.01 for the pruned read: the registered box predicate is
+    # empty at sf0.001 (orderkeys stop at ~1500), which would collapse
+    # the plan to a LocalTableScan and pin nothing
+    pruned = reg["manifest_pruned_read"].fn(spark, "/root/testdata/sf0.01")
+    # the kept-file scan is a single parquet scan, no exchange
+    s2 = plan_summary(pruned)
+    assert s2.num_file_scans == 1 and s2.num_exchanges == 0
+    assert pruned.count() > 0
