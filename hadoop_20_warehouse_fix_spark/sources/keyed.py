@@ -48,6 +48,16 @@ MOR append is one rename of the staged seq dir — atomic per batch.
 Engines that need multi-writer transactions layer a log on top
 (Delta/Iceberg); this is the bucket-granular storage those logs commit.
 
+Single-writer, enforced (round 12): every mutation (initial load,
+COW/MOR batch, compaction) holds a ``_writer.lock`` lease taken by
+create-exclusive — atomic on HDFS and local filesystems. A second
+concurrent writer raises :class:`KeyedTableLockedError` instead of
+silently interleaving with a swap; a lease older than the TTL is
+presumed crashed and broken by the next writer (whose recovery sweep
+then repairs any half-finished swap). Object stores without atomic
+create-exclusive need an external lock service — the same posture
+Hudi/Delta document for S3 multi-writer.
+
 Key uniqueness is the table's contract (it is a keyed table): the
 initial write and every batch refuse duplicate keys unless the caller
 passes ``assume_unique=True`` (bulk loads that already proved it — the
@@ -70,6 +80,19 @@ BUCKET_COL = "kb"
 _META = "_keyed_meta.json"
 _DELTA_DIR = "_delta"
 _DEL_COL = "_del"
+_WRITER_LOCK = "_writer.lock"
+
+#: A writer lease older than this is presumed crashed and may be
+#: broken by the next writer (the lease is renewed only by acquiring
+#: anew per batch — batches longer than the TTL should raise it).
+DEFAULT_LOCK_TTL_SEC = 3600.0
+
+
+class KeyedTableLockedError(IOError):
+    """Another writer holds the table's lease (round-12: keyed tables
+    are single-writer by construction — two interleaved COW swaps or a
+    compact racing an append corrupt silently, so concurrent writers
+    must refuse, not interleave)."""
 
 
 def _fs(spark: SparkSession, path: str):
@@ -95,6 +118,79 @@ def read_keyed_meta(spark: SparkSession, path: str) -> dict:
     finally:
         stream.close()
     return json.loads(data.decode())
+
+
+def _acquire_writer_lock(
+    spark: SparkSession, path: str, ttl_sec: float
+) -> None:
+    """Take the table's writer lease via create-exclusive of
+    ``_writer.lock`` (atomic on HDFS and local filesystems — the same
+    primitive HBase/Hadoop job committers lease with; object stores
+    without atomic create need the external-catalog posture documented
+    in the module docstring). Held and fresh → raise
+    :class:`KeyedTableLockedError` naming the holder. Held but older
+    than ``ttl_sec`` → presumed crashed: break it and retry once (the
+    loser of a concurrent break/re-create race gets the error, which
+    is the safe side)."""
+    import json as _json
+    import os
+    import socket
+    import time
+
+    fs, root, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    lockp = Path(f"{path}/{_WRITER_LOCK}")
+    payload = _json.dumps(
+        {"host": socket.gethostname(), "pid": os.getpid(), "acquired_unix": time.time()}
+    ).encode()
+    if not fs.exists(root):
+        fs.mkdirs(root)
+    for attempt in (1, 2):
+        try:
+            out = fs.create(lockp, False)  # overwrite=False: create-exclusive
+            out.write(bytearray(payload))
+            out.close()
+            return
+        except Exception:  # noqa: BLE001 — py4j wraps FileAlreadyExists
+            if not fs.exists(lockp):
+                raise  # a real I/O failure, not contention
+        st = fs.getFileStatus(lockp)
+        age = time.time() - st.getModificationTime() / 1000.0
+        if age > ttl_sec and attempt == 1:
+            fs.delete(lockp, False)  # stale lease from a crashed writer
+            continue
+        try:
+            stream = fs.open(lockp)
+            holder = bytes(stream.readAllBytes()).decode()
+            stream.close()
+        except Exception:  # noqa: BLE001 — racer may have just released
+            holder = "<unknown>"
+        raise KeyedTableLockedError(
+            f"{path!r} is locked by another writer (held {age:.0f}s, ttl "
+            f"{ttl_sec:.0f}s): {holder} — keyed tables are single-writer; "
+            "retry after it finishes, or delete _writer.lock if you are "
+            "certain the holder is dead"
+        )
+
+
+def _release_writer_lock(spark: SparkSession, path: str) -> None:
+    fs, _, jvm = _fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{_WRITER_LOCK}"), False)
+
+
+class _writer_lease:
+    """``with _writer_lease(spark, path, ttl):`` around every mutation."""
+
+    def __init__(self, spark: SparkSession, path: str, ttl_sec: float):
+        self.spark, self.path, self.ttl = spark, path, ttl_sec
+
+    def __enter__(self):
+        _acquire_writer_lock(self.spark, self.path, self.ttl)
+        return self
+
+    def __exit__(self, *exc):
+        _release_writer_lock(self.spark, self.path)
+        return False
 
 
 def _base_df(spark: SparkSession, path: str, meta: dict) -> DataFrame:
@@ -168,6 +264,7 @@ def write_keyed_table(
     layout: str = "hash",
     range_step: int | None = None,
     sort_cols: Sequence[str] | None = None,
+    lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
 ) -> None:
     """Initial load of a keyed table: bucket directory layout + layout
     metadata, so every later batch derives the same bucketing.
@@ -237,8 +334,31 @@ def write_keyed_table(
     # One shuffle keyed exactly like the layout: each writer task owns
     # whole buckets, so a bucket directory is ~one file, not one file
     # per (task, bucket) pair.
-    _write_layout(out, path, num_buckets, meta)
-    _write_meta(spark, path, meta)
+    with _writer_lease(spark, path, lock_ttl_sec):
+        # The load lands in _staging and bucket dirs rename into the
+        # root (round 12): the root — and the writer lease inside it —
+        # survives, where the old overwrite-to-root write deleted the
+        # whole dir (lease included) mid-write, leaving a window for a
+        # second writer to interleave with table (re)creation.
+        staging = f"{path}/_staging"
+        fs, root, jvm = _fs(spark, path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs.delete(Path(staging), True)
+        _write_layout(out, staging, num_buckets, meta)
+        for st in fs.listStatus(root):  # clear any prior table state
+            name = st.getPath().getName()
+            if (
+                name.startswith((f"{BUCKET_COL}=", f"_old.{BUCKET_COL}."))
+                or name == _DELTA_DIR
+            ):
+                fs.delete(st.getPath(), True)
+        for st in fs.listStatus(Path(staging)):
+            name = st.getPath().getName()
+            if name.startswith(f"{BUCKET_COL}="):
+                if not fs.rename(st.getPath(), Path(f"{path}/{name}")):
+                    raise IOError(f"initial-load rename failed for {name}")
+        fs.delete(Path(staging), True)
+        _write_meta(spark, path, meta)
 
 
 def _write_layout(df: DataFrame, dest: str, n_parts: int, meta: dict) -> None:
@@ -618,7 +738,10 @@ def _mor_append(
 
 
 def compact_keyed_table(
-    spark: SparkSession, path: str, refresh_manifest: bool = False
+    spark: SparkSession,
+    path: str,
+    refresh_manifest: bool = False,
+    lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
 ) -> dict:
     """Fold pending MOR deltas into the base: resolve latest-seq-wins
     over (base ∪ deltas) for ONLY the buckets the deltas touch, COW-swap
@@ -631,6 +754,13 @@ def compact_keyed_table(
     file-churn point of the MOR lifecycle; the refresh cost tracks the
     swapped buckets — see ``sources.manifest``)."""
     meta = read_keyed_meta(spark, path)
+    with _writer_lease(spark, path, lock_ttl_sec):
+        return _compact_locked(spark, path, meta, refresh_manifest)
+
+
+def _compact_locked(
+    spark: SparkSession, path: str, meta: dict, refresh_manifest: bool
+) -> dict:
     recover_keyed_table(spark, path)  # same pre-read sweep as _apply_batch
     deltas = _read_deltas(spark, path, meta)
     if deltas is None:
@@ -676,6 +806,7 @@ def upsert_keyed_table(
     assume_unique: bool = False,
     mode: str = "cow",
     idempotency_key: str | None = None,
+    lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
 ) -> dict:
     """Override-join semantics at the storage layer: rows whose keys
     appear in ``updates`` are replaced, new keys are inserted.
@@ -686,14 +817,15 @@ def upsert_keyed_table(
     ``idempotency_key`` (MOR only) makes a replayed batch a no-op."""
     if idempotency_key is not None and mode != "mor":
         raise ValueError("idempotency_key is a MOR-delta contract; mode='cow' rewrites in place")
-    if mode == "cow":
-        return _apply_batch(spark, path, updates, delete=False, assume_unique=assume_unique)
-    if mode == "mor":
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    with _writer_lease(spark, path, lock_ttl_sec):
+        if mode == "cow":
+            return _apply_batch(spark, path, updates, delete=False, assume_unique=assume_unique)
         return _mor_append(
             spark, path, updates, delete=False, assume_unique=assume_unique,
             idempotency_key=idempotency_key,
         )
-    raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
 
 
 def delete_from_keyed_table(
@@ -703,6 +835,7 @@ def delete_from_keyed_table(
     assume_unique: bool = True,
     mode: str = "cow",
     idempotency_key: str | None = None,
+    lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
 ) -> dict:
     """Key deletion: ``cow`` removes rows physically from the touched
     buckets now; ``mor`` writes tombstones the readers honor and
@@ -710,14 +843,15 @@ def delete_from_keyed_table(
     harmless, so uniqueness defaults off."""
     if idempotency_key is not None and mode != "mor":
         raise ValueError("idempotency_key is a MOR-delta contract; mode='cow' rewrites in place")
-    if mode == "cow":
-        return _apply_batch(spark, path, keys, delete=True, assume_unique=assume_unique)
-    if mode == "mor":
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    with _writer_lease(spark, path, lock_ttl_sec):
+        if mode == "cow":
+            return _apply_batch(spark, path, keys, delete=True, assume_unique=assume_unique)
         return _mor_append(
             spark, path, keys, delete=True, assume_unique=assume_unique,
             idempotency_key=idempotency_key,
         )
-    raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
 
 
 def lookup_keys(

@@ -706,3 +706,59 @@ def test_registered_storage_queries_plan_shapes(spark):
     s2 = plan_summary(pruned)
     assert s2.num_file_scans == 1 and s2.num_exchanges == 0
     assert pruned.count() > 0
+
+
+def test_writer_lease_refuses_second_writer_and_recovers_stale(spark, keyed):
+    """Round-12 brief #3: keyed tables are single-writer by contract —
+    a live lease makes a second writer REFUSE with a clear error; a
+    stale lease (crashed holder, past TTL) is broken and the write
+    proceeds; a completed write leaves no lease behind."""
+    import json
+    import time
+
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        KeyedTableLockedError,
+        _WRITER_LOCK,
+    )
+
+    lock = os.path.join(keyed, _WRITER_LOCK)
+    batch = spark.createDataFrame([(1, -5, "w")], "k long, v long, tag string")
+
+    # simulate a live concurrent writer
+    with open(lock, "w") as f:
+        json.dump({"host": "other", "pid": 999, "acquired_unix": time.time()}, f)
+    with pytest.raises(KeyedTableLockedError, match="locked by another writer"):
+        upsert_keyed_table(spark, keyed, batch, mode="mor")
+    with pytest.raises(KeyedTableLockedError):
+        upsert_keyed_table(spark, keyed, batch, mode="cow")
+    with pytest.raises(KeyedTableLockedError):
+        compact_keyed_table(spark, keyed)
+    with pytest.raises(KeyedTableLockedError):
+        delete_from_keyed_table(spark, keyed, batch.select("k"), mode="mor")
+    base = spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("v"), F.lit("x").alias("tag"))
+    with pytest.raises(KeyedTableLockedError):
+        write_keyed_table(base, keyed, ["k"], num_buckets=4)
+
+    # stale lease: holder presumed crashed once past the TTL
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    out = upsert_keyed_table(spark, keyed, batch, mode="mor", lock_ttl_sec=60)
+    assert out["mode"] == "mor"
+    assert not os.path.exists(lock), "lease must be released after the write"
+    assert read_keyed_table(spark, keyed).filter("k = 1").first().v == -5
+
+
+def test_initial_load_keeps_root_and_replaces_state(spark, keyed):
+    """Round-12: the initial load writes via _staging + rename-in, so a
+    re-load of an existing table replaces buckets/deltas/meta without
+    deleting the root dir (where the writer lease lives)."""
+    batch = spark.createDataFrame([(7, 0, "d")], "k long, v long, tag string")
+    upsert_keyed_table(spark, keyed, batch, mode="mor")  # pending delta
+    fresh = spark.range(100).select(
+        F.col("id").alias("kk"), (F.col("id") + 1).alias("vv")
+    )
+    write_keyed_table(fresh, keyed, ["kk"], num_buckets=4)
+    got = read_keyed_table(spark, keyed)
+    assert got.columns == ["kk", "vv"] and got.count() == 100
+    assert not os.path.exists(os.path.join(keyed, "_delta")), "old deltas cleared"
+    assert not os.path.exists(os.path.join(keyed, "_staging"))
