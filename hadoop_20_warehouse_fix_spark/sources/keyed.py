@@ -793,7 +793,15 @@ def _compact_locked(
             )
 
             if fs.exists(Path(f"{path}/{MANIFEST_DIR}")):
-                out["manifest"] = refresh_file_stats_manifest(spark, path)
+                # The compact KNOWS its churn: exactly the swapped
+                # bucket dirs. Declaring them keeps the refresh
+                # O(touched files), independent of table file count
+                # (round-12 brief #4).
+                out["manifest"] = refresh_file_stats_manifest(
+                    spark,
+                    path,
+                    changed_dirs=[f"{path}/{BUCKET_COL}={b}" for b in touched],
+                )
         return out
     finally:
         deltas.unpersist()

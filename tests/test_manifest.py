@@ -296,3 +296,100 @@ def test_read_pruned_refuses_pending_mor_deltas(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_refresh_changed_dirs_equals_full_reconcile(spark):
+    # Round-12 brief #4: a writer-declared changed-dir refresh must
+    # produce the byte-identical manifest a full reconciliation does,
+    # while never listing outside the declared dirs.
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        BUCKET_COL,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+    from hadoop_20_warehouse_fix_spark.sources.manifest import (
+        refresh_file_stats_manifest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="manifest_cd_")
+    try:
+        a, b = f"{tmp}/a", f"{tmp}/b"  # twin tables, same content
+        df = spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 997).alias("v")
+        )
+        for path in (a, b):
+            write_keyed_table(df, path, ["k"], num_buckets=8)
+            write_file_stats_manifest(spark, path, cols=["k", "v"])
+        batch = spark.range(40).select(
+            (F.col("id") * 100).alias("k"), F.lit(-1).alias("v")
+        )
+        outs = {}
+        for path in (a, b):
+            outs[path] = upsert_keyed_table(spark, path, batch, mode="cow")
+        touched = outs[a]["touched_buckets"]
+        assert touched == outs[b]["touched_buckets"]
+        r_full = refresh_file_stats_manifest(spark, a)
+        r_dirs = refresh_file_stats_manifest(
+            spark, b, changed_dirs=[f"{b}/{BUCKET_COL}={t}" for t in touched]
+        )
+        assert r_full == r_dirs
+        assert r_full["added"] > 0 and r_full["removed"] > 0
+
+        def canon(path, root):
+            m = spark.read.parquet(f"{path}/_stats_manifest")
+            drop_file = [c for c in m.columns if c != "file"]
+            rows = {
+                (r["file"].split(root)[-1].rsplit("/", 1)[0],)  # bucket dir
+                + tuple(r[c] for c in sorted(drop_file))
+                for r in m.collect()
+            }
+            return rows
+
+        # identical stats per bucket dir (file NAMES differ between the
+        # twin tables — Spark's part-file uuids — so compare by dir)
+        assert canon(a, "/a/") == canon(b, "/b/")
+
+        # changed_dirs outside the table refuse
+        with pytest.raises(ValueError, match="not under table_path"):
+            refresh_file_stats_manifest(spark, b, changed_dirs=[tmp])
+        # declaring an untouched dir is harmless (no-op rows kept)
+        r_noop = refresh_file_stats_manifest(
+            spark, b, changed_dirs=[f"{b}/{BUCKET_COL}={touched[0]}"]
+        )
+        assert r_noop["added"] == 0 and r_noop["removed"] == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_refresh_declares_touched_dirs(spark):
+    # compact(refresh_manifest=True) now rides the changed-dirs path;
+    # the pruned read over the refreshed manifest stays exact.
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        compact_keyed_table,
+        delete_from_keyed_table,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="manifest_cdc_")
+    try:
+        path = f"{tmp}/t"
+        df = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") % 50).alias("v"))
+        write_keyed_table(df, path, ["k"], num_buckets=8)
+        write_file_stats_manifest(spark, path, cols=["k"])
+        upsert_keyed_table(
+            spark,
+            path,
+            spark.createDataFrame([(3, -1), (2_500, -2)], "k long, v long"),
+            mode="mor",
+        )
+        delete_from_keyed_table(
+            spark, path, spark.createDataFrame([(10,)], "k long"), mode="mor"
+        )
+        out = compact_keyed_table(spark, path, refresh_manifest=True)
+        assert out["manifest"]["added"] == len(out["touched_buckets"])
+        got = {tuple(r) for r in read_pruned(spark, path, {"k": (0, 20)}).select("k", "v").collect()}
+        want = {(i, i % 50) for i in range(21)} - {(3, 3), (10, 10)} | {(3, -1)}
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
