@@ -698,7 +698,7 @@ def _mor_append(
             }
     batch = _validated_batch(meta, batch, delete, assume_unique)
     if delete:
-        base_schema = {f.name: f.dataType for f in _base_df(spark, path, meta).schema.fields}
+        base_schema = _data_schema(spark, path, meta)
         batch = batch.select(
             *key_cols,
             *[
@@ -712,6 +712,30 @@ def _mor_append(
         .withColumn(_DEL_COL, F.lit(delete))
         .withColumn(BUCKET_COL, _bucket_expr(meta))
     )
+    return _commit_delta(spark, path, batch, delete, idempotency_key)
+
+
+def _data_schema(spark: SparkSession, path: str, meta: dict) -> dict:
+    """{data col: DataType} from the metadata written at load time —
+    no base scan (the first draft's read-the-base schema inference cost
+    a listing + footer job PER delete batch; round-12 CDC fixed-cost
+    work). Pre-schema_json tables (none in practice) fall back."""
+    if meta.get("schema_json"):
+        full = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        return {f.name: f.dataType for f in full.fields}
+    return {f.name: f.dataType for f in _base_df(spark, path, meta).schema.fields}
+
+
+def _commit_delta(
+    spark: SparkSession,
+    path: str,
+    staged: DataFrame,
+    delete: bool,
+    idempotency_key: str | None,
+) -> dict:
+    """Shared MOR commit tail: write ``staged`` (data cols + ``_del`` +
+    ``kb``) under ``_delta/_staging_seq``, drop the idempotency marker
+    inside it, rename to the next ``seq=N`` — one atomic batch."""
     seqs = _delta_seq_dirs(spark, path)
     next_seq = (seqs[-1][0] + 1) if seqs else 1
     staging = f"{path}/{_DELTA_DIR}/_staging_seq"
@@ -722,7 +746,7 @@ def _mor_append(
     # scattered 1k-row batch into ~one tiny file per touched bucket
     # (measured 10 s of pure file-open overhead); nothing reads deltas
     # by bucket dir — compaction takes kb from the column.
-    batch.write.mode("overwrite").parquet(staging)
+    staged.write.mode("overwrite").parquet(staging)
     if idempotency_key is not None:
         # Empty marker, key digest in the NAME — detection is a listing,
         # never a per-file read; md5 also makes arbitrary caller keys
@@ -860,6 +884,121 @@ def delete_from_keyed_table(
             spark, path, keys, delete=True, assume_unique=assume_unique,
             idempotency_key=idempotency_key,
         )
+
+
+def apply_changes_keyed_table(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    op_col: str | None = None,
+    assume_unique: bool = False,
+    idempotency_key: str | None = None,
+    lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
+) -> dict:
+    """Apply a MIXED batch of row-level changes (upserts + deletes) as
+    ONE MOR delta append — the CDC fast path (round-12 brief #5).
+
+    ``op_col`` names an optional change-kind column: rows whose value
+    is ``"delete"`` become tombstones (non-key columns NULLed), every
+    other row upserts; without it the whole batch upserts. Compared to
+    a delete_from_keyed_table + upsert_keyed_table pair this runs ONE
+    validation job (uniqueness, NULL keys, and the delete/upsert
+    counts come out of a single aggregation — no isEmpty probes) and
+    ONE delta write under ONE writer lease, cutting the per-batch
+    fixed cost that dominated the round-11 CDC soak (1.41 s/batch
+    steady state vs 0.35 s for the append itself). A key appearing
+    twice (including once as a delete and once as an upsert) is an
+    error, not an order-dependent answer — same contract as the
+    streaming ingest always had. Empty batches commit nothing.
+
+    Callers that feed ``changes`` from a non-deterministic source
+    should persist it first (the validation pass and the delta write
+    each evaluate the frame once)."""
+    from functools import reduce
+
+    meta = read_keyed_meta(spark, path)
+    key_cols, data_cols = meta["key_cols"], meta["data_cols"]
+    expected = set(data_cols) | ({op_col} if op_col else set())
+    if set(changes.columns) != expected:
+        raise ValueError(
+            f"change batch columns {sorted(changes.columns)} != expected "
+            f"{sorted(expected)} — a keyed change batch replaces whole rows "
+            f"(plus the op column{'' if op_col else ' if declared'})"
+        )
+    isdel = (
+        F.coalesce(F.col(op_col) == "delete", F.lit(False))
+        if op_col
+        else F.lit(False)
+    )
+    any_null = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in key_cols])
+    # ONE aggregation answers everything the old path used four jobs
+    # for: per-key duplicate detection, NULL-key detection, and the
+    # delete/upsert row counts (which also replace the isEmpty probes).
+    if assume_unique:
+        tot = changes.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(isdel.cast("long")).alias("n_del"),
+        ).first()
+        max_dup, has_null = 1, False
+    else:
+        per_key = changes.select(
+            *key_cols, any_null.alias("_nk"), isdel.cast("long").alias("_d")
+        ).groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("_nk").alias("_nk"),
+            F.sum("_d").alias("_d"),
+        )
+        tot = per_key.agg(
+            F.max("_n").alias("max_dup"),
+            F.max("_nk").alias("has_null"),
+            F.sum("_d").alias("n_del"),
+            F.sum("_n").alias("n_rows"),
+        ).first()
+        max_dup, has_null = int(tot.max_dup or 0), bool(tot.has_null)
+    n_rows, n_del = int(tot.n_rows or 0), int(tot.n_del or 0)
+    if has_null:
+        raise ValueError(
+            f"change batch has NULL key components on {list(key_cols)} — NULL "
+            "never equi-matches, so such rows can never be overridden or "
+            "deleted; filter or backfill them first"
+        )
+    if max_dup > 1:
+        raise ValueError(
+            f"change batch has duplicate keys on {list(key_cols)} (a key may "
+            "appear once per batch — a delete+upsert pair of one key would be "
+            "order-dependent); dedupe first or split the batch"
+        )
+    result = {
+        "mode": "mor",
+        "rows": n_rows,
+        "deletes": n_del,
+        "upserts": n_rows - n_del,
+    }
+    if n_rows == 0:
+        result["seq"] = None
+        return result
+    schema = _data_schema(spark, path, meta)
+    non_key = [c for c in data_cols if c not in key_cols]
+    staged = changes.select(
+        *key_cols,
+        *[
+            F.when(isdel, F.lit(None).cast(schema[c])).otherwise(F.col(c)).alias(c)
+            for c in non_key
+        ],
+        isdel.alias(_DEL_COL),
+    ).select(*data_cols, _DEL_COL)
+    staged = staged.withColumn(BUCKET_COL, _bucket_expr(meta))
+    with _writer_lease(spark, path, lock_ttl_sec):
+        recover_keyed_table(spark, path)
+        if idempotency_key is not None:
+            seen = _delta_ingest_keys(spark, path)
+            digest = _key_digest(idempotency_key)
+            if digest in seen:
+                result.update(seq=seen[digest], replayed=True)
+                return result
+        result.update(_commit_delta(spark, path, staged, False, idempotency_key))
+        result["delete"] = "mixed" if n_del else False
+    return result
 
 
 def lookup_keys(

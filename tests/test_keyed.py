@@ -762,3 +762,62 @@ def test_initial_load_keeps_root_and_replaces_state(spark, keyed):
     assert got.columns == ["kk", "vv"] and got.count() == 100
     assert not os.path.exists(os.path.join(keyed, "_delta")), "old deltas cleared"
     assert not os.path.exists(os.path.join(keyed, "_staging"))
+
+
+def test_apply_changes_mixed_batch_single_delta(spark, keyed):
+    """Round-12 brief #5: a mixed CDC batch (upserts + tombstones)
+    lands as ONE delta seq dir; the resolved read honors both; empty
+    batches commit nothing; duplicate / NULL / delete+upsert-of-one-key
+    batches refuse; replay by idempotency key is a no-op."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        _delta_seq_dirs,
+        apply_changes_keyed_table,
+    )
+
+    chg = spark.createDataFrame(
+        [(1, 111, "u", None), (2, None, None, "delete"), (20_001, 5, "new", "upsert")],
+        "k long, v long, tag string, op string",
+    )
+    out = apply_changes_keyed_table(spark, keyed, chg, op_col="op")
+    assert (out["rows"], out["deletes"], out["upserts"]) == (3, 1, 2)
+    assert len(_delta_seq_dirs(spark, keyed)) == 1, "one mixed delta, not two"
+    got = {r.k: (r.v, r.tag) for r in read_keyed_table(spark, keyed).filter(
+        F.col("k").isin(1, 2, 20_001)).collect()}
+    assert got == {1: (111, "u"), 20_001: (5, "new")}
+    assert read_keyed_table(spark, keyed).count() == 10_000  # -1 del +1 ins
+
+    # replay: same idempotency key is swallowed
+    first = apply_changes_keyed_table(
+        spark, keyed, chg, op_col="op", idempotency_key="cdc-b7"
+    )
+    again = apply_changes_keyed_table(
+        spark, keyed, chg, op_col="op", idempotency_key="cdc-b7"
+    )
+    assert again.get("replayed") and again["seq"] == first["seq"]
+    assert len(_delta_seq_dirs(spark, keyed)) == 2
+
+    # empty batch: no delta written
+    none = apply_changes_keyed_table(spark, keyed, chg.limit(0), op_col="op")
+    assert none["rows"] == 0 and none["seq"] is None
+    assert len(_delta_seq_dirs(spark, keyed)) == 2
+
+    # the three refusals
+    dup = spark.createDataFrame(
+        [(9, 1, "a", None), (9, None, None, "delete")],
+        "k long, v long, tag string, op string",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        apply_changes_keyed_table(spark, keyed, dup, op_col="op")
+    nullk = spark.createDataFrame(
+        [(None, 1, "a", None)], "k long, v long, tag string, op string"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        apply_changes_keyed_table(spark, keyed, nullk, op_col="op")
+    with pytest.raises(ValueError, match="change batch columns"):
+        apply_changes_keyed_table(spark, keyed, chg.drop("tag"), op_col="op")
+
+    # without op_col: pure upsert, still one aggregate + one write
+    ups = spark.createDataFrame([(3, 333, "x")], "k long, v long, tag string")
+    out2 = apply_changes_keyed_table(spark, keyed, ups)
+    assert out2["deletes"] == 0 and out2["upserts"] == 1
+    assert read_keyed_table(spark, keyed).filter("k = 3").first().v == 333
