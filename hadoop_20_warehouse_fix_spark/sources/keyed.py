@@ -48,6 +48,26 @@ MOR append is one rename of the staged seq dir — atomic per batch.
 Engines that need multi-writer transactions layer a log on top
 (Delta/Iceberg); this is the bucket-granular storage those logs commit.
 
+Object stores (round 12): every commit point above assumes ATOMIC
+directory rename — true on HDFS and local filesystems, false on
+S3-class stores where rename is copy+delete. ``commit="marker"``
+replaces every rename on the committed path with single-file PUTs:
+bucket data lives in immutable versioned hidden dirs (``_b<b>.v<n>``)
+resolved through the highest-numbered ``_commits/commit-<n>.json``
+manifest (the PUT of that file IS the commit — readers never observe a
+half-copied dir because they never resolve through dir presence), and
+MOR delta dirs count only once their ``_COMMITTED`` marker lands
+(written last; the rename protocol writes the same marker into the
+staged dir pre-rename, so "marker present ⇒ batch complete" holds in
+both protocols). Crash anywhere leaves either the old manifest state
+or unreferenced garbage the recovery sweep GCs — never a wrong
+answer. ``commit="rename"`` on an object-store scheme is refused at
+load time with the reason. Residual marker-mode caveats, stated
+honestly: the writer lease's create-exclusive is advisory on stores
+without atomic create (single-writer must then be enforced
+externally), and the stats-manifest module does not cover marker
+tables (their data dirs are hidden by design).
+
 Single-writer, enforced (round 12): every mutation (initial load,
 COW/MOR batch, compaction) holds a ``_writer.lock`` lease taken by
 create-exclusive — atomic on HDFS and local filesystems. A second
@@ -81,6 +101,15 @@ _META = "_keyed_meta.json"
 _DELTA_DIR = "_delta"
 _DEL_COL = "_del"
 _WRITER_LOCK = "_writer.lock"
+_COMMITS_DIR = "_commits"
+_COMMITTED_MARK = "_COMMITTED"
+
+#: Filesystem schemes whose rename is copy+delete (non-atomic) — the
+#: rename commit protocol is refused on them; use commit="marker".
+_OBJECT_STORE_SCHEMES = {
+    "s3", "s3a", "s3n", "gs", "oss", "cos", "swift",
+    "wasb", "wasbs", "abfs", "abfss",
+}
 
 #: A writer lease older than this is presumed crashed and may be
 #: broken by the next writer (the lease is renewed only by acquiring
@@ -193,20 +222,105 @@ class _writer_lease:
         return False
 
 
-def _base_df(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+def _commit_mode(meta: dict) -> str:
+    return meta.get("commit", "rename")
+
+
+def _check_commit_scheme(scheme: str, commit: str) -> None:
+    """Refuse the rename protocol on object stores (round-12 brief #6):
+    directory rename there is copy+delete — a reader can observe a
+    half-copied bucket as committed state, and the crash story the
+    rename-aside swap depends on no longer holds."""
+    if commit == "rename" and (scheme or "file").lower() in _OBJECT_STORE_SCHEMES:
+        raise ValueError(
+            f"commit='rename' depends on atomic directory rename, which "
+            f"{scheme!r} does not provide (rename is copy+delete there) — "
+            "create the table with commit='marker' (commit-manifest "
+            "protocol; no rename on the committed path)"
+        )
+
+
+def _current_commit(spark: SparkSession, path: str) -> dict | None:
+    """Highest-numbered commit manifest (``_commits/commit-<n>.json``)
+    or None. Manifests are immutable single-file PUTs — atomic on every
+    store — and highest-n-wins resolution needs no atomic overwrite."""
+    fs, root, jvm = _fs(spark, f"{path}/{_COMMITS_DIR}")
+    if not fs.exists(root):
+        return None
+    best, best_n = None, -1
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("commit-") and name.endswith(".json"):
+            n = int(name[len("commit-"):-len(".json")])
+            if n > best_n:
+                best_n, best = n, st.getPath()
+    if best is None:
+        return None
+    stream = fs.open(best)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def _write_commit(spark: SparkSession, path: str, n: int, buckets: dict) -> None:
+    fs, _, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(Path(f"{path}/{_COMMITS_DIR}"))
+    out = fs.create(Path(f"{path}/{_COMMITS_DIR}/commit-{n}.json"), False)
+    out.write(
+        bytearray(
+            json.dumps({"n": n, "buckets": {str(b): d for b, d in buckets.items()}}).encode()
+        )
+    )
+    out.close()
+
+
+def _base_df(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    buckets: Sequence[int] | None = None,
+) -> DataFrame:
     """The base scan, surviving a fully-emptied table: with zero bucket
     dirs left, reconstruct an empty frame (data cols + bucket col) from
-    the schema recorded at load time."""
+    the schema recorded at load time. ``buckets`` (marker mode only)
+    restricts the scan to those buckets' dirs at the PATH-LIST level —
+    the marker layout's analog of the rename layout's ``kb=`` partition
+    pruning; rename-mode callers keep their ``isin`` filter, which
+    Spark turns into directory pruning."""
     from pyspark.errors import AnalysisException
 
+    def empty() -> DataFrame:
+        sj = meta.get("schema_json")
+        if not sj:
+            raise ValueError(f"{path!r}: empty keyed table without schema_json")
+        schema = T.StructType.fromJson(json.loads(sj)).add(BUCKET_COL, T.IntegerType())
+        return spark.createDataFrame([], schema)
+
+    if _commit_mode(meta) == "marker":
+        cm = _current_commit(spark, path)
+        want = None if buckets is None else {int(b) for b in buckets}
+        dirs = [
+            f"{path}/{d}"
+            for b, d in ((cm or {}).get("buckets") or {}).items()
+            if want is None or int(b) in want
+        ]
+        if not dirs:
+            return empty()
+        # kb is RECOMPUTED from the key columns (deterministic by
+        # construction) — the versioned dirs are not kb= partition dirs,
+        # so the column does not ride in from the path.
+        return spark.read.parquet(*sorted(dirs)).withColumn(
+            BUCKET_COL, _bucket_expr(meta)
+        )
     try:
         return spark.read.parquet(path)
     except AnalysisException:
-        sj = meta.get("schema_json")
-        if not sj:
+        if not meta.get("schema_json"):
             raise
-        schema = T.StructType.fromJson(json.loads(sj)).add(BUCKET_COL, T.IntegerType())
-        return spark.createDataFrame([], schema)
+        return empty()
 
 
 def _bucket_expr(meta: dict):
@@ -265,6 +379,7 @@ def write_keyed_table(
     range_step: int | None = None,
     sort_cols: Sequence[str] | None = None,
     lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
+    commit: str = "rename",
 ) -> None:
     """Initial load of a keyed table: bucket directory layout + layout
     metadata, so every later batch derives the same bucketing.
@@ -289,6 +404,8 @@ def write_keyed_table(
         raise ValueError(f"{sorted(clash)} are reserved column names in keyed tables")
     if layout not in ("hash", "range"):
         raise ValueError(f"layout must be 'hash' or 'range', got {layout!r}")
+    if commit not in ("rename", "marker"):
+        raise ValueError(f"commit must be 'rename' or 'marker', got {commit!r}")
     if layout == "hash" and int(num_buckets) < 1:
         # pmod(xxhash64(...), 0) is NULL — every row would land in a
         # __HIVE_DEFAULT_PARTITION__ dir the touched-bucket/swap
@@ -329,11 +446,16 @@ def write_keyed_table(
         # bucket file give parquet row-group min/max pruning on the sort
         # key — COW rewrites and compaction preserve the order.
         "sort_cols": list(sort_cols) if sort_cols else [],
+        # Commit protocol: "rename" (atomic dir rename — HDFS/local)
+        # or "marker" (commit-manifest PUTs — object stores).
+        "commit": commit,
     }
     out = df.withColumn(BUCKET_COL, _bucket_expr(meta))
     # One shuffle keyed exactly like the layout: each writer task owns
     # whole buckets, so a bucket directory is ~one file, not one file
     # per (task, bucket) pair.
+    fs, root, jvm = _fs(spark, path)
+    _check_commit_scheme(fs.getUri().getScheme(), commit)
     with _writer_lease(spark, path, lock_ttl_sec):
         # The load lands in _staging and bucket dirs rename into the
         # root (round 12): the root — and the writer lease inside it —
@@ -341,10 +463,26 @@ def write_keyed_table(
         # whole dir (lease included) mid-write, leaving a window for a
         # second writer to interleave with table (re)creation.
         staging = f"{path}/_staging"
-        fs, root, jvm = _fs(spark, path)
         Path = jvm.org.apache.hadoop.fs.Path
         fs.delete(Path(staging), True)
         _write_layout(out, staging, num_buckets, meta)
+        if commit == "marker":
+            # Table (re)creation commit point is the meta write (a
+            # single PUT — no meta, not a keyed table); the bucket
+            # publish is the same manifest flip every batch uses, with
+            # `touched` covering staged AND previously-live buckets so
+            # a re-load fully replaces the old set.
+            staged_ids = {
+                int(st.getPath().getName().split("=", 1)[1])
+                for st in fs.listStatus(Path(staging))
+                if st.getPath().getName().startswith(f"{BUCKET_COL}=")
+            }
+            cm = _current_commit(spark, path)
+            prior = {int(b) for b in ((cm or {}).get("buckets") or {})}
+            fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
+            _marker_publish(spark, path, staging, sorted(staged_ids | prior))
+            _write_meta(spark, path, meta)
+            return
         for st in fs.listStatus(root):  # clear any prior table state
             name = st.getPath().getName()
             if (
@@ -374,15 +512,27 @@ def _write_layout(df: DataFrame, dest: str, n_parts: int, meta: dict) -> None:
 
 
 def _delta_seq_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
-    """Sorted (seq, dir) of committed MOR delta batches."""
+    """Sorted (seq, dir) of COMMITTED MOR delta batches: a seq dir
+    counts only once its ``_COMMITTED`` marker exists (round 12 — the
+    rename protocol writes it into the staged dir pre-rename, so
+    presence ⇒ complete there too; the marker protocol writes it LAST
+    into the final dir, making the marker the commit point on stores
+    without atomic rename)."""
     fs, root, jvm = _fs(spark, f"{path}/{_DELTA_DIR}")
-    if not fs.exists(root):
+    Path = jvm.org.apache.hadoop.fs.Path
+    # ONE glob for the markers themselves (their parent dirs are the
+    # committed seq dirs) — a listStatus + per-dir exists probe costs
+    # O(pending) py4j round trips on every append/read plan (round-12
+    # fixed-cost audit); globStatus answers in one.
+    arr = fs.globStatus(Path(f"{path}/{_DELTA_DIR}/seq=*/{_COMMITTED_MARK}"))
+    if arr is None:
         return []
     out = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("seq="):
-            out.append((int(name.split("=", 1)[1]), st.getPath().toUri().getPath()))
+    for st in arr:
+        seq_dir = st.getPath().getParent()
+        out.append(
+            (int(seq_dir.getName().split("=", 1)[1]), seq_dir.toUri().getPath())
+        )
     return sorted(out)
 
 
@@ -508,21 +658,111 @@ def _swap_buckets(spark: SparkSession, path: str, staging: str, buckets: list[in
     fs.delete(Path(staging), True)
 
 
+def _marker_publish(
+    spark: SparkSession, path: str, staging: str, touched: list[int]
+) -> dict:
+    """Marker-protocol bucket publish: move each staged ``kb=<b>`` dir
+    to an immutable versioned dir ``_b<b>.v<n>``, then PUT the next
+    commit manifest referencing the new set — the single-file PUT is
+    the commit point; the moves before it are invisible (readers
+    resolve ONLY through the manifest) and need no atomicity. After
+    the flip, superseded bucket dirs, the staging dir, and commit
+    manifests older than the previous one are deleted best-effort —
+    a crash there leaves garbage the recovery sweep GCs, never a
+    wrong answer."""
+    cm = _current_commit(spark, path) or {"n": 0, "buckets": {}}
+    n_new = int(cm["n"]) + 1
+    fs, _, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    new_buckets = {int(b): d for b, d in cm["buckets"].items()}
+    old_dirs: list[str] = []
+    for b in touched:
+        b = int(b)
+        staged = Path(f"{staging}/{BUCKET_COL}={b}")
+        if fs.exists(staged):
+            dest = f"_b{b}.v{n_new}"
+            if not fs.rename(staged, Path(f"{path}/{dest}")):
+                raise IOError(f"staged bucket move failed for bucket {b}")
+            if b in new_buckets:
+                old_dirs.append(new_buckets[b])
+            new_buckets[b] = dest
+        elif b in new_buckets:  # bucket emptied by this batch
+            old_dirs.append(new_buckets.pop(b))
+    _write_commit(spark, path, n_new, new_buckets)
+    for d in old_dirs:
+        fs.delete(Path(f"{path}/{d}"), True)
+    fs.delete(Path(staging), True)
+    # keep current + previous manifest (a reader mid-resolve on the
+    # previous one must still find it); GC older
+    croot = Path(f"{path}/{_COMMITS_DIR}")
+    for st in fs.listStatus(croot):
+        name = st.getPath().getName()
+        if name.startswith("commit-") and name.endswith(".json"):
+            if int(name[len("commit-"):-len(".json")]) < n_new - 1:
+                fs.delete(st.getPath(), False)
+    return {"commit": n_new, "live_buckets": len(new_buckets)}
+
+
+def _recover_marker(spark: SparkSession, path: str) -> dict:
+    """Marker-protocol recovery = garbage collection only (the commit
+    manifest means crashes never leave ambiguous state): drop versioned
+    bucket dirs the current manifest does not reference, delta seq dirs
+    without a ``_COMMITTED`` marker, and ``_staging``. Returns
+    ``{gc_buckets: [...], gc_deltas: [...], staging_cleared: bool}``."""
+    import re
+
+    fs, root, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    cm = _current_commit(spark, path)
+    referenced = set(((cm or {}).get("buckets") or {}).values())
+    gc_b, gc_d = [], []
+    pat = re.compile(r"^_b\d+\.v\d+$")
+    for st in fs.globStatus(Path(f"{path}/_b*")) or []:
+        name = st.getPath().getName()
+        if st.isDirectory() and pat.match(name) and name not in referenced:
+            fs.delete(st.getPath(), True)
+            gc_b.append(name)
+    committed = {seq for seq, _ in _delta_seq_dirs(spark, path)}
+    for st in fs.globStatus(Path(f"{path}/{_DELTA_DIR}/seq=*")) or []:
+        name = st.getPath().getName()
+        if st.isDirectory() and int(name.split("=", 1)[1]) not in committed:
+            fs.delete(st.getPath(), True)
+            gc_d.append(name)
+    staging = Path(f"{path}/_staging")
+    had_staging = fs.exists(staging)
+    if had_staging:
+        fs.delete(staging, True)
+    return {
+        "gc_buckets": sorted(gc_b),
+        "gc_deltas": sorted(gc_d),
+        "staging_cleared": had_staging,
+    }
+
+
 def recover_keyed_table(spark: SparkSession, path: str) -> dict:
-    """Finish/roll back a crashed COW swap NOW instead of at the next
-    write: every ``_old.kb.<b>`` whose live dir is missing is restored
-    (it is the bucket's only copy — readers were silently missing it),
-    every one whose live dir exists is dropped, and the ``_staging``
-    dir is cleared. Run after an unclean shutdown; reads never mutate
-    state, so the sweep is explicit. Returns
-    ``{restored: [...], dropped: [...], staging_cleared: bool}``."""
+    """Finish/roll back a crashed write NOW instead of at the next one.
+    Rename protocol: every ``_old.kb.<b>`` whose live dir is missing is
+    restored (it is the bucket's only copy — readers were silently
+    missing it), every one whose live dir exists is dropped, and the
+    ``_staging`` dir is cleared. Marker protocol: pure GC — see
+    :func:`_recover_marker`. Run after an unclean shutdown; reads never
+    mutate state, so the sweep is explicit. Returns
+    ``{restored: [...], dropped: [...], staging_cleared: bool}`` (or
+    the marker GC dict)."""
+    meta = read_keyed_meta(spark, path)
+    if _commit_mode(meta) == "marker":
+        return _recover_marker(spark, path)
     fs, root, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     restored, dropped = [], []
     prefix = f"_old.{BUCKET_COL}."
-    for st in fs.listStatus(root):
+    # glob, not listStatus: the sweep runs before EVERY write, and
+    # iterating all bucket-dir statuses through py4j costs hundreds of
+    # round trips on a 256-bucket table when the normal answer is
+    # "no remnants" (round-12 fixed-cost audit).
+    for st in fs.globStatus(Path(f"{path}/{prefix}*")) or []:
         name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith(prefix)):
+        if not st.isDirectory():
             continue
         b = int(name[len(prefix):])
         live = Path(f"{path}/{BUCKET_COL}={b}")
@@ -590,8 +830,9 @@ def _apply_batch(
         if not touched:
             return {"touched_buckets": [], "batch_rows": 0, "survivor_rows": 0}
         # Partition-pruned read of ONLY the touched bucket dirs (the
-        # isin filter is a directory filter — plan pytest-pinned).
-        old = _base_df(spark, path, meta).filter(
+        # isin filter is a directory filter in the rename layout — plan
+        # pytest-pinned; the marker layout prunes at the path list).
+        old = _base_df(spark, path, meta, buckets=touched).filter(
             F.col(BUCKET_COL).isin([int(b) for b in touched])
         )
         # Broadcast the batch keys only while they plausibly fit the
@@ -609,16 +850,20 @@ def _apply_batch(
         fs, _, jvm = _fs(spark, staging)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
         _write_layout(merged, staging, len(touched), meta)
-        _swap_buckets(spark, path, staging, [int(b) for b in touched])
-        # Count untouched from the DIRECTORIES present: range layouts
-        # have data-dependent bucket ids, so meta num_buckets is only
-        # the hash layout's denominator.
-        fs2, root, jvm2 = _fs(spark, path)
-        live = sum(
-            1
-            for st in fs2.listStatus(root)
-            if st.isDirectory() and st.getPath().getName().startswith(f"{BUCKET_COL}=")
-        )
+        if _commit_mode(meta) == "marker":
+            pub = _marker_publish(spark, path, staging, [int(b) for b in touched])
+            live = pub["live_buckets"]
+        else:
+            _swap_buckets(spark, path, staging, [int(b) for b in touched])
+            # Count untouched from the DIRECTORIES present: range
+            # layouts have data-dependent bucket ids, so meta
+            # num_buckets is only the hash layout's denominator.
+            # (globStatus: one round trip, counted driver-side.)
+            fs2, _, jvm2 = _fs(spark, path)
+            arr = fs2.globStatus(
+                jvm2.org.apache.hadoop.fs.Path(f"{path}/{BUCKET_COL}=*")
+            )
+            live = len(arr) if arr is not None else 0
         return {
             "touched_buckets": [int(b) for b in touched],
             "untouched_buckets": live - len(touched),
@@ -640,25 +885,27 @@ def _key_digest(key: str) -> str:
 def _delta_ingest_keys(spark: SparkSession, path: str) -> dict[str, int]:
     """{md5(idempotency key): seq} of committed deltas that carry one —
     the replay ledger for streaming ingest. The digest rides IN the
-    marker FILENAME (``_ingest_key.<md5>``), so one recursive listing
-    answers every pending delta at once; the first draft opened and
+    marker FILENAME (``_ingest_key.<md5>``), so listing answers every
+    pending delta without opening a file; the first draft opened and
     read one marker file per delta, O(pending deltas) driver RPCs per
-    append (round-11 review). ``compact_every`` bounds the listing
-    itself the same way it bounds the read tax."""
-    fs, root, jvm = _fs(spark, f"{path}/{_DELTA_DIR}")
-    if not fs.exists(root):
+    append (round-11 review). Only COMMITTED seq dirs count (round 12:
+    an uncommitted dir's ingest marker must not swallow the retry of
+    the very batch that crashed writing it). ``compact_every`` bounds
+    the listing the same way it bounds the read tax."""
+    fs, _, jvm = _fs(spark, path)
+    committed = {seq for seq, _ in _delta_seq_dirs(spark, path)}
+    if not committed:
         return {}
     out: dict[str, int] = {}
-    it = fs.listFiles(root, True)
     prefix = f"{_INGEST_KEY}."
-    while it.hasNext():
-        p = it.next().getPath()
-        name = p.getName()
-        if not name.startswith(prefix):
-            continue
-        seg = [s for s in p.toUri().getPath().split("/") if s.startswith("seq=")]
-        if seg:
-            out[name[len(prefix):]] = int(seg[-1].split("=", 1)[1])
+    arr = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{_DELTA_DIR}/seq=*/{prefix}*")
+    )
+    for st in arr or []:
+        p = st.getPath()
+        seq = int(p.getParent().getName().split("=", 1)[1])
+        if seq in committed:
+            out[p.getName()[len(prefix):]] = seq
     return out
 
 
@@ -712,7 +959,7 @@ def _mor_append(
         .withColumn(_DEL_COL, F.lit(delete))
         .withColumn(BUCKET_COL, _bucket_expr(meta))
     )
-    return _commit_delta(spark, path, batch, delete, idempotency_key)
+    return _commit_delta(spark, path, meta, batch, delete, idempotency_key)
 
 
 def _data_schema(spark: SparkSession, path: str, meta: dict) -> dict:
@@ -729,35 +976,45 @@ def _data_schema(spark: SparkSession, path: str, meta: dict) -> dict:
 def _commit_delta(
     spark: SparkSession,
     path: str,
+    meta: dict,
     staged: DataFrame,
     delete: bool,
     idempotency_key: str | None,
 ) -> dict:
     """Shared MOR commit tail: write ``staged`` (data cols + ``_del`` +
-    ``kb``) under ``_delta/_staging_seq``, drop the idempotency marker
-    inside it, rename to the next ``seq=N`` — one atomic batch."""
+    ``kb``) as the next ``seq=N`` batch, the idempotency marker riding
+    with it. Commit point by protocol: ``rename`` writes into
+    ``_delta/_staging_seq`` (data + markers + ``_COMMITTED``) and
+    renames the dir — atomic on HDFS/local; ``marker`` writes straight
+    into the final seq dir and PUTs ``_COMMITTED`` LAST — the marker
+    is the commit on stores without atomic rename, and an uncommitted
+    dir from a crash is simply overwritten when its seq is reused."""
     seqs = _delta_seq_dirs(spark, path)
     next_seq = (seqs[-1][0] + 1) if seqs else 1
-    staging = f"{path}/{_DELTA_DIR}/_staging_seq"
-    fs, _, jvm = _fs(spark, staging)
+    fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
-    fs.delete(Path(staging), True)
+    final = f"{path}/{_DELTA_DIR}/seq={next_seq}"
+    marker_mode = _commit_mode(meta) == "marker"
+    dest = final if marker_mode else f"{path}/{_DELTA_DIR}/_staging_seq"
+    fs.delete(Path(dest), True)
     # kb rides as a REGULAR column: partitionBy(kb) here exploded a
     # scattered 1k-row batch into ~one tiny file per touched bucket
     # (measured 10 s of pure file-open overhead); nothing reads deltas
     # by bucket dir — compaction takes kb from the column.
-    staged.write.mode("overwrite").parquet(staging)
+    staged.write.mode("overwrite").parquet(dest)
     if idempotency_key is not None:
         # Empty marker, key digest in the NAME — detection is a listing,
         # never a per-file read; md5 also makes arbitrary caller keys
         # filesystem-safe.
         marker = fs.create(
-            Path(f"{staging}/{_INGEST_KEY}.{_key_digest(idempotency_key)}"), True
+            Path(f"{dest}/{_INGEST_KEY}.{_key_digest(idempotency_key)}"), True
         )
         marker.close()
-    final = Path(f"{path}/{_DELTA_DIR}/seq={next_seq}")
-    if not fs.rename(Path(staging), final):
-        raise IOError(f"delta commit rename failed for seq={next_seq}")
+    mark = fs.create(Path(f"{dest}/{_COMMITTED_MARK}"), True)
+    mark.close()
+    if not marker_mode:
+        if not fs.rename(Path(dest), Path(final)):
+            raise IOError(f"delta commit rename failed for seq={next_seq}")
     return {"mode": "mor", "seq": next_seq, "delete": delete}
 
 
@@ -795,7 +1052,9 @@ def _compact_locked(
         touched = sorted(
             int(r[BUCKET_COL]) for r in deltas.select(BUCKET_COL).distinct().collect()
         )
-        base = _base_df(spark, path, meta).filter(F.col(BUCKET_COL).isin(touched))
+        base = _base_df(spark, path, meta, buckets=touched).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
         # Same no-base-shuffle resolution as the read path (the first
         # draft's whole-table max_by measured 50.5 s against the full
         # rewrite's 12.3 — a compaction slower than the rewrite it
@@ -807,7 +1066,15 @@ def _compact_locked(
         Path = jvm.org.apache.hadoop.fs.Path
         fs.delete(Path(staging), True)
         _write_layout(merged, staging, len(touched), meta)
-        _swap_buckets(spark, path, staging, touched)
+        if _commit_mode(meta) == "marker":
+            # Deltas are dropped AFTER the manifest flip: a crash
+            # between the two re-applies the folded deltas on read,
+            # which is value-idempotent (overrides are absolute,
+            # tombstones delete already-absent keys) — the same
+            # documented seam as the rename protocol's swap/delete gap.
+            _marker_publish(spark, path, staging, touched)
+        else:
+            _swap_buckets(spark, path, staging, touched)
         fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
         out = {"touched_buckets": touched, "deltas_folded": n_deltas}
         if refresh_manifest:
@@ -996,7 +1263,7 @@ def apply_changes_keyed_table(
             if digest in seen:
                 result.update(seq=seen[digest], replayed=True)
                 return result
-        result.update(_commit_delta(spark, path, staged, False, idempotency_key))
+        result.update(_commit_delta(spark, path, meta, staged, False, idempotency_key))
         result["delete"] = "mixed" if n_del else False
     return result
 
@@ -1105,7 +1372,9 @@ def lookup_keys(
         def restrict(df: DataFrame) -> DataFrame:
             return df.join(probe, on=key_cols, how="left_semi")
 
-    base = _base_df(spark, path, meta).filter(F.col(BUCKET_COL).isin(buckets))
+    base = _base_df(spark, path, meta, buckets=buckets).filter(
+        F.col(BUCKET_COL).isin(buckets)
+    )
     deltas = _read_deltas(spark, path, meta)
     if deltas is None:
         return restrict(base.select(*data_cols, BUCKET_COL)).select(*data_cols)

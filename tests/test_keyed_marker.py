@@ -1,0 +1,222 @@
+"""Marker-commit keyed tables (round 12, brief #6): the object-store
+protocol — no rename on any committed path. Readers resolve bucket data
+through the highest ``_commits/commit-<n>.json`` manifest and count a
+delta seq dir only once its ``_COMMITTED`` marker exists, so the crash
+matrix is: kill BEFORE the manifest/marker PUT → old state, garbage
+GC'd by recovery; PUT landed → new state, complete by construction."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_20_warehouse_fix_spark.sources import keyed as K
+from hadoop_20_warehouse_fix_spark.sources.keyed import (
+    apply_changes_keyed_table,
+    compact_keyed_table,
+    delete_from_keyed_table,
+    lookup_keys,
+    read_keyed_table,
+    upsert_keyed_table,
+    write_keyed_table,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def marker(spark):
+    tmp = tempfile.mkdtemp(prefix="keyed_marker_")
+    path = f"{tmp}/tab"
+    base = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("base").alias("tag")
+    )
+    write_keyed_table(base, path, ["k"], num_buckets=8, commit="marker")
+    yield path
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ups(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long, tag string")
+
+
+def test_scheme_guard():
+    for scheme in ("s3a", "s3", "gs", "abfss", "oss"):
+        with pytest.raises(ValueError, match="atomic directory rename"):
+            K._check_commit_scheme(scheme, "rename")
+        K._check_commit_scheme(scheme, "marker")  # allowed
+    for scheme in ("hdfs", "file", None, "viewfs"):
+        K._check_commit_scheme(scheme, "rename")
+
+
+def test_marker_lifecycle_matches_rename_twin(spark, marker):
+    """The full lifecycle produces identical answers on a rename twin:
+    COW upsert, MOR upsert + tombstone, resolved read, compaction,
+    point lookup. The marker table keeps NO kb= dirs at the root (all
+    data in hidden versioned dirs + manifest)."""
+    tmp = tempfile.mkdtemp(prefix="keyed_twin_")
+    try:
+        twin = f"{tmp}/tab"
+        base = spark.range(2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("base").alias("tag")
+        )
+        write_keyed_table(base, twin, ["k"], num_buckets=8)  # rename twin
+        for path in (marker, twin):
+            upsert_keyed_table(
+                spark, path, _ups(spark, [(3, 33, "cow"), (4_000, 1, "ins")]), mode="cow"
+            )
+            upsert_keyed_table(spark, path, _ups(spark, [(5, 55, "mor")]), mode="mor")
+            delete_from_keyed_table(
+                spark, path, spark.createDataFrame([(7,)], "k long"), mode="mor"
+            )
+        got_m, got_r = read_keyed_table(spark, marker), read_keyed_table(spark, twin)
+        assert _rows(got_m) == _rows(got_r)
+        assert got_m.count() == 2_000  # +1 insert -1 delete
+        for path in (marker, twin):
+            out = compact_keyed_table(spark, path)
+            assert out["deltas_folded"] == 2
+        assert _rows(read_keyed_table(spark, marker)) == _rows(read_keyed_table(spark, twin))
+        look_m = lookup_keys(spark, marker, [3, 5, 7, 4_000, 999_999])
+        look_r = lookup_keys(spark, twin, [3, 5, 7, 4_000, 999_999])
+        assert _rows(look_m) == _rows(look_r)
+        assert look_m.count() == 3  # 7 deleted, 999999 absent
+        # layout: nothing at the marker root resolves by dir presence
+        names = set(os.listdir(marker))
+        assert not any(n.startswith("kb=") for n in names)
+        assert "_commits" in names
+        assert any(n.startswith("_b") and ".v" in n for n in names)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_marker_mor_crash_matrix(spark, marker):
+    """Kill between delta data write and _COMMITTED → the batch is
+    invisible (read AND replay ledger), recovery GCs the dir, and the
+    retried batch with the SAME idempotency key really commits. Marker
+    present → complete."""
+    out = apply_changes_keyed_table(
+        spark, marker, _ups(spark, [(1, 111, "u")]), idempotency_key="b1"
+    )
+    seq_dir = f"{marker}/_delta/seq={out['seq']}"
+    n_live = read_keyed_table(spark, marker).count()
+    # simulate the crash: data + ingest marker on disk, _COMMITTED not
+    os.remove(f"{seq_dir}/{K._COMMITTED_MARK}")
+    assert read_keyed_table(spark, marker).filter("k = 1").first().v == 2
+    assert K._delta_ingest_keys(spark, marker) == {}
+    gc = K.recover_keyed_table(spark, marker)
+    assert gc["gc_deltas"] == [f"seq={out['seq']}"]
+    assert not os.path.exists(seq_dir)
+    # the retry is NOT swallowed as a replay
+    out2 = apply_changes_keyed_table(
+        spark, marker, _ups(spark, [(1, 111, "u")]), idempotency_key="b1"
+    )
+    assert not out2.get("replayed")
+    assert read_keyed_table(spark, marker).filter("k = 1").first().v == 111
+    assert read_keyed_table(spark, marker).count() == n_live
+    # and now the replay IS swallowed
+    out3 = apply_changes_keyed_table(
+        spark, marker, _ups(spark, [(1, 111, "u")]), idempotency_key="b1"
+    )
+    assert out3.get("replayed") and out3["seq"] == out2["seq"]
+
+
+def test_marker_cow_crash_before_flip_preserves_old_state(spark, marker, monkeypatch):
+    """Kill between the staged-bucket moves and the manifest PUT: the
+    table answers from the OLD manifest; recovery GCs the moved-but-
+    unreferenced dirs; re-applying the batch succeeds cleanly."""
+    before = _rows(read_keyed_table(spark, marker))
+    real = K._write_commit
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before manifest PUT")
+
+    monkeypatch.setattr(K, "_write_commit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert_keyed_table(
+            spark, marker, _ups(spark, [(2, 222, "u"), (9_999, 9, "ins")]), mode="cow"
+        )
+    assert _rows(read_keyed_table(spark, marker)) == before, "old state intact"
+    monkeypatch.setattr(K, "_write_commit", real)
+    gc = K.recover_keyed_table(spark, marker)
+    assert gc["gc_buckets"], "moved-but-unreferenced dirs collected"
+    upsert_keyed_table(
+        spark, marker, _ups(spark, [(2, 222, "u"), (9_999, 9, "ins")]), mode="cow"
+    )
+    after = read_keyed_table(spark, marker)
+    assert after.filter("k = 2").first().v == 222
+    assert after.count() == 2_001
+
+
+def test_marker_unreferenced_garbage_is_gc_not_read(spark, marker):
+    """A stray versioned dir (crash after flip, before best-effort
+    deletes) is never read — resolution is manifest-only — and the
+    sweep removes it. Old manifests are bounded to current+previous."""
+    stray = f"{marker}/_b3.v99"
+    os.makedirs(stray)
+    shutil.copy(
+        next(
+            f"{marker}/{d}/{f}"
+            for d in os.listdir(marker)
+            if d.startswith("_b")
+            for f in os.listdir(f"{marker}/{d}")
+            if f.endswith(".parquet")
+        ),
+        f"{stray}/part-0.parquet",
+    )
+    assert read_keyed_table(spark, marker).count() == 2_000  # stray invisible
+    gc = K.recover_keyed_table(spark, marker)
+    assert "_b3.v99" in gc["gc_buckets"] and not os.path.exists(stray)
+    # manifest GC: several batches leave at most 2 commit files
+    for i in range(4):
+        upsert_keyed_table(spark, marker, _ups(spark, [(i, -i, "x")]), mode="cow")
+    commits = [f for f in os.listdir(f"{marker}/_commits") if f.startswith("commit-")]
+    assert len(commits) <= 2
+
+
+def test_marker_reload_replaces_table(spark, marker):
+    """A re-load (write_keyed_table over the live marker table) fully
+    replaces buckets, deltas, and meta — prior keys are gone even when
+    the new load touches fewer buckets."""
+    upsert_keyed_table(spark, marker, _ups(spark, [(1, -1, "m")]), mode="mor")
+    fresh = spark.range(10).select(F.col("id").alias("k"), F.lit(0).alias("v"), F.lit("n").alias("tag"))
+    write_keyed_table(fresh, marker, ["k"], num_buckets=2, commit="marker")
+    got = read_keyed_table(spark, marker)
+    assert got.count() == 10
+    assert not os.path.exists(f"{marker}/_delta")
+    meta = K.read_keyed_meta(spark, marker)
+    assert meta["num_buckets"] == 2 and meta["commit"] == "marker"
+
+
+def test_marker_cdc_stream_ingest(spark, marker, tmp_path):
+    """The CDC streaming path (apply_changes single mixed append) runs
+    unchanged on a marker table, replay-safe end-to-end."""
+    from hadoop_20_warehouse_fix_spark.streaming.ingest import (
+        stream_keyed_upsert_ingest,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    spark.createDataFrame(
+        [(1, 10, "s", None), (5, None, None, "delete"), (30_001, 7, "new", None)],
+        "k long, v long, tag string, op string",
+    ).coalesce(1).write.json(str(land / "b0"))
+    stream = (
+        spark.readStream.schema("k long, v long, tag string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(land / "*"))
+    )
+    stream_keyed_upsert_ingest(
+        stream, marker, str(tmp_path / "ckpt"), op_col="op", compact_every=4
+    )
+    got = read_keyed_table(spark, marker)
+    assert got.count() == 2_000  # -1 +1
+    assert got.filter("k = 1").first().v == 10
+    assert got.filter("k = 5").count() == 0
+    assert got.filter("k = 30001").first().tag == "new"
