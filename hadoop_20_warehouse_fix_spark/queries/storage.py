@@ -155,6 +155,55 @@ def keyed_compact_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "keyed_cdc_apply",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 7 = 2 THEN s_acctbal + 50 ELSE s_acctbal END AS s_acctbal
+    FROM supplier WHERE s_suppkey % 7 <> 5
+    UNION ALL
+    SELECT s_suppkey + 50000000, s_name, s_acctbal
+    FROM supplier WHERE s_suppkey % 100 = 9
+    """,
+)
+def keyed_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 CDC fast path under the oracle gate: ONE mixed
+    change batch (updates + tombstones + inserts in the same frame,
+    distinguished by an op column) applied via
+    :func:`~..sources.keyed.apply_changes_keyed_table` — single
+    validation aggregation, single delta append — then the resolved
+    read. The oracle recomputes the end state from the source view.
+
+    100 TB: this is the shape an always-on CDC ingest commits per
+    micro-batch; SCALING.md r12 measures it at 0.76 s/batch steady
+    state over 200 batches (1.41 s with the two-append + probe form
+    it replaces)."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        apply_changes_keyed_table,
+        read_keyed_table,
+        write_keyed_table,
+    )
+
+    supp = load_table(spark, sf_dir, "supplier")
+    path = scratch_dir(prefix="keyed_cdc_q_") + "/tab"
+    write_keyed_table(supp, path, ["s_suppkey"], num_buckets=8, assume_unique=True)
+    k = F.col("s_suppkey")
+    changes = (
+        supp.filter(k % 7 == 2)
+        .withColumn("s_acctbal", F.col("s_acctbal") + 50)
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(supp.filter(k % 7 == 5).withColumn("op", F.lit("delete")))
+        .unionByName(
+            supp.filter(k % 100 == 9)
+            .withColumn("s_suppkey", k + 50_000_000)
+            .withColumn("op", F.lit(None).cast("string"))
+        )
+    )
+    out = apply_changes_keyed_table(spark, path, changes, op_col="op")
+    assert out["deletes"] > 0 and out["upserts"] > 0
+    return read_keyed_table(spark, path).select("s_suppkey", "s_name", "s_acctbal")
+
+
+@query(
     "manifest_pruned_read",
     oracle="""
     SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
