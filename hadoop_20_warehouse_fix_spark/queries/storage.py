@@ -38,7 +38,7 @@ from hadoop_20_warehouse_fix_spark.scratch import scratch_dir
                 ELSE o_orderpriority END AS o_orderpriority
     FROM orders WHERE o_orderkey % 10 <> 7
     UNION ALL
-    SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'ins'
+    SELECT -o_orderkey - 1, o_custkey, o_totalprice, 'ins'
     FROM orders WHERE o_orderkey % 1000 = 1
     """,
 )
@@ -86,7 +86,12 @@ def keyed_upsert_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderpriority", F.lit("u3"))
         .unionByName(
             orders.filter(k % 1000 == 1)
-            .withColumn("o_orderkey", k + 100_000_000)
+            # negative insert keys: disjoint from ANY non-negative key
+            # space, so the insert stays an insert at every scale (the
+            # 10x key-shifted sweep caught +1e8 colliding with the
+            # shifted replicas -- the MOR override semantics silently
+            # absorbed them while the oracle double-counted)
+            .withColumn("o_orderkey", -k - 1)
             .withColumn("o_orderpriority", F.lit("ins"))
         )
     )
@@ -161,7 +166,7 @@ def keyed_compact_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN s_suppkey % 7 = 2 THEN s_acctbal + 50 ELSE s_acctbal END AS s_acctbal
     FROM supplier WHERE s_suppkey % 7 <> 5
     UNION ALL
-    SELECT s_suppkey + 50000000, s_name, s_acctbal
+    SELECT -s_suppkey - 1, s_name, s_acctbal
     FROM supplier WHERE s_suppkey % 100 = 9
     """,
 )
@@ -194,7 +199,7 @@ def keyed_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(supp.filter(k % 7 == 5).withColumn("op", F.lit("delete")))
         .unionByName(
             supp.filter(k % 100 == 9)
-            .withColumn("s_suppkey", k + 50_000_000)
+            .withColumn("s_suppkey", -k - 1)  # disjoint at every scale
             .withColumn("op", F.lit(None).cast("string"))
         )
     )
