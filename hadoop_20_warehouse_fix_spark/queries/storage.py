@@ -124,6 +124,13 @@ def keyed_compact_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nothing, updated keys return the latest value whether the
     update was compacted (2, 4) or still pending (6).
 
+    Round 12: this query runs on a ``commit="marker"`` table — the
+    object-store protocol (versioned bucket dirs behind
+    ``_commits/commit-N.json`` manifests, ``_COMMITTED`` delta
+    markers, no rename on any committed path) — so the marker
+    lifecycle is driver-visible, not pytest-only; the sibling
+    ``keyed_upsert_mor_read`` covers the rename protocol.
+
     100 TB: the lookup's plan touches O(distinct key buckets)
     directories, never the table; compaction cost tracks the touched
     buckets (SCALING.md r11: 65x cheaper than per-batch COW)."""
@@ -137,7 +144,9 @@ def keyed_compact_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     path = scratch_dir(prefix="keyed_pl_q_") + "/tab"
-    write_keyed_table(cust, path, ["c_custkey"], num_buckets=8, assume_unique=True)
+    write_keyed_table(
+        cust, path, ["c_custkey"], num_buckets=8, assume_unique=True, commit="marker"
+    )
     k = F.col("c_custkey")
     upd = (
         cust.filter(k.isin(2, 4))

@@ -666,16 +666,20 @@ def _marker_publish(
     commit manifest referencing the new set — the single-file PUT is
     the commit point; the moves before it are invisible (readers
     resolve ONLY through the manifest) and need no atomicity. After
-    the flip, superseded bucket dirs, the staging dir, and commit
-    manifests older than the previous one are deleted best-effort —
-    a crash there leaves garbage the recovery sweep GCs, never a
+    the flip, GC runs with ONE GENERATION of grace: a dir is deleted
+    only when neither the new manifest nor the previous one references
+    it, and only manifests older than the previous are dropped — so a
+    reader that resolved the previous manifest an instant before the
+    flip still finds every dir it is about to list (the first draft
+    deleted superseded dirs immediately while keeping the previous
+    manifest, which could break exactly that reader). A crash anywhere
+    in the GC leaves garbage the recovery sweep collects, never a
     wrong answer."""
     cm = _current_commit(spark, path) or {"n": 0, "buckets": {}}
     n_new = int(cm["n"]) + 1
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     new_buckets = {int(b): d for b, d in cm["buckets"].items()}
-    old_dirs: list[str] = []
     for b in touched:
         b = int(b)
         staged = Path(f"{staging}/{BUCKET_COL}={b}")
@@ -683,38 +687,57 @@ def _marker_publish(
             dest = f"_b{b}.v{n_new}"
             if not fs.rename(staged, Path(f"{path}/{dest}")):
                 raise IOError(f"staged bucket move failed for bucket {b}")
-            if b in new_buckets:
-                old_dirs.append(new_buckets[b])
             new_buckets[b] = dest
         elif b in new_buckets:  # bucket emptied by this batch
-            old_dirs.append(new_buckets.pop(b))
+            new_buckets.pop(b)
     _write_commit(spark, path, n_new, new_buckets)
-    for d in old_dirs:
-        fs.delete(Path(f"{path}/{d}"), True)
     fs.delete(Path(staging), True)
-    # keep current + previous manifest (a reader mid-resolve on the
-    # previous one must still find it); GC older
+    # one-generation GC: dirs referenced only by manifests <= n_new-2
+    keep = set(new_buckets.values()) | set(cm["buckets"].values())
     croot = Path(f"{path}/{_COMMITS_DIR}")
     for st in fs.listStatus(croot):
         name = st.getPath().getName()
-        if name.startswith("commit-") and name.endswith(".json"):
-            if int(name[len("commit-"):-len(".json")]) < n_new - 1:
-                fs.delete(st.getPath(), False)
+        if not (name.startswith("commit-") and name.endswith(".json")):
+            continue
+        n_old = int(name[len("commit-"):-len(".json")])
+        if n_old >= n_new - 1:
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            stale = json.loads(bytes(stream.readAllBytes()).decode())
+        finally:
+            stream.close()
+        for d in (stale.get("buckets") or {}).values():
+            if d not in keep:
+                fs.delete(Path(f"{path}/{d}"), True)
+        fs.delete(st.getPath(), False)
     return {"commit": n_new, "live_buckets": len(new_buckets)}
 
 
 def _recover_marker(spark: SparkSession, path: str) -> dict:
     """Marker-protocol recovery = garbage collection only (the commit
     manifest means crashes never leave ambiguous state): drop versioned
-    bucket dirs the current manifest does not reference, delta seq dirs
-    without a ``_COMMITTED`` marker, and ``_staging``. Returns
-    ``{gc_buckets: [...], gc_deltas: [...], staging_cleared: bool}``."""
+    bucket dirs NO retained manifest references (the GC grace keeps the
+    previous manifest's dirs alive — the sweep honors the same rule),
+    delta seq dirs without a ``_COMMITTED`` marker, and ``_staging``.
+    Returns ``{gc_buckets: [...], gc_deltas: [...],
+    staging_cleared: bool}``."""
     import re
 
     fs, root, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
-    cm = _current_commit(spark, path)
-    referenced = set(((cm or {}).get("buckets") or {}).values())
+    referenced: set[str] = set()
+    croot = Path(f"{path}/{_COMMITS_DIR}")
+    if fs.exists(croot):
+        for st in fs.listStatus(croot):
+            name = st.getPath().getName()
+            if name.startswith("commit-") and name.endswith(".json"):
+                stream = fs.open(st.getPath())
+                try:
+                    m = json.loads(bytes(stream.readAllBytes()).decode())
+                finally:
+                    stream.close()
+                referenced |= set((m.get("buckets") or {}).values())
     gc_b, gc_d = [], []
     pat = re.compile(r"^_b\d+\.v\d+$")
     for st in fs.globStatus(Path(f"{path}/_b*")) or []:

@@ -220,3 +220,31 @@ def test_marker_cdc_stream_ingest(spark, marker, tmp_path):
     assert got.filter("k = 1").first().v == 10
     assert got.filter("k = 5").count() == 0
     assert got.filter("k = 30001").first().tag == "new"
+
+
+def test_marker_gc_grace_keeps_previous_generation_readable(spark, marker):
+    """An in-flight reader that resolved the PREVIOUS manifest just
+    before a flip must still find every dir it lists: superseded dirs
+    survive exactly one more publish, then go."""
+    upsert_keyed_table(spark, marker, _ups(spark, [(1, -1, "g1")]), mode="cow")
+    cm_prev = K._current_commit(spark, marker)  # the manifest a reader might hold
+    upsert_keyed_table(spark, marker, _ups(spark, [(1, -2, "g2")]), mode="cow")
+    # every dir the held manifest references still exists (grace)
+    for d in cm_prev["buckets"].values():
+        assert os.path.exists(f"{marker}/{d}"), f"grace violated for {d}"
+    # ...and a read through that held manifest still answers
+    dirs = [f"{marker}/{d}" for d in cm_prev["buckets"].values()]
+    assert spark.read.parquet(*dirs).count() == 2_000
+    # one more publish retires the old generation
+    upsert_keyed_table(spark, marker, _ups(spark, [(1, -3, "g3")]), mode="cow")
+    cm_now = K._current_commit(spark, marker)
+    live_and_prev = set(cm_now["buckets"].values())
+    gone = [
+        d for d in cm_prev["buckets"].values()
+        if d not in live_and_prev and os.path.exists(f"{marker}/{d}")
+    ]
+    # dirs superseded two generations ago and re-superseded since are gone
+    retired = [d for d in cm_prev["buckets"].values() if d not in live_and_prev]
+    # the bucket holding k=1 was rewritten twice more; its g1-era dir is retired
+    assert any(not os.path.exists(f"{marker}/{d}") for d in retired) or not retired
+    assert read_keyed_table(spark, marker).filter("k = 1").first().v == -3
