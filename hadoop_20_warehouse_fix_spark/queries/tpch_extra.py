@@ -17,6 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_20_warehouse_fix_spark.catalog import load_table
+from hadoop_20_warehouse_fix_spark.functions.money import (
+    disc_price_units,
+    exact_units,
+    split_result,
+    split_sum,
+)
 from hadoop_20_warehouse_fix_spark.queries import query
 
 
@@ -51,17 +57,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,6)")
-                    * F.col("l_discount").cast("decimal(18,6)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+            # exact integer split-sum (functions/money.py): price*disc
+            # in 1e-4 units; the decimal oracle stays the cross-check
+            *split_sum(exact_units("l_extendedprice") * exact_units("l_discount"), "rev"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+        .select(split_result("rev", 4).alias("revenue"), "n_lines")
     )
 
 
@@ -107,21 +108,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Exact decimal arithmetic: the per-customer sums here land on
         # half-cent rounding boundaries that double summation order flips;
         # decimal makes Spark and the oracle bit-identical before round().
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,6)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(*split_sum(disc_price_units(), "rev"))
         .select(
             "c_custkey",
             "c_name",
-            "revenue",
+            split_result("rev", 4).alias("revenue"),
             F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
             "n_name",
         )
@@ -240,16 +231,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,6)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(*split_sum(disc_price_units(), "rev"))
+        .select("supplier_no", split_result("rev", 4).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supplier = load_table(spark, sf_dir, "supplier")
@@ -751,9 +736,13 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
         )
     )
-    amount = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
-    ) - F.col("l_quantity").cast("decimal(18,6)") * F.col("l_tax").cast("decimal(18,6)")
+    # profit per row in exact 1e-4 units (can be negative — split_sum
+    # carries the sign in hi): price*(1-disc) - qty*tax, qty whole
+    amount_units = disc_price_units() - (
+        (F.col("l_quantity") + F.lit(0.5)).cast("long")
+        * exact_units("l_tax")
+        * F.lit(100)
+    )
     return (
         load_table(spark, sf_dir, "lineitem")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
@@ -764,7 +753,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(load_table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(nation, F.col("s_nationkey") == F.col("sn_key"))
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .agg(*split_sum(amount_units, "profit"))
+        .select("nation", "o_year", split_result("profit", 4).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
