@@ -255,3 +255,67 @@ def manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_pruned(
         spark, path, {"l_orderkey": (2000, 4000), "l_partkey": (100, 600)}
     )
+
+
+@query(
+    "keyed_change_feed",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 6 = 4 THEN NULL
+                WHEN p_partkey % 9 = 1 THEN p_retailprice + 9
+                ELSE p_retailprice + 5 END AS p_retailprice,
+           CASE WHEN p_partkey % 6 = 4 THEN NULL
+                WHEN p_partkey % 9 = 1 THEN 'B2' ELSE 'B1' END AS p_brand,
+           CASE WHEN p_partkey % 6 = 4 THEN 'delete' ELSE 'upsert' END AS _change_op,
+           CAST(CASE WHEN p_partkey % 6 = 4 THEN 3
+                     WHEN p_partkey % 9 = 1 THEN 2 ELSE 1 END AS BIGINT) AS _seq
+    FROM part WHERE p_partkey % 3 = 1
+    """,
+)
+def keyed_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed OUT (round 12): two delta batches land on a keyed
+    table, then :func:`~..sources.keyed.read_keyed_changes` returns the
+    NET change per key (latest-seq-wins within the window) — what a
+    downstream incremental consumer applies instead of re-diffing the
+    table. Batch 2 (seq 2) overrides a slice of batch 1 (%9==1 is a
+    subset of %3==1), batch 3 (seq 3) tombstones another (%6==4 —
+    overlapping batch 2 at k=10 mod 18, where the delete must win);
+    the oracle recomputes the expected net rows, ops, and seq numbers
+    from the source view.
+
+    100 TB: the feed scans O(pending delta) files and shuffles only
+    delta rows; the base is never touched. Seq numbering is monotonic
+    across compactions (the hwm file), so consumer checkpoints never
+    alias; a checkpoint older than the un-compacted window raises
+    toward re-sync — the Delta/Hudi incremental-read retention
+    contract."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        read_keyed_changes,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        delete_from_keyed_table,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    path = scratch_dir(prefix="keyed_feed_q_") + "/tab"
+    write_keyed_table(part, path, ["p_partkey"], num_buckets=8, assume_unique=True)
+    k = F.col("p_partkey")
+    upd1 = (
+        part.filter(k % 3 == 1)
+        .withColumn("p_retailprice", F.col("p_retailprice") + 5)
+        .withColumn("p_brand", F.lit("B1"))
+    )
+    upsert_keyed_table(spark, path, upd1, assume_unique=True, mode="mor")
+    upd2 = (
+        part.filter(k % 9 == 1)
+        .withColumn("p_retailprice", F.col("p_retailprice") + 9)
+        .withColumn("p_brand", F.lit("B2"))
+    )
+    upsert_keyed_table(spark, path, upd2, assume_unique=True, mode="mor")
+    delete_from_keyed_table(
+        spark, path, part.filter(k % 6 == 4).select("p_partkey"), mode="mor"
+    )
+    feed = read_keyed_changes(spark, path)
+    return feed.select("p_partkey", "p_retailprice", "p_brand", "_change_op", "_seq")

@@ -480,6 +480,7 @@ def write_keyed_table(
             cm = _current_commit(spark, path)
             prior = {int(b) for b in ((cm or {}).get("buckets") or {})}
             fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
+            fs.delete(Path(f"{path}/{_SEQ_HWM}"), False)  # fresh table
             _marker_publish(spark, path, staging, sorted(staged_ids | prior))
             _write_meta(spark, path, meta)
             return
@@ -487,7 +488,7 @@ def write_keyed_table(
             name = st.getPath().getName()
             if (
                 name.startswith((f"{BUCKET_COL}=", f"_old.{BUCKET_COL}."))
-                or name == _DELTA_DIR
+                or name in (_DELTA_DIR, _SEQ_HWM)
             ):
                 fs.delete(st.getPath(), True)
         for st in fs.listStatus(Path(staging)):
@@ -897,6 +898,29 @@ def _apply_batch(
 
 
 _INGEST_KEY = "_ingest_key"
+_SEQ_HWM = "_seq.hwm"
+
+
+def _read_seq_hwm(spark: SparkSession, path: str) -> int:
+    """Highest delta seq ever committed (survives compaction retiring
+    the dirs): keeps seq numbering MONOTONIC so a change-feed
+    consumer's checkpoint from before a compaction cannot silently
+    alias a post-compaction batch (round 12)."""
+    fs, hpath, jvm = _fs(spark, f"{path}/{_SEQ_HWM}")
+    if not fs.exists(hpath):
+        return 0
+    stream = fs.open(hpath)
+    try:
+        return int(bytes(stream.readAllBytes()).decode().strip() or 0)
+    finally:
+        stream.close()
+
+
+def _write_seq_hwm(spark: SparkSession, path: str, value: int) -> None:
+    fs, hpath, jvm = _fs(spark, f"{path}/{_SEQ_HWM}")
+    out = fs.create(hpath, True)  # single-file overwrite PUT — atomic replace
+    out.write(bytearray(str(int(value)).encode()))
+    out.close()
 
 
 def _key_digest(key: str) -> str:
@@ -1011,9 +1035,11 @@ def _commit_delta(
     renames the dir — atomic on HDFS/local; ``marker`` writes straight
     into the final seq dir and PUTs ``_COMMITTED`` LAST — the marker
     is the commit on stores without atomic rename, and an uncommitted
-    dir from a crash is simply overwritten when its seq is reused."""
+    dir from a crash is simply overwritten when its seq is reused.
+    Numbering is monotonic across compactions (the ``_seq.hwm`` file),
+    so change-feed checkpoints never alias."""
     seqs = _delta_seq_dirs(spark, path)
-    next_seq = (seqs[-1][0] + 1) if seqs else 1
+    next_seq = max(seqs[-1][0] if seqs else 0, _read_seq_hwm(spark, path)) + 1
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     final = f"{path}/{_DELTA_DIR}/seq={next_seq}"
@@ -1069,7 +1095,8 @@ def _compact_locked(
     deltas = _read_deltas(spark, path, meta)
     if deltas is None:
         return {"touched_buckets": [], "deltas_folded": 0}
-    n_deltas = len(_delta_seq_dirs(spark, path))
+    seq_dirs = _delta_seq_dirs(spark, path)
+    n_deltas, max_seq = len(seq_dirs), max(s for s, _ in seq_dirs)
     deltas = deltas.persist()
     try:
         touched = sorted(
@@ -1098,6 +1125,10 @@ def _compact_locked(
             _marker_publish(spark, path, staging, touched)
         else:
             _swap_buckets(spark, path, staging, touched)
+        # hwm BEFORE retiring the dirs: a crash between the two leaves
+        # the dirs present and the hwm high — next commit skips a few
+        # seq numbers, which is harmless (monotonicity is the contract)
+        _write_seq_hwm(spark, path, max_seq)
         fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
         out = {"touched_buckets": touched, "deltas_folded": n_deltas}
         if refresh_manifest:
@@ -1174,6 +1205,79 @@ def delete_from_keyed_table(
             spark, path, keys, delete=True, assume_unique=assume_unique,
             idempotency_key=idempotency_key,
         )
+
+
+def read_keyed_changes(
+    spark: SparkSession,
+    path: str,
+    since_seq: int = 0,
+    resolve: bool = True,
+) -> DataFrame:
+    """Change feed OUT (round 12): the committed delta batches with
+    ``seq > since_seq`` as a DataFrame of data columns +
+    ``_change_op`` (``'upsert'`` | ``'delete'``; non-key columns are
+    NULL on deletes) + ``_seq`` — what a downstream incremental
+    consumer (a sync to another store, a cache invalidator, an index
+    updater) applies instead of re-diffing the table. ``resolve=True``
+    collapses to ONE row per key (latest-seq-wins within the returned
+    range — the net effect to apply); ``resolve=False`` returns every
+    change row in order (the audit-log form).
+
+    Consumers checkpoint the max ``_seq`` they applied and pass it
+    back as ``since_seq``. The feed window is the UN-COMPACTED deltas:
+    :func:`compact_keyed_table` folds deltas into the base and retires
+    their seq dirs, so run consumers ahead of the compaction cadence
+    (``compact_every`` in the streaming ingest bounds both the read
+    tax and this window). Reading a ``since_seq`` newer than the
+    highest committed seq returns an empty frame; a ``since_seq``
+    older than the earliest PENDING seq raises — those changes were
+    already folded and the consumer must re-sync from the base (the
+    same contract as Delta/Hudi incremental reads past retention).
+
+    Scale: one scan of O(pending delta) files; the resolve shuffle is
+    delta-sized. The base is never touched."""
+    meta = read_keyed_meta(spark, path)
+    key_cols, data_cols = meta["key_cols"], meta["data_cols"]
+    dirs = _delta_seq_dirs(spark, path)
+    # seq numbering is monotonic across compactions (_seq.hwm), so the
+    # earliest AVAILABLE change is the first pending dir — or hwm+1
+    # when nothing is pending. A checkpoint older than that points at
+    # changes already folded into the base: raise toward re-sync
+    # rather than silently skipping them.
+    earliest = dirs[0][0] if dirs else _read_seq_hwm(spark, path) + 1
+    if since_seq + 1 < earliest:
+        raise ValueError(
+            f"since_seq={since_seq} predates the earliest available delta "
+            f"(seq={earliest}) — earlier changes were compacted into the "
+            "base; re-sync from read_keyed_table and restart the feed from "
+            f"the current high-water mark"
+        )
+    want = [d for s, d in dirs if s > since_seq]
+    op = F.when(F.col(_DEL_COL), F.lit("delete")).otherwise(F.lit("upsert"))
+    if not want:
+        sj = meta.get("schema_json")
+        schema = T.StructType.fromJson(json.loads(sj)) if sj else None
+        if schema is None:
+            raise ValueError(f"{path!r}: no schema_json and no pending deltas")
+        empty = spark.createDataFrame([], schema)
+        return empty.select(
+            *data_cols,
+            F.lit("upsert").alias("_change_op"),
+            F.lit(0).cast("long").alias("_seq"),
+        ).limit(0)
+    feed = (
+        spark.read.option("basePath", f"{path}/{_DELTA_DIR}")
+        .parquet(*want)
+        .withColumnRenamed("seq", "_seq")
+        .select(*data_cols, op.alias("_change_op"), F.col("_seq").cast("long"))
+    )
+    if not resolve:
+        return feed
+    picked = [c for c in data_cols if c not in key_cols] + ["_change_op", "_seq"]
+    w = feed.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*picked), F.col("_seq")).alias("_w")
+    )
+    return w.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in picked])
 
 
 def apply_changes_keyed_table(

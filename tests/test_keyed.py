@@ -821,3 +821,57 @@ def test_apply_changes_mixed_batch_single_delta(spark, keyed):
     out2 = apply_changes_keyed_table(spark, keyed, ups)
     assert out2["deletes"] == 0 and out2["upserts"] == 1
     assert read_keyed_table(spark, keyed).filter("k = 3").first().v == 333
+
+
+def test_read_keyed_changes_feed(spark, keyed):
+    """Round-12 change feed: committed deltas since a checkpointed seq,
+    resolved (net per key) or raw (audit log); compaction retires the
+    window and a stale checkpoint raises toward re-sync."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        apply_changes_keyed_table,
+        read_keyed_changes,
+    )
+
+    assert read_keyed_changes(spark, keyed).count() == 0  # no deltas yet
+    upsert_keyed_table(
+        spark, keyed,
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "a")], "k long, v long, tag string"),
+        mode="mor",
+    )
+    chg = spark.createDataFrame(
+        [(1, 11, "b", None), (3, None, None, "delete")],
+        "k long, v long, tag string, op string",
+    )
+    apply_changes_keyed_table(spark, keyed, chg, op_col="op")
+
+    raw = read_keyed_changes(spark, keyed, resolve=False)
+    assert raw.count() == 4
+    assert set(raw.columns) == {"k", "v", "tag", "_change_op", "_seq"}
+
+    net = {r.k: (r.v, r._change_op, r._seq)
+           for r in read_keyed_changes(spark, keyed).collect()}
+    assert net == {1: (11, "upsert", 2), 2: (20, "upsert", 1), 3: (None, "delete", 2)}
+
+    # consumer checkpointed seq 1: only the second batch comes back
+    late = {r.k for r in read_keyed_changes(spark, keyed, since_seq=1).collect()}
+    assert late == {1, 3}
+    # checkpoint at head: empty feed, schema intact
+    head = read_keyed_changes(spark, keyed, since_seq=2)
+    assert head.count() == 0 and "_change_op" in head.columns
+
+    compact_keyed_table(spark, keyed)
+    # seq numbering is monotonic ACROSS the compaction (the hwm file):
+    # a head checkpoint stays valid, a stale one raises toward re-sync
+    # instead of silently aliasing post-compaction batches
+    assert read_keyed_changes(spark, keyed, since_seq=2).count() == 0
+    with pytest.raises(ValueError, match="compacted into the base"):
+        read_keyed_changes(spark, keyed, since_seq=0)
+    upsert_keyed_table(
+        spark, keyed,
+        spark.createDataFrame([(9, 99, "c")], "k long, v long, tag string"),
+        mode="mor",
+    )
+    nxt = read_keyed_changes(spark, keyed, since_seq=2).collect()
+    assert len(nxt) == 1 and nxt[0]._seq == 3, "seq continues past compaction"
+    with pytest.raises(ValueError, match="compacted into the base"):
+        read_keyed_changes(spark, keyed, since_seq=1)
