@@ -847,10 +847,55 @@ def _apply_batch(
     # the merge below must see every bucket's true contents (a bucket
     # stranded at _old.kb.<b> is invisible to the base scan).
     recover_keyed_table(spark, path)
-    batch = _validated_batch(meta, batch, delete, assume_unique)
+    batch = _validated_batch(meta, batch, delete, assume_unique=True)  # columns only
     batch = batch.withColumn(BUCKET_COL, _bucket_expr(meta)).persist()
     try:
-        touched = sorted(r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect())
+        # ONE fused pass (round 12, the apply_changes discipline):
+        # uniqueness + NULL-key detection + row count + touched-bucket
+        # set from a single aggregation, where the first draft ran
+        # three jobs (check, count, distinct-bucket collect).
+        from functools import reduce
+
+        key_cols_ = meta["key_cols"]
+        if assume_unique:
+            st = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(BUCKET_COL).alias("bks"),
+            ).first()
+            max_dup, has_null = 1, False
+        else:
+            any_null = reduce(
+                lambda a, b: a | b, [F.col(c).isNull() for c in key_cols_]
+            )
+            per_key = batch.select(
+                *key_cols_, any_null.alias("_nk"), F.col(BUCKET_COL)
+            ).groupBy(*key_cols_).agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.max("_nk").alias("_nk"),
+                F.first(BUCKET_COL).alias("_kb"),  # kb is key-determined
+            )
+            st = per_key.agg(
+                F.max("_n").alias("max_dup"),
+                F.max("_nk").alias("has_null"),
+                F.sum("_n").alias("n"),
+                F.collect_set("_kb").alias("bks"),
+            ).first()
+            max_dup, has_null = int(st.max_dup or 0), bool(st.has_null)
+        if has_null:
+            raise ValueError(
+                f"batch has NULL key components on {list(key_cols_)} — NULL "
+                "never equi-matches, so such rows can never be overridden or "
+                "deleted; filter or backfill them first"
+            )
+        if max_dup > 1:
+            raise ValueError(
+                f"batch has duplicate keys on {list(key_cols_)} — a keyed table "
+                "is key-unique by contract; dedupe first (exact_dedup_rows / "
+                "override_join) or pass assume_unique=True if uniqueness is "
+                "already proven"
+            )
+        touched = sorted(int(b) for b in st.bks)
+        batch_rows = int(st.n or 0)
         if not touched:
             return {"touched_buckets": [], "batch_rows": 0, "survivor_rows": 0}
         # Partition-pruned read of ONLY the touched bucket dirs (the
@@ -864,7 +909,7 @@ def _apply_batch(
         # backfill is exactly this path, and an unconditional broadcast
         # hint fails outright past the 8 GB hard limit where the plain
         # shuffle anti-join succeeds). Same cap as key_prefilter_join.
-        batch_rows = batch.count()
+        # batch_rows comes from the fused stats pass above — no extra job.
         batch_keys = batch.select(*key_cols)
         if batch_rows <= COW_BROADCAST_KEY_ROWS:
             batch_keys = F.broadcast(batch_keys)
