@@ -62,11 +62,12 @@ staged dir pre-rename, so "marker present ⇒ batch complete" holds in
 both protocols). Crash anywhere leaves either the old manifest state
 or unreferenced garbage the recovery sweep GCs — never a wrong
 answer. ``commit="rename"`` on an object-store scheme is refused at
-load time with the reason. Residual marker-mode caveats, stated
-honestly: the writer lease's create-exclusive is advisory on stores
-without atomic create (single-writer must then be enforced
-externally), and the stats-manifest module does not cover marker
-tables (their data dirs are hidden by design).
+load time with the reason. The stats-manifest module resolves marker
+tables through the commit manifest (live-dir listing, grace-retained
+old versions excluded), so pruned reads compose with both protocols.
+Residual marker-mode caveat, stated honestly: the writer lease's
+create-exclusive is advisory on stores without atomic create —
+single-writer must then be enforced externally.
 
 Single-writer, enforced (round 12): every mutation (initial load,
 COW/MOR batch, compaction) holds a ``_writer.lock`` lease taken by
@@ -681,14 +682,18 @@ def _marker_publish(
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     new_buckets = {int(b): d for b, d in cm["buckets"].items()}
+    changed: list[str] = []
     for b in touched:
         b = int(b)
         staged = Path(f"{staging}/{BUCKET_COL}={b}")
+        if b in new_buckets:
+            changed.append(new_buckets[b])  # superseded (or emptied) dir
         if fs.exists(staged):
             dest = f"_b{b}.v{n_new}"
             if not fs.rename(staged, Path(f"{path}/{dest}")):
                 raise IOError(f"staged bucket move failed for bucket {b}")
             new_buckets[b] = dest
+            changed.append(dest)
         elif b in new_buckets:  # bucket emptied by this batch
             new_buckets.pop(b)
     _write_commit(spark, path, n_new, new_buckets)
@@ -712,7 +717,11 @@ def _marker_publish(
             if d not in keep:
                 fs.delete(Path(f"{path}/{d}"), True)
         fs.delete(st.getPath(), False)
-    return {"commit": n_new, "live_buckets": len(new_buckets)}
+    return {
+        "commit": n_new,
+        "live_buckets": len(new_buckets),
+        "changed_dirs": changed,
+    }
 
 
 def _recover_marker(spark: SparkSession, path: str) -> dict:
@@ -1167,9 +1176,11 @@ def _compact_locked(
             # which is value-idempotent (overrides are absolute,
             # tombstones delete already-absent keys) — the same
             # documented seam as the rename protocol's swap/delete gap.
-            _marker_publish(spark, path, staging, touched)
+            pub = _marker_publish(spark, path, staging, touched)
+            churned = [f"{path}/{d}" for d in pub["changed_dirs"]]
         else:
             _swap_buckets(spark, path, staging, touched)
+            churned = [f"{path}/{BUCKET_COL}={b}" for b in touched]
         # hwm BEFORE retiring the dirs: a crash between the two leaves
         # the dirs present and the hwm high — next commit skips a few
         # seq numbers, which is harmless (monotonicity is the contract)
@@ -1184,13 +1195,12 @@ def _compact_locked(
 
             if fs.exists(Path(f"{path}/{MANIFEST_DIR}")):
                 # The compact KNOWS its churn: exactly the swapped
-                # bucket dirs. Declaring them keeps the refresh
-                # O(touched files), independent of table file count
-                # (round-12 brief #4).
+                # bucket dirs (rename layout) or the superseded + new
+                # versioned dirs (marker layout). Declaring them keeps
+                # the refresh O(touched files), independent of table
+                # file count (round-12 brief #4).
                 out["manifest"] = refresh_file_stats_manifest(
-                    spark,
-                    path,
-                    changed_dirs=[f"{path}/{BUCKET_COL}={b}" for b in touched],
+                    spark, path, changed_dirs=churned
                 )
         return out
     finally:

@@ -37,6 +37,7 @@ identical.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +61,35 @@ def _fs_for(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _marker_keyed_meta(spark: SparkSession, table_path: str) -> dict | None:
+    """The keyed-table meta when ``table_path`` is a marker-commit
+    keyed table, else None. Marker tables keep their data in HIDDEN
+    versioned dirs resolved through a commit manifest, so every
+    listing in this module must go through that manifest instead of
+    the directory tree (round 12 — and old version dirs are retained
+    one generation for in-flight readers, so a tree walk would count
+    superseded files as live)."""
+    from hadoop_20_warehouse_fix_spark.sources import keyed as K
+
+    fs, _, jvm = _fs_for(spark, table_path)
+    root = table_path.rstrip("/")
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{K._META}")):
+        return None
+    meta = K.read_keyed_meta(spark, root)
+    return meta if meta.get("commit") == "marker" else None
+
+
+def _marker_live_dirs(spark: SparkSession, table_path: str) -> list[str]:
+    """Absolute dirs of the CURRENT commit of a marker keyed table."""
+    from hadoop_20_warehouse_fix_spark.sources import keyed as K
+
+    root = table_path.rstrip("/")
+    cm = K._current_commit(spark, root)
+    fs, rootp, _ = _fs_for(spark, root)
+    norm = fs.getFileStatus(rootp).getPath().toUri().getPath().rstrip("/")
+    return sorted(f"{norm}/{d}" for d in ((cm or {}).get("buckets") or {}).values())
 
 
 def _list_data_files(spark: SparkSession, table_path: str) -> list[str]:
@@ -106,7 +136,11 @@ def write_file_stats_manifest(
     ``<table_path>/_stats_manifest``). Rebuild after every batch write;
     for append-only ingest, manifest the new files and append.
     """
-    schema = spark.read.parquet(table_path).schema
+    mk = _marker_keyed_meta(spark, table_path)
+    if mk is not None:
+        schema = T.StructType.fromJson(json.loads(mk["schema_json"]))
+    else:
+        schema = spark.read.parquet(table_path).schema
     by_name = {f.name: f.dataType for f in schema.fields}
     if cols is None:
         cols = [f.name for f in schema.fields if isinstance(f.dataType, _PRUNABLE)]
@@ -119,7 +153,14 @@ def write_file_stats_manifest(
                 "stats order is not Spark's comparison order for it; pick a "
                 "prunable column"
             )
-    files = _list_data_files(spark, table_path)
+    if mk is not None:
+        files = sorted(
+            f
+            for d in _marker_live_dirs(spark, table_path)
+            for f in _list_data_files(spark, d)
+        )
+    else:
+        files = _list_data_files(spark, table_path)
     if not files:
         raise ValueError(f"no parquet data files under {table_path!r}")
     manifest = _stats_frame(spark, files, list(cols), by_name)
@@ -247,6 +288,8 @@ def refresh_file_stats_manifest(
         n = len(_list_data_files(spark, table_path))
         return {"added": n, "removed": 0, "kept": 0, "total": n}
     old = _read_manifest(spark, dest)
+    mk = _marker_keyed_meta(spark, table_path)
+    live_dirs = set(_marker_live_dirs(spark, table_path)) if mk is not None else None
     if changed_dirs is not None:
         # Reconcile only inside the writer-declared dirs: rows outside
         # them are untouched by construction, so neither the table walk
@@ -270,6 +313,14 @@ def refresh_file_stats_manifest(
             fs2, dp, _ = _fs_for(spark, ds)
             if fs2.exists(dp):  # a dir can vanish entirely (all-deletes)
                 current |= set(_list_data_files(spark, ds))
+        if live_dirs is not None:
+            # marker keyed table: superseded version dirs linger one
+            # generation for in-flight readers — only files under the
+            # CURRENT commit's dirs are live
+            current = {
+                f for f in current
+                if any(f.startswith(d + "/") for d in live_dirs)
+            }
         if not prefixes:
             n_all = old.count()
             return {"added": 0, "removed": 0, "kept": n_all, "total": n_all}
@@ -282,7 +333,12 @@ def refresh_file_stats_manifest(
         n_outside = old.filter(~in_changed).count()
     else:
         known = {r.file for r in old.select("file").collect()}
-        current = set(_list_data_files(spark, table_path))
+        if live_dirs is not None:
+            current = {
+                f for d in live_dirs for f in _list_data_files(spark, d)
+            }
+        else:
+            current = set(_list_data_files(spark, table_path))
         n_outside = 0
     # A now-empty table (e.g. a compaction that tombstoned every
     # remaining row) refreshes to an EMPTY manifest rather than raising
@@ -297,7 +353,10 @@ def refresh_file_stats_manifest(
     want = [c[len("min_"):] for c in old.columns if c.startswith("min_")]
     by_name: dict = {}
     if added:  # schema only needed to footer-read NEW files
-        schema = spark.read.parquet(table_path).schema
+        if mk is not None:
+            schema = T.StructType.fromJson(json.loads(mk["schema_json"]))
+        else:
+            schema = spark.read.parquet(table_path).schema
         by_name = {f.name: f.dataType for f in schema.fields}
     kept = old.filter(~F.col("file").isin(list(removed))) if removed else old
     pieces = [kept]
@@ -418,8 +477,19 @@ def read_pruned(
         )
     kept, _ = manifest_kept_files(spark, mpath, predicates)
     preds = _normalize(predicates)
+    mk = _marker_keyed_meta(spark, table_path)
     if not kept:
-        base = spark.read.parquet(table_path).limit(0)
+        if mk is not None:
+            base = spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(mk["schema_json"]))
+            )
+        else:
+            base = spark.read.parquet(table_path).limit(0)
+    elif mk is not None:
+        # marker layout: no directory-derived columns to preserve (the
+        # versioned dirs carry no k=v segments), and basePath over
+        # hidden dirs trips Spark's ignored-path machinery
+        base = spark.read.parquet(*kept)
     else:
         # basePath keeps directory-derived partition columns alive when
         # the kept list is leaf files inside a partitionBy layout — a

@@ -393,3 +393,64 @@ def test_compact_refresh_declares_touched_dirs(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_manifest_on_marker_commit_keyed_table(spark):
+    """Round-12 composition: the stats manifest resolves marker-commit
+    keyed tables through the commit manifest — build, pruned read,
+    COW churn + declared-dirs refresh (with grace-retained superseded
+    dirs on disk), and an incremental refresh after compaction."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        compact_keyed_table,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+    from hadoop_20_warehouse_fix_spark.sources.manifest import (
+        refresh_file_stats_manifest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="manifest_marker_")
+    try:
+        path = f"{tmp}/t"
+        df = spark.range(4_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        write_keyed_table(
+            df, path, ["k"], num_buckets=8, commit="marker", sort_cols=["k"]
+        )
+        mpath = write_file_stats_manifest(spark, path, cols=["k", "v"])
+        m = spark.read.parquet(mpath)
+        assert m.count() >= 8 and m.agg(F.sum("num_rows")).first()[0] == 4_000
+
+        got = {tuple(r) for r in read_pruned(spark, path, {"k": (100, 120)}).collect()}
+        assert got == {(i, i % 97) for i in range(100, 121)}
+
+        # COW churn; superseded version dirs LINGER (grace) — the
+        # declared-dirs refresh must not resurrect their files
+        out = upsert_keyed_table(
+            spark,
+            path,
+            spark.createDataFrame([(110, -1), (5_000, -2)], "k long, v long"),
+            mode="cow",
+        )
+        r = refresh_file_stats_manifest(spark, path)
+        assert r["added"] > 0 and r["removed"] > 0
+        m2 = spark.read.parquet(mpath)
+        assert m2.agg(F.sum("num_rows")).first()[0] == 4_001
+        got2 = {tuple(r) for r in read_pruned(spark, path, {"k": (100, 120)}).collect()}
+        assert got2 == ({(i, i % 97) for i in range(100, 121)} - {(110, 110 % 97)}) | {(110, -1)}
+
+        # MOR + compact(refresh_manifest=True): declared versioned dirs
+        upsert_keyed_table(
+            spark, path, spark.createDataFrame([(7, -7)], "k long, v long"), mode="mor"
+        )
+        with pytest.raises(ValueError, match="pending MOR deltas"):
+            read_pruned(spark, path, {"k": (0, 10)})
+        outc = compact_keyed_table(spark, path, refresh_manifest=True)
+        assert outc["manifest"]["added"] >= 1
+        got3 = {tuple(r) for r in read_pruned(spark, path, {"k": (0, 10)}).collect()}
+        assert got3 == ({(i, i % 97) for i in range(11)} - {(7, 7)}) | {(7, -7)}
+        # totals stay exact after every refresh
+        assert spark.read.parquet(mpath).agg(F.sum("num_rows")).first()[0] == 4_001
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
