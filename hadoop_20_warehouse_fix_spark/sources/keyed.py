@@ -147,31 +147,51 @@ def read_keyed_meta(spark: SparkSession, path: str) -> dict:
         data = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    return json.loads(data.decode())
+    meta = json.loads(data.decode())
+    if meta.get("commit") == "marker":
+        # The CURRENT commit manifest is the marker table's source of
+        # truth for metadata (embedded since round 12 so a re-load
+        # flips buckets + meta atomically); the root file is a cache
+        # that can lag one crashed re-load behind.
+        cm = _current_commit(spark, path)
+        if cm and cm.get("meta"):
+            return cm["meta"]
+    return meta
 
 
 def _acquire_writer_lock(
     spark: SparkSession, path: str, ttl_sec: float
-) -> None:
+) -> str:
     """Take the table's writer lease via create-exclusive of
     ``_writer.lock`` (atomic on HDFS and local filesystems — the same
     primitive HBase/Hadoop job committers lease with; object stores
     without atomic create need the external-catalog posture documented
     in the module docstring). Held and fresh → raise
     :class:`KeyedTableLockedError` naming the holder. Held but older
-    than ``ttl_sec`` → presumed crashed: break it and retry once (the
-    loser of a concurrent break/re-create race gets the error, which
-    is the safe side)."""
+    than ``ttl_sec`` → presumed crashed: BREAK BY RENAME — rename is
+    atomic, so of N writers that all observed the stale lease exactly
+    one wins the rename and proceeds to the exclusive create; the
+    losers see their rename fail and stay in the contended path
+    (round-12 review: the first draft broke by delete-then-create,
+    letting a second breaker delete the first breaker's FRESH lock).
+    Returns the owner token the matching release must present."""
     import json as _json
     import os
     import socket
     import time
+    import uuid
 
     fs, root, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     lockp = Path(f"{path}/{_WRITER_LOCK}")
+    token = uuid.uuid4().hex
     payload = _json.dumps(
-        {"host": socket.gethostname(), "pid": os.getpid(), "acquired_unix": time.time()}
+        {
+            "host": socket.gethostname(),
+            "pid": os.getpid(),
+            "token": token,
+            "acquired_unix": time.time(),
+        }
     ).encode()
     if not fs.exists(root):
         fs.mkdirs(root)
@@ -180,15 +200,26 @@ def _acquire_writer_lock(
             out = fs.create(lockp, False)  # overwrite=False: create-exclusive
             out.write(bytearray(payload))
             out.close()
-            return
+            return token
         except Exception:  # noqa: BLE001 — py4j wraps FileAlreadyExists
             if not fs.exists(lockp):
-                raise  # a real I/O failure, not contention
-        st = fs.getFileStatus(lockp)
-        age = time.time() - st.getModificationTime() / 1000.0
+                # holder released between create-fail and here — retry
+                if attempt == 1:
+                    continue
+                raise
+        try:
+            st = fs.getFileStatus(lockp)
+            age = time.time() - st.getModificationTime() / 1000.0
+        except Exception:  # noqa: BLE001 — released in the probe window
+            if attempt == 1:
+                continue
+            raise
         if age > ttl_sec and attempt == 1:
-            fs.delete(lockp, False)  # stale lease from a crashed writer
-            continue
+            # atomic break: exactly one of the racing breakers wins
+            broken = Path(f"{path}/{_WRITER_LOCK}.broken.{token}")
+            if fs.rename(lockp, broken):
+                fs.delete(broken, False)
+            continue  # losers fall through to the contended error below
         try:
             stream = fs.open(lockp)
             holder = bytes(stream.readAllBytes()).decode()
@@ -201,11 +232,28 @@ def _acquire_writer_lock(
             "retry after it finishes, or delete _writer.lock if you are "
             "certain the holder is dead"
         )
+    raise KeyedTableLockedError(f"{path!r}: could not acquire the writer lease")
 
 
-def _release_writer_lock(spark: SparkSession, path: str) -> None:
+def _release_writer_lock(spark: SparkSession, path: str, token: str) -> None:
+    """Release ONLY a lease this holder still owns: a writer that
+    outlived the TTL (its lease broken and re-issued to a successor)
+    must not delete the successor's lock on exit (round-12 review).
+    The read/compare/delete is not atomic — the residual window is a
+    filesystem-primitive limit, far narrower than the unconditional
+    delete it replaces."""
     fs, _, jvm = _fs(spark, path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{_WRITER_LOCK}"), False)
+    lockp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_WRITER_LOCK}")
+    try:
+        stream = fs.open(lockp)
+        try:
+            holder = json.loads(bytes(stream.readAllBytes()).decode())
+        finally:
+            stream.close()
+    except Exception:  # noqa: BLE001 — already gone (broken + released)
+        return
+    if holder.get("token") == token:
+        fs.delete(lockp, False)
 
 
 class _writer_lease:
@@ -213,13 +261,15 @@ class _writer_lease:
 
     def __init__(self, spark: SparkSession, path: str, ttl_sec: float):
         self.spark, self.path, self.ttl = spark, path, ttl_sec
+        self.token: str | None = None
 
     def __enter__(self):
-        _acquire_writer_lock(self.spark, self.path, self.ttl)
+        self.token = _acquire_writer_lock(self.spark, self.path, self.ttl)
         return self
 
     def __exit__(self, *exc):
-        _release_writer_lock(self.spark, self.path)
+        if self.token is not None:
+            _release_writer_lock(self.spark, self.path, self.token)
         return False
 
 
@@ -265,16 +315,22 @@ def _current_commit(spark: SparkSession, path: str) -> dict | None:
     return json.loads(data.decode())
 
 
-def _write_commit(spark: SparkSession, path: str, n: int, buckets: dict) -> None:
+def _write_commit(
+    spark: SparkSession, path: str, n: int, buckets: dict, meta: dict | None = None
+) -> None:
+    """Commit manifest PUT. ``meta`` rides INSIDE the manifest (round-12
+    review): a marker-table re-load that changes the layout must flip
+    buckets AND metadata in the same atomic PUT — writing them as two
+    files left a crash window where readers resolved the new buckets
+    through the old bucketing math."""
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(Path(f"{path}/{_COMMITS_DIR}"))
+    doc = {"n": n, "buckets": {str(b): d for b, d in buckets.items()}}
+    if meta is not None:
+        doc["meta"] = meta
     out = fs.create(Path(f"{path}/{_COMMITS_DIR}/commit-{n}.json"), False)
-    out.write(
-        bytearray(
-            json.dumps({"n": n, "buckets": {str(b): d for b, d in buckets.items()}}).encode()
-        )
-    )
+    out.write(bytearray(json.dumps(doc).encode()))
     out.close()
 
 
@@ -457,6 +513,16 @@ def write_keyed_table(
     # per (task, bucket) pair.
     fs, root, jvm = _fs(spark, path)
     _check_commit_scheme(fs.getUri().getScheme(), commit)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_META}")):
+        existing = read_keyed_meta(spark, path)
+        if _commit_mode(existing) != commit:
+            # a half-switched table would leave readers resolving by
+            # the wrong protocol mid-crash; a new path costs nothing
+            raise ValueError(
+                f"cannot change commit protocol on an existing keyed table "
+                f"({_commit_mode(existing)!r} -> {commit!r}) — write to a "
+                "new path instead"
+            )
     with _writer_lease(spark, path, lock_ttl_sec):
         # The load lands in _staging and bucket dirs rename into the
         # root (round 12): the root — and the writer lease inside it —
@@ -482,7 +548,11 @@ def write_keyed_table(
             prior = {int(b) for b in ((cm or {}).get("buckets") or {})}
             fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
             fs.delete(Path(f"{path}/{_SEQ_HWM}"), False)  # fresh table
-            _marker_publish(spark, path, staging, sorted(staged_ids | prior))
+            # buckets + meta flip in ONE manifest PUT (meta embedded);
+            # the root meta write after is a best-effort cache refresh
+            _marker_publish(
+                spark, path, staging, sorted(staged_ids | prior), meta=meta
+            )
             _write_meta(spark, path, meta)
             return
         for st in fs.listStatus(root):  # clear any prior table state
@@ -513,28 +583,38 @@ def _write_layout(df: DataFrame, dest: str, n_parts: int, meta: dict) -> None:
     out.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(dest)
 
 
-def _delta_seq_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
-    """Sorted (seq, dir) of COMMITTED MOR delta batches: a seq dir
-    counts only once its ``_COMMITTED`` marker exists (round 12 — the
-    rename protocol writes it into the staged dir pre-rename, so
-    presence ⇒ complete there too; the marker protocol writes it LAST
-    into the final dir, making the marker the commit point on stores
-    without atomic rename)."""
+def _delta_seq_dirs(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> list[tuple[int, str]]:
+    """Sorted (seq, dir) of COMMITTED MOR delta batches. Commit test by
+    protocol (round 12): under ``rename`` a seq dir's PRESENCE is the
+    commit (the dir arrived whole via atomic rename — this also keeps
+    pre-round-12 tables readable, whose dirs carry no marker); under
+    ``marker`` the ``_COMMITTED`` file written last is the commit, and
+    an unmarked dir is a crashed batch. New rename-protocol batches
+    also carry the marker (written into the staged dir pre-rename) —
+    informational there, load-bearing under marker."""
+    if meta is None:
+        meta = read_keyed_meta(spark, path)
     fs, root, jvm = _fs(spark, f"{path}/{_DELTA_DIR}")
     Path = jvm.org.apache.hadoop.fs.Path
-    # ONE glob for the markers themselves (their parent dirs are the
-    # committed seq dirs) — a listStatus + per-dir exists probe costs
-    # O(pending) py4j round trips on every append/read plan (round-12
-    # fixed-cost audit); globStatus answers in one.
-    arr = fs.globStatus(Path(f"{path}/{_DELTA_DIR}/seq=*/{_COMMITTED_MARK}"))
-    if arr is None:
-        return []
     out = []
-    for st in arr:
-        seq_dir = st.getPath().getParent()
-        out.append(
-            (int(seq_dir.getName().split("=", 1)[1]), seq_dir.toUri().getPath())
-        )
+    if _commit_mode(meta) == "marker":
+        # ONE glob for the markers themselves (their parent dirs are
+        # the committed seq dirs) — a listStatus + per-dir exists probe
+        # costs O(pending) py4j round trips on every append/read plan
+        # (round-12 fixed-cost audit); globStatus answers in one.
+        arr = fs.globStatus(Path(f"{path}/{_DELTA_DIR}/seq=*/{_COMMITTED_MARK}"))
+        for st in arr or []:
+            seq_dir = st.getPath().getParent()
+            out.append(
+                (int(seq_dir.getName().split("=", 1)[1]), seq_dir.toUri().getPath())
+            )
+        return sorted(out)
+    for st in fs.globStatus(Path(f"{path}/{_DELTA_DIR}/seq=*")) or []:
+        if st.isDirectory():
+            p = st.getPath()
+            out.append((int(p.getName().split("=", 1)[1]), p.toUri().getPath()))
     return sorted(out)
 
 
@@ -543,7 +623,7 @@ def _read_deltas(spark: SparkSession, path: str, meta: dict) -> DataFrame | None
     (None if no deltas). The seq dirs are passed explicitly with
     basePath so the hidden ``_delta`` root never hits Spark's
     ignored-path check."""
-    dirs = _delta_seq_dirs(spark, path)
+    dirs = _delta_seq_dirs(spark, path, meta)
     if not dirs:
         return None
     df = spark.read.option("basePath", f"{path}/{_DELTA_DIR}").parquet(
@@ -661,7 +741,11 @@ def _swap_buckets(spark: SparkSession, path: str, staging: str, buckets: list[in
 
 
 def _marker_publish(
-    spark: SparkSession, path: str, staging: str, touched: list[int]
+    spark: SparkSession,
+    path: str,
+    staging: str,
+    touched: list[int],
+    meta: dict | None = None,
 ) -> dict:
     """Marker-protocol bucket publish: move each staged ``kb=<b>`` dir
     to an immutable versioned dir ``_b<b>.v<n>``, then PUT the next
@@ -696,7 +780,7 @@ def _marker_publish(
             changed.append(dest)
         elif b in new_buckets:  # bucket emptied by this batch
             new_buckets.pop(b)
-    _write_commit(spark, path, n_new, new_buckets)
+    _write_commit(spark, path, n_new, new_buckets, meta=meta)
     fs.delete(Path(staging), True)
     # one-generation GC: dirs referenced only by manifests <= n_new-2
     keep = set(new_buckets.values()) | set(cm["buckets"].values())
@@ -772,17 +856,28 @@ def _recover_marker(spark: SparkSession, path: str) -> dict:
     }
 
 
-def recover_keyed_table(spark: SparkSession, path: str) -> dict:
+def recover_keyed_table(
+    spark: SparkSession, path: str, lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC
+) -> dict:
     """Finish/roll back a crashed write NOW instead of at the next one.
     Rename protocol: every ``_old.kb.<b>`` whose live dir is missing is
     restored (it is the bucket's only copy — readers were silently
     missing it), every one whose live dir exists is dropped, and the
     ``_staging`` dir is cleared. Marker protocol: pure GC — see
     :func:`_recover_marker`. Run after an unclean shutdown; reads never
-    mutate state, so the sweep is explicit. Returns
+    mutate state, so the sweep is explicit. HOLDS THE WRITER LEASE
+    (round-12 review): a sweep racing a live writer would GC the
+    version dirs that writer has moved but not yet committed — the
+    manifest PUT would then reference deleted dirs. Writers run the
+    unlocked form inside their own lease. Returns
     ``{restored: [...], dropped: [...], staging_cleared: bool}`` (or
     the marker GC dict)."""
     meta = read_keyed_meta(spark, path)
+    with _writer_lease(spark, path, lock_ttl_sec):
+        return _recover_unlocked(spark, path, meta)
+
+
+def _recover_unlocked(spark: SparkSession, path: str, meta: dict) -> dict:
     if _commit_mode(meta) == "marker":
         return _recover_marker(spark, path)
     fs, root, jvm = _fs(spark, path)
@@ -834,6 +929,65 @@ def _validated_batch(
     return batch
 
 
+
+def _fused_batch_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    assume_unique: bool,
+    what: str,
+    extra: dict,
+):
+    """ONE aggregation answering every per-batch question the write
+    paths need (round-12 review: _apply_batch and
+    apply_changes_keyed_table carried near-identical copies of this
+    block). ``extra`` maps an output name to ``(row_col, per_key_agg,
+    final_agg)`` — e.g. the delete count (sum/sum) or the touched
+    bucket set (first/collect_set; any per-key representative works
+    because the value is key-determined). Returns a Row with
+    ``max_dup``, ``has_null``, ``n`` and the extra names; raises the
+    key-contract errors (duplicates, NULL components) unless
+    ``assume_unique``."""
+    from functools import reduce
+
+    key_cols = list(key_cols)
+    if assume_unique:
+        st = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[final(row).alias(name) for name, (row, _pk, final) in extra.items()],
+        ).first()
+        return st
+    any_null = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in key_cols])
+    per_key = df.select(
+        *key_cols,
+        any_null.alias("_nk"),
+        *[row.alias(f"_x_{name}") for name, (row, _pk, _f) in extra.items()],
+    ).groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("_nk").alias("_nk"),
+        *[pk(f"_x_{name}").alias(f"_p_{name}") for name, (_r, pk, _f) in extra.items()],
+    )
+    st = per_key.agg(
+        F.max("_n").alias("max_dup"),
+        F.max("_nk").alias("has_null"),
+        F.sum("_n").alias("n"),
+        *[final(f"_p_{name}").alias(name) for name, (_r, _pk, final) in extra.items()],
+    ).first()
+    if bool(st.has_null):
+        raise ValueError(
+            f"{what} has NULL key components on {key_cols} — NULL never "
+            "equi-matches, so such rows can never be overridden or deleted; "
+            "filter or backfill them first"
+        )
+    if int(st.max_dup or 0) > 1:
+        raise ValueError(
+            f"{what} has duplicate keys on {key_cols} — a key may appear once "
+            "per batch (a keyed table is key-unique by contract; a "
+            "delete+upsert pair of one key would be order-dependent); dedupe "
+            "first or pass assume_unique=True if uniqueness is already proven"
+        )
+    return st
+
+
 def _apply_batch(
     spark: SparkSession,
     path: str,
@@ -843,7 +997,7 @@ def _apply_batch(
 ) -> dict:
     meta = read_keyed_meta(spark, path)
     key_cols, n, data_cols = meta["key_cols"], meta["num_buckets"], meta["data_cols"]
-    if _delta_seq_dirs(spark, path):
+    if _delta_seq_dirs(spark, path, meta):
         # A COW rewrite puts the new value in the base at logical seq 0;
         # any pending delta (seq >= 1) would still override it at read
         # time — silently resurrecting older writes. Refuse instead.
@@ -855,54 +1009,17 @@ def _apply_batch(
     # Finish/roll back any crashed prior swap BEFORE planning reads —
     # the merge below must see every bucket's true contents (a bucket
     # stranded at _old.kb.<b> is invisible to the base scan).
-    recover_keyed_table(spark, path)
+    _recover_unlocked(spark, path, meta)
     batch = _validated_batch(meta, batch, delete, assume_unique=True)  # columns only
     batch = batch.withColumn(BUCKET_COL, _bucket_expr(meta)).persist()
     try:
-        # ONE fused pass (round 12, the apply_changes discipline):
-        # uniqueness + NULL-key detection + row count + touched-bucket
-        # set from a single aggregation, where the first draft ran
-        # three jobs (check, count, distinct-bucket collect).
-        from functools import reduce
-
-        key_cols_ = meta["key_cols"]
-        if assume_unique:
-            st = batch.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.collect_set(BUCKET_COL).alias("bks"),
-            ).first()
-            max_dup, has_null = 1, False
-        else:
-            any_null = reduce(
-                lambda a, b: a | b, [F.col(c).isNull() for c in key_cols_]
-            )
-            per_key = batch.select(
-                *key_cols_, any_null.alias("_nk"), F.col(BUCKET_COL)
-            ).groupBy(*key_cols_).agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.max("_nk").alias("_nk"),
-                F.first(BUCKET_COL).alias("_kb"),  # kb is key-determined
-            )
-            st = per_key.agg(
-                F.max("_n").alias("max_dup"),
-                F.max("_nk").alias("has_null"),
-                F.sum("_n").alias("n"),
-                F.collect_set("_kb").alias("bks"),
-            ).first()
-            max_dup, has_null = int(st.max_dup or 0), bool(st.has_null)
-        if has_null:
-            raise ValueError(
-                f"batch has NULL key components on {list(key_cols_)} — NULL "
-                "never equi-matches, so such rows can never be overridden or "
-                "deleted; filter or backfill them first"
-            )
-        if max_dup > 1:
-            raise ValueError(
-                f"batch has duplicate keys on {list(key_cols_)} — a keyed table "
-                "is key-unique by contract; dedupe first (exact_dedup_rows / "
-                "override_join) or pass assume_unique=True if uniqueness is "
-                "already proven"
-            )
+        # ONE fused pass (round 12): uniqueness + NULL-key detection +
+        # row count + touched-bucket set from a single aggregation,
+        # where the first draft ran three jobs.
+        st = _fused_batch_stats(
+            batch, meta["key_cols"], assume_unique, "batch",
+            {"bks": (F.col(BUCKET_COL), F.first, F.collect_set)},
+        )
         touched = sorted(int(b) for b in st.bks)
         batch_rows = int(st.n or 0)
         if not touched:
@@ -929,7 +1046,9 @@ def _apply_batch(
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
         _write_layout(merged, staging, len(touched), meta)
         if _commit_mode(meta) == "marker":
-            pub = _marker_publish(spark, path, staging, [int(b) for b in touched])
+            pub = _marker_publish(
+                spark, path, staging, [int(b) for b in touched], meta=meta
+            )
             live = pub["live_buckets"]
         else:
             _swap_buckets(spark, path, staging, [int(b) for b in touched])
@@ -1032,7 +1151,7 @@ def _mor_append(
     # of base ∪ deltas would silently miss that bucket until something
     # ran the sweep — make MOR appends honor the "writers recover up
     # front" contract the swap's crash handling already assumes.
-    recover_keyed_table(spark, path)
+    _recover_unlocked(spark, path, meta)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
     if idempotency_key is not None:
         seen = _delta_ingest_keys(spark, path)
@@ -1092,7 +1211,7 @@ def _commit_delta(
     dir from a crash is simply overwritten when its seq is reused.
     Numbering is monotonic across compactions (the ``_seq.hwm`` file),
     so change-feed checkpoints never alias."""
-    seqs = _delta_seq_dirs(spark, path)
+    seqs = _delta_seq_dirs(spark, path, meta)
     next_seq = max(seqs[-1][0] if seqs else 0, _read_seq_hwm(spark, path)) + 1
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -1137,19 +1256,22 @@ def compact_keyed_table(
     when the table carries a ``_stats_manifest`` (compaction is THE
     file-churn point of the MOR lifecycle; the refresh cost tracks the
     swapped buckets — see ``sources.manifest``)."""
-    meta = read_keyed_meta(spark, path)
     with _writer_lease(spark, path, lock_ttl_sec):
+        # meta is read INSIDE the lease (round-12 review): a concurrent
+        # re-load could otherwise change the layout between the read
+        # and the lease, and the compaction would bucket by stale meta.
+        meta = read_keyed_meta(spark, path)
         return _compact_locked(spark, path, meta, refresh_manifest)
 
 
 def _compact_locked(
     spark: SparkSession, path: str, meta: dict, refresh_manifest: bool
 ) -> dict:
-    recover_keyed_table(spark, path)  # same pre-read sweep as _apply_batch
+    _recover_unlocked(spark, path, meta)  # same pre-read sweep as _apply_batch
     deltas = _read_deltas(spark, path, meta)
     if deltas is None:
         return {"touched_buckets": [], "deltas_folded": 0}
-    seq_dirs = _delta_seq_dirs(spark, path)
+    seq_dirs = _delta_seq_dirs(spark, path, meta)
     n_deltas, max_seq = len(seq_dirs), max(s for s, _ in seq_dirs)
     deltas = deltas.persist()
     try:
@@ -1176,7 +1298,7 @@ def _compact_locked(
             # which is value-idempotent (overrides are absolute,
             # tombstones delete already-absent keys) — the same
             # documented seam as the rename protocol's swap/delete gap.
-            pub = _marker_publish(spark, path, staging, touched)
+            pub = _marker_publish(spark, path, staging, touched, meta=meta)
             churned = [f"{path}/{d}" for d in pub["changed_dirs"]]
         else:
             _swap_buckets(spark, path, staging, touched)
@@ -1293,7 +1415,7 @@ def read_keyed_changes(
     delta-sized. The base is never touched."""
     meta = read_keyed_meta(spark, path)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
-    dirs = _delta_seq_dirs(spark, path)
+    dirs = _delta_seq_dirs(spark, path, meta)
     # seq numbering is monotonic across compactions (_seq.hwm), so the
     # earliest AVAILABLE change is the first pending dir — or hwm+1
     # when nothing is pending. A checkpoint older than that points at
@@ -1309,14 +1431,19 @@ def read_keyed_changes(
         )
     want = [d for s, d in dirs if s > since_seq]
     op = F.when(F.col(_DEL_COL), F.lit("delete")).otherwise(F.lit("upsert"))
+    non_key = [c for c in data_cols if c not in key_cols]
     if not want:
         sj = meta.get("schema_json")
         schema = T.StructType.fromJson(json.loads(sj)) if sj else None
         if schema is None:
             raise ValueError(f"{path!r}: no schema_json and no pending deltas")
         empty = spark.createDataFrame([], schema)
+        # same column ORDER as the non-empty case for the chosen mode
+        # (round-12 review: a positional union across polls would
+        # otherwise misalign the first time a poll came back empty)
+        cols = [*key_cols, *non_key] if resolve else list(data_cols)
         return empty.select(
-            *data_cols,
+            *cols,
             F.lit("upsert").alias("_change_op"),
             F.lit(0).cast("long").alias("_seq"),
         ).limit(0)
@@ -1328,7 +1455,7 @@ def read_keyed_changes(
     )
     if not resolve:
         return feed
-    picked = [c for c in data_cols if c not in key_cols] + ["_change_op", "_seq"]
+    picked = non_key + ["_change_op", "_seq"]
     w = feed.groupBy(*key_cols).agg(
         F.max_by(F.struct(*picked), F.col("_seq")).alias("_w")
     )
@@ -1363,8 +1490,24 @@ def apply_changes_keyed_table(
     Callers that feed ``changes`` from a non-deterministic source
     should persist it first (the validation pass and the delta write
     each evaluate the frame once)."""
-    from functools import reduce
+    with _writer_lease(spark, path, lock_ttl_sec):
+        return _apply_changes_locked(
+            spark, path, changes, op_col, assume_unique, idempotency_key
+        )
 
+
+def _apply_changes_locked(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    op_col: str | None,
+    assume_unique: bool,
+    idempotency_key: str | None,
+) -> dict:
+    # everything — including the meta read and the kb derivation —
+    # runs under the lease (round-12 review): a concurrent re-load
+    # changing the layout between the meta read and the commit would
+    # otherwise bucket this batch by stale metadata.
     meta = read_keyed_meta(spark, path)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
     expected = set(data_cols) | ({op_col} if op_col else set())
@@ -1379,44 +1522,14 @@ def apply_changes_keyed_table(
         if op_col
         else F.lit(False)
     )
-    any_null = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in key_cols])
     # ONE aggregation answers everything the old path used four jobs
     # for: per-key duplicate detection, NULL-key detection, and the
     # delete/upsert row counts (which also replace the isEmpty probes).
-    if assume_unique:
-        tot = changes.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(isdel.cast("long")).alias("n_del"),
-        ).first()
-        max_dup, has_null = 1, False
-    else:
-        per_key = changes.select(
-            *key_cols, any_null.alias("_nk"), isdel.cast("long").alias("_d")
-        ).groupBy(*key_cols).agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.max("_nk").alias("_nk"),
-            F.sum("_d").alias("_d"),
-        )
-        tot = per_key.agg(
-            F.max("_n").alias("max_dup"),
-            F.max("_nk").alias("has_null"),
-            F.sum("_d").alias("n_del"),
-            F.sum("_n").alias("n_rows"),
-        ).first()
-        max_dup, has_null = int(tot.max_dup or 0), bool(tot.has_null)
-    n_rows, n_del = int(tot.n_rows or 0), int(tot.n_del or 0)
-    if has_null:
-        raise ValueError(
-            f"change batch has NULL key components on {list(key_cols)} — NULL "
-            "never equi-matches, so such rows can never be overridden or "
-            "deleted; filter or backfill them first"
-        )
-    if max_dup > 1:
-        raise ValueError(
-            f"change batch has duplicate keys on {list(key_cols)} (a key may "
-            "appear once per batch — a delete+upsert pair of one key would be "
-            "order-dependent); dedupe first or split the batch"
-        )
+    tot = _fused_batch_stats(
+        changes, key_cols, assume_unique, "change batch",
+        {"n_del": (isdel.cast("long"), F.sum, F.sum)},
+    )
+    n_rows, n_del = int(tot.n or 0), int(tot.n_del or 0)
     result = {
         "mode": "mor",
         "rows": n_rows,
@@ -1437,16 +1550,15 @@ def apply_changes_keyed_table(
         isdel.alias(_DEL_COL),
     ).select(*data_cols, _DEL_COL)
     staged = staged.withColumn(BUCKET_COL, _bucket_expr(meta))
-    with _writer_lease(spark, path, lock_ttl_sec):
-        recover_keyed_table(spark, path)
-        if idempotency_key is not None:
-            seen = _delta_ingest_keys(spark, path)
-            digest = _key_digest(idempotency_key)
-            if digest in seen:
-                result.update(seq=seen[digest], replayed=True)
-                return result
-        result.update(_commit_delta(spark, path, meta, staged, False, idempotency_key))
-        result["delete"] = "mixed" if n_del else False
+    _recover_unlocked(spark, path, meta)
+    if idempotency_key is not None:
+        seen = _delta_ingest_keys(spark, path)
+        digest = _key_digest(idempotency_key)
+        if digest in seen:
+            result.update(seq=seen[digest], replayed=True)
+            return result
+    result.update(_commit_delta(spark, path, meta, staged, False, idempotency_key))
+    result["delete"] = "mixed" if n_del else False
     return result
 
 

@@ -875,3 +875,42 @@ def test_read_keyed_changes_feed(spark, keyed):
     assert len(nxt) == 1 and nxt[0]._seq == 3, "seq continues past compaction"
     with pytest.raises(ValueError, match="compacted into the base"):
         read_keyed_changes(spark, keyed, since_seq=1)
+
+
+def test_legacy_unmarked_delta_dirs_stay_visible(spark, keyed):
+    """Round-12 review: pre-round-12 rename-protocol tables carry no
+    _COMMITTED markers (the rename WAS the commit) — their pending
+    deltas must stay visible, and the next append must take a fresh
+    seq instead of renaming onto the legacy dir."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import _COMMITTED_MARK
+
+    upsert_keyed_table(spark, keyed, _ups(spark, [(1, -1, "legacy")]), mode="mor")
+    marker = os.path.join(keyed, "_delta", "seq=1", _COMMITTED_MARK)
+    os.remove(marker)  # simulate the old on-disk format
+    assert read_keyed_table(spark, keyed).filter("k = 1").first().v == -1
+    out = upsert_keyed_table(spark, keyed, _ups(spark, [(2, -2, "new")]), mode="mor")
+    assert out["seq"] == 2, "legacy dir counted; its seq not reused"
+    got = read_keyed_table(spark, keyed)
+    assert got.filter("k = 1").first().v == -1 and got.filter("k = 2").first().v == -2
+    assert compact_keyed_table(spark, keyed)["deltas_folded"] == 2
+
+
+def test_change_feed_empty_window_column_order(spark, tmp_path):
+    """The empty-window frame must match the non-empty frame's column
+    order (round-12 review: a positional union across feed polls would
+    misalign when the key column is not the leading data column)."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        read_keyed_changes,
+        write_keyed_table,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(10, 1), (20, 2)], "v long, k long")  # key NOT leading
+    write_keyed_table(df, path, ["k"], num_buckets=2)
+    empty = read_keyed_changes(spark, path)
+    upsert_keyed_table(spark, path, spark.createDataFrame([(11, 1)], "v long, k long"), mode="mor")
+    full = read_keyed_changes(spark, path)
+    assert empty.columns == full.columns == ["k", "v", "_change_op", "_seq"]
+    raw_empty_cols = read_keyed_changes(spark, path, since_seq=1, resolve=False).columns
+    raw_cols = read_keyed_changes(spark, path, resolve=False).columns
+    assert raw_empty_cols == raw_cols == ["v", "k", "_change_op", "_seq"]

@@ -248,3 +248,57 @@ def test_marker_gc_grace_keeps_previous_generation_readable(spark, marker):
     # the bucket holding k=1 was rewritten twice more; its g1-era dir is retired
     assert any(not os.path.exists(f"{marker}/{d}") for d in retired) or not retired
     assert read_keyed_table(spark, marker).filter("k = 1").first().v == -3
+
+
+def test_lease_release_is_ownership_checked(spark, marker):
+    """Round-12 review: a writer that outlived its TTL must not delete
+    its successor's fresh lease on exit; a live lease blocks the public
+    recovery sweep (which GCs dirs a mid-publish writer still needs)."""
+    import time
+
+    lock = os.path.join(marker, K._WRITER_LOCK)
+    old_token = K._acquire_writer_lock(spark, marker, 60.0)
+    # TTL passes; a successor breaks the lease and takes its own
+    past = time.time() - 120
+    os.utime(lock, (past, past))
+    new_token = K._acquire_writer_lock(spark, marker, 60.0)
+    assert os.path.exists(lock)
+    # the zombie's release presents its stale token: must be a no-op
+    K._release_writer_lock(spark, marker, old_token)
+    assert os.path.exists(lock), "successor's lease survived the zombie release"
+    # recovery refuses while the lease is live
+    with pytest.raises(K.KeyedTableLockedError):
+        K.recover_keyed_table(spark, marker)
+    K._release_writer_lock(spark, marker, new_token)
+    assert not os.path.exists(lock)
+    K.recover_keyed_table(spark, marker)  # lease free: sweep runs
+
+
+def test_marker_reload_meta_flips_atomically(spark, marker, monkeypatch):
+    """A re-load that changes the layout embeds the NEW meta in the
+    commit manifest PUT: even when the root-meta cache write crashes,
+    readers resolve the new buckets through the new bucketing math."""
+    fresh = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"), F.lit("n").alias("tag")
+    )
+    real = K._write_meta
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before root-meta cache write")
+
+    monkeypatch.setattr(K, "_write_meta", boom)
+    with pytest.raises(RuntimeError, match="root-meta"):
+        write_keyed_table(fresh, marker, ["k"], num_buckets=2, commit="marker")
+    monkeypatch.setattr(K, "_write_meta", real)
+    meta = K.read_keyed_meta(spark, marker)
+    assert meta["num_buckets"] == 2, "embedded meta wins over the stale root cache"
+    got = read_keyed_table(spark, marker)
+    assert got.count() == 50 and got.filter("k = 7").first().v == 21
+    found = lookup_keys(spark, marker, [7, 49, 1_999])
+    assert {r.k for r in found.collect()} == {7, 49}  # old keys gone
+
+
+def test_commit_protocol_change_refused(spark, marker):
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    with pytest.raises(ValueError, match="cannot change commit protocol"):
+        write_keyed_table(df, marker, ["k"], num_buckets=2)  # rename over marker
