@@ -131,10 +131,16 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
+def _strip_private(meta: dict) -> dict:
+    """Serializable view of a meta dict: drops runtime-only keys (the
+    stashed commit snapshot) before any write."""
+    return {k: v for k, v in meta.items() if not k.startswith("_")}
+
+
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     fs, hpath, jvm = _fs(spark, f"{path}/{_META}")
     out = fs.create(hpath, True)
-    out.write(bytearray(json.dumps(meta).encode()))
+    out.write(bytearray(json.dumps(_strip_private(meta)).encode()))
     out.close()
 
 
@@ -152,10 +158,16 @@ def read_keyed_meta(spark: SparkSession, path: str) -> dict:
         # The CURRENT commit manifest is the marker table's source of
         # truth for metadata (embedded since round 12 so a re-load
         # flips buckets + meta atomically); the root file is a cache
-        # that can lag one crashed re-load behind.
+        # that can lag one crashed re-load behind. The manifest rides
+        # along as a PRIVATE snapshot so the bucket-dir resolution uses
+        # the SAME commit that supplied the metadata — re-resolving in
+        # _base_df could straddle a concurrent re-load and list commit
+        # N+1's dirs under commit N's bucketing math (second review).
         cm = _current_commit(spark, path)
-        if cm and cm.get("meta"):
-            return cm["meta"]
+        if cm is not None:
+            if cm.get("meta"):
+                meta = dict(cm["meta"])
+            meta["_commit"] = cm
     return meta
 
 
@@ -328,7 +340,7 @@ def _write_commit(
     fs.mkdirs(Path(f"{path}/{_COMMITS_DIR}"))
     doc = {"n": n, "buckets": {str(b): d for b, d in buckets.items()}}
     if meta is not None:
-        doc["meta"] = meta
+        doc["meta"] = _strip_private(meta)
     out = fs.create(Path(f"{path}/{_COMMITS_DIR}/commit-{n}.json"), False)
     out.write(bytearray(json.dumps(doc).encode()))
     out.close()
@@ -357,7 +369,7 @@ def _base_df(
         return spark.createDataFrame([], schema)
 
     if _commit_mode(meta) == "marker":
-        cm = _current_commit(spark, path)
+        cm = meta.get("_commit") or _current_commit(spark, path)
         want = None if buckets is None else {int(b) for b in buckets}
         dirs = [
             f"{path}/{d}"
@@ -513,6 +525,7 @@ def write_keyed_table(
     # per (task, bucket) pair.
     fs, root, jvm = _fs(spark, path)
     _check_commit_scheme(fs.getUri().getScheme(), commit)
+    existing: dict | None = None
     if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_META}")):
         existing = read_keyed_meta(spark, path)
         if _commit_mode(existing) != commit:
@@ -524,6 +537,21 @@ def write_keyed_table(
                 "new path instead"
             )
     with _writer_lease(spark, path, lock_ttl_sec):
+        if existing is not None:
+            # re-loads run the same pre-write sweep as every other
+            # writer (second review pass: a re-load retry after a crash
+            # mid-publish would otherwise collide with its own orphaned
+            # _b<b>.v<n> dirs) and logically retire the old table's
+            # pending deltas ATOMICALLY with the manifest/meta flip via
+            # delta_floor — physically deleting them first lost
+            # committed writes when the flip crashed, deleting them
+            # after let them override the NEW table's rows.
+            _recover_unlocked(spark, path, existing)
+            floor = max(
+                [s_ for s_, _ in _delta_seq_dirs(spark, path, existing)]
+                + [_read_seq_hwm(spark, path), existing.get("delta_floor", 0)]
+            )
+            meta["delta_floor"] = floor
         # The load lands in _staging and bucket dirs rename into the
         # root (round 12): the root — and the writer lease inside it —
         # survives, where the old overwrite-to-root write deleted the
@@ -546,21 +574,25 @@ def write_keyed_table(
             }
             cm = _current_commit(spark, path)
             prior = {int(b) for b in ((cm or {}).get("buckets") or {})}
-            fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
-            fs.delete(Path(f"{path}/{_SEQ_HWM}"), False)  # fresh table
-            # buckets + meta flip in ONE manifest PUT (meta embedded);
-            # the root meta write after is a best-effort cache refresh
+            # buckets + meta (incl. delta_floor) flip in ONE manifest
+            # PUT; the old generation's deltas/hwm are only TOUCHED
+            # after the flip (floor already hides the deltas) — a crash
+            # on either side leaves a consistent generation
             _marker_publish(
                 spark, path, staging, sorted(staged_ids | prior), meta=meta
             )
             _write_meta(spark, path, meta)
+            fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
+            if meta.get("delta_floor"):
+                _write_seq_hwm(spark, path, meta["delta_floor"])
             return
         for st in fs.listStatus(root):  # clear any prior table state
             name = st.getPath().getName()
-            if (
-                name.startswith((f"{BUCKET_COL}=", f"_old.{BUCKET_COL}."))
-                or name in (_DELTA_DIR, _SEQ_HWM)
-            ):
+            # NOT _delta (deleted after the meta lands — delta_floor in
+            # the new meta hides it logically first) and NOT _seq.hwm
+            # (seq numbering stays monotonic across re-loads so change-
+            # feed checkpoints never alias — second review pass)
+            if name.startswith((f"{BUCKET_COL}=", f"_old.{BUCKET_COL}.")):
                 fs.delete(st.getPath(), True)
         for st in fs.listStatus(Path(staging)):
             name = st.getPath().getName()
@@ -569,6 +601,9 @@ def write_keyed_table(
                     raise IOError(f"initial-load rename failed for {name}")
         fs.delete(Path(staging), True)
         _write_meta(spark, path, meta)
+        fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
+        if meta.get("delta_floor"):
+            _write_seq_hwm(spark, path, meta["delta_floor"])
 
 
 def _write_layout(df: DataFrame, dest: str, n_parts: int, meta: dict) -> None:
@@ -596,6 +631,7 @@ def _delta_seq_dirs(
     informational there, load-bearing under marker."""
     if meta is None:
         meta = read_keyed_meta(spark, path)
+    floor = int(meta.get("delta_floor") or 0)
     fs, root, jvm = _fs(spark, f"{path}/{_DELTA_DIR}")
     Path = jvm.org.apache.hadoop.fs.Path
     out = []
@@ -607,14 +643,20 @@ def _delta_seq_dirs(
         arr = fs.globStatus(Path(f"{path}/{_DELTA_DIR}/seq=*/{_COMMITTED_MARK}"))
         for st in arr or []:
             seq_dir = st.getPath().getParent()
-            out.append(
-                (int(seq_dir.getName().split("=", 1)[1]), seq_dir.toUri().getPath())
-            )
+            seq = int(seq_dir.getName().split("=", 1)[1])
+            # delta_floor (round-12 second review): a re-load retires
+            # the old generation's deltas LOGICALLY in the same atomic
+            # flip that replaces the buckets — dirs at or below the
+            # floor are the old table's, whatever their physical state
+            if seq > floor:
+                out.append((seq, seq_dir.toUri().getPath()))
         return sorted(out)
     for st in fs.globStatus(Path(f"{path}/{_DELTA_DIR}/seq=*")) or []:
         if st.isDirectory():
             p = st.getPath()
-            out.append((int(p.getName().split("=", 1)[1]), p.toUri().getPath()))
+            seq = int(p.getName().split("=", 1)[1])
+            if seq > floor:
+                out.append((seq, p.toUri().getPath()))
     return sorted(out)
 
 
@@ -1018,8 +1060,23 @@ def _apply_batch(
         # where the first draft ran three jobs.
         st = _fused_batch_stats(
             batch, meta["key_cols"], assume_unique, "batch",
-            {"bks": (F.col(BUCKET_COL), F.first, F.collect_set)},
+            {
+                "bks": (F.col(BUCKET_COL), F.first, F.collect_set),
+                # collect_set silently DROPS a NULL bucket id (range
+                # layout + NULL leading key under assume_unique slipped
+                # past the key checks) — such a row would land in a
+                # hive-default staging dir the swap never moves, i.e.
+                # silent row loss (second review pass); detect and
+                # refuse loudly whatever the assume_unique setting.
+                "null_kb": (F.col(BUCKET_COL).isNull(), F.max, F.max),
+            },
         )
+        if bool(st.null_kb):
+            raise ValueError(
+                "batch has rows with a NULL bucket id (NULL leading key on a "
+                "range layout) — such rows can never be placed, overridden or "
+                "deleted; filter or backfill them first"
+            )
         touched = sorted(int(b) for b in st.bks)
         batch_rows = int(st.n or 0)
         if not touched:
@@ -1102,7 +1159,9 @@ def _key_digest(key: str) -> str:
     return hashlib.md5(key.encode()).hexdigest()
 
 
-def _delta_ingest_keys(spark: SparkSession, path: str) -> dict[str, int]:
+def _delta_ingest_keys(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> dict[str, int]:
     """{md5(idempotency key): seq} of committed deltas that carry one —
     the replay ledger for streaming ingest. The digest rides IN the
     marker FILENAME (``_ingest_key.<md5>``), so listing answers every
@@ -1113,7 +1172,7 @@ def _delta_ingest_keys(spark: SparkSession, path: str) -> dict[str, int]:
     the very batch that crashed writing it). ``compact_every`` bounds
     the listing the same way it bounds the read tax."""
     fs, _, jvm = _fs(spark, path)
-    committed = {seq for seq, _ in _delta_seq_dirs(spark, path)}
+    committed = {seq for seq, _ in _delta_seq_dirs(spark, path, meta)}
     if not committed:
         return {}
     out: dict[str, int] = {}
@@ -1154,7 +1213,7 @@ def _mor_append(
     _recover_unlocked(spark, path, meta)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
     if idempotency_key is not None:
-        seen = _delta_ingest_keys(spark, path)
+        seen = _delta_ingest_keys(spark, path, meta)
         digest = _key_digest(idempotency_key)
         if digest in seen:
             return {
@@ -1212,7 +1271,14 @@ def _commit_delta(
     Numbering is monotonic across compactions (the ``_seq.hwm`` file),
     so change-feed checkpoints never alias."""
     seqs = _delta_seq_dirs(spark, path, meta)
-    next_seq = max(seqs[-1][0] if seqs else 0, _read_seq_hwm(spark, path)) + 1
+    next_seq = (
+        max(
+            seqs[-1][0] if seqs else 0,
+            _read_seq_hwm(spark, path),
+            int(meta.get("delta_floor") or 0),
+        )
+        + 1
+    )
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     final = f"{path}/{_DELTA_DIR}/seq={next_seq}"
@@ -1421,7 +1487,11 @@ def read_keyed_changes(
     # when nothing is pending. A checkpoint older than that points at
     # changes already folded into the base: raise toward re-sync
     # rather than silently skipping them.
-    earliest = dirs[0][0] if dirs else _read_seq_hwm(spark, path) + 1
+    earliest = (
+        dirs[0][0]
+        if dirs
+        else max(_read_seq_hwm(spark, path), int(meta.get("delta_floor") or 0)) + 1
+    )
     if since_seq + 1 < earliest:
         raise ValueError(
             f"since_seq={since_seq} predates the earliest available delta "
@@ -1552,7 +1622,7 @@ def _apply_changes_locked(
     staged = staged.withColumn(BUCKET_COL, _bucket_expr(meta))
     _recover_unlocked(spark, path, meta)
     if idempotency_key is not None:
-        seen = _delta_ingest_keys(spark, path)
+        seen = _delta_ingest_keys(spark, path, meta)
         digest = _key_digest(idempotency_key)
         if digest in seen:
             result.update(seq=seen[digest], replayed=True)

@@ -284,8 +284,13 @@ def refresh_file_stats_manifest(
             raise IOError(f"manifest crash-recovery rename failed for {dest}")
         fs.delete(Path0(f"{dest}__old"), True)
     if not fs.exists(droot):
-        write_file_stats_manifest(spark, table_path, manifest_path=manifest_path)
-        n = len(_list_data_files(spark, table_path))
+        mpath = write_file_stats_manifest(
+            spark, table_path, manifest_path=manifest_path
+        )
+        # count what the build actually manifested — a root tree walk
+        # sees zero files on marker keyed tables (hidden versioned
+        # dirs; second review pass)
+        n = _read_manifest(spark, mpath).count()
         return {"added": n, "removed": 0, "kept": 0, "total": n}
     old = _read_manifest(spark, dest)
     mk = _marker_keyed_meta(spark, table_path)

@@ -914,3 +914,41 @@ def test_change_feed_empty_window_column_order(spark, tmp_path):
     raw_empty_cols = read_keyed_changes(spark, path, since_seq=1, resolve=False).columns
     raw_cols = read_keyed_changes(spark, path, resolve=False).columns
     assert raw_empty_cols == raw_cols == ["v", "k", "_change_op", "_seq"]
+
+
+def test_cow_refuses_null_bucket_rows_even_assume_unique(spark, tmp_path):
+    """Second review pass: on a range layout a NULL leading key under
+    assume_unique used to slip past the key checks into a bucket id of
+    NULL — collect_set dropped it from `touched` and the row silently
+    vanished into a staging dir the swap never moves. Refuse loudly."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    write_keyed_table(df, path, ["k"], layout="range", range_step=10)
+    bad = spark.createDataFrame([(None, 5), (3, 7)], "k long, v long")
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_keyed_table(spark, path, bad, assume_unique=True)
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_keyed_table(spark, path, bad)  # checked path still refuses
+    assert read_keyed_table(spark, path).count() == 100
+
+
+def test_rename_reload_keeps_hwm_and_feed_contract(spark, keyed):
+    """A rename-protocol re-load keeps seq numbering monotonic (hwm
+    survives, delta_floor retires the old generation's pending deltas)
+    so change-feed checkpoints from before the re-load raise toward
+    re-sync instead of aliasing."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import read_keyed_changes
+
+    upsert_keyed_table(spark, keyed, _ups(spark, [(1, -1, "d1")]), mode="mor")
+    upsert_keyed_table(spark, keyed, _ups(spark, [(2, -2, "d2")]), mode="mor")
+    fresh = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0).alias("v"), F.lit("g2").alias("tag")
+    )
+    write_keyed_table(fresh, keyed, ["k"], num_buckets=2)
+    assert read_keyed_table(spark, keyed).count() == 10
+    out = upsert_keyed_table(spark, keyed, _ups(spark, [(5, 55, "n")]), mode="mor")
+    assert out["seq"] == 3, "seqs continue past the retired generation"
+    nxt = read_keyed_changes(spark, keyed, since_seq=2).collect()
+    assert len(nxt) == 1 and nxt[0]._seq == 3
+    with pytest.raises(ValueError, match="compacted into the base"):
+        read_keyed_changes(spark, keyed, since_seq=1)

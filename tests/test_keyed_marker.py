@@ -302,3 +302,63 @@ def test_commit_protocol_change_refused(spark, marker):
     df = spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("v"))
     with pytest.raises(ValueError, match="cannot change commit protocol"):
         write_keyed_table(df, marker, ["k"], num_buckets=2)  # rename over marker
+
+
+def test_reload_retires_old_deltas_atomically(spark, marker, monkeypatch):
+    """Second review pass: a re-load over a table with pending deltas
+    must not lose them on a crash BEFORE the flip (old generation stays
+    whole) nor let them override the new rows AFTER it (delta_floor in
+    the flipped meta hides them); seq numbering continues past the
+    floor so feed checkpoints never alias across re-loads."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import read_keyed_changes
+
+    upsert_keyed_table(spark, marker, _ups(spark, [(1, -1, "old-delta")]), mode="mor")
+    fresh = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0).alias("v"), F.lit("g2").alias("tag")
+    )
+    real = K._write_commit
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before manifest flip")
+
+    monkeypatch.setattr(K, "_write_commit", boom)
+    with pytest.raises(RuntimeError):
+        write_keyed_table(fresh, marker, ["k"], num_buckets=2, commit="marker")
+    # old generation intact INCLUDING its pending delta
+    assert read_keyed_table(spark, marker).filter("k = 1").first().v == -1
+    monkeypatch.setattr(K, "_write_commit", real)
+    write_keyed_table(fresh, marker, ["k"], num_buckets=2, commit="marker")
+    got = read_keyed_table(spark, marker)
+    assert got.count() == 10 and got.filter("k = 1").first().v == 0, \
+        "old delta retired by the flip, not resurrected over the new table"
+    # seq numbering continues past the retired generation
+    out = upsert_keyed_table(spark, marker, _ups_small(spark, [(3, 33, "n")]), mode="mor")
+    assert out["seq"] >= 2, "floor keeps seqs monotonic across re-loads"
+    with pytest.raises(ValueError, match="compacted into the base"):
+        read_keyed_changes(spark, marker, since_seq=0)
+
+
+def _ups_small(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long, tag string")
+
+
+def test_reader_meta_and_buckets_from_one_commit(spark, marker):
+    """read_keyed_meta stashes the commit manifest it resolved, and
+    _base_df lists THAT commit's dirs — a concurrent re-load between
+    the two reads cannot mismatch bucketing math and dir set."""
+    meta = K.read_keyed_meta(spark, marker)
+    assert meta.get("_commit"), "marker meta carries its commit snapshot"
+    # a re-load lands a new generation; the OLD snapshot still resolves
+    # (grace retention) and serves the OLD table, consistently
+    fresh = spark.range(7).select(
+        F.col("id").alias("k"), F.lit(9).alias("v"), F.lit("g2").alias("tag")
+    )
+    write_keyed_table(fresh, marker, ["k"], num_buckets=2, commit="marker")
+    old_view = K._base_df(spark, marker, meta)
+    assert old_view.count() == 2_000, "snapshot reads stay on their generation"
+    assert K.read_keyed_table(spark, marker).count() == 7
+    # private snapshot never leaks into serialized metadata
+    import json as _json
+
+    root_meta = _json.loads(open(os.path.join(marker, "_keyed_meta.json")).read())
+    assert not any(k.startswith("_") for k in root_meta)
