@@ -319,3 +319,44 @@ def keyed_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = read_keyed_changes(spark, path)
     return feed.select("p_partkey", "p_retailprice", "p_brand", "_change_op", "_seq")
+
+
+@query(
+    "keyed_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 25 = 11 THEN 'gold' END AS tier
+    FROM orders
+    """,
+)
+def keyed_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution under the oracle gate (round 12): a
+    MOR batch carries a NEW column (``tier``) with
+    ``evolve_schema=True`` — the schema evolves atomically before the
+    delta commits (marker tables: one manifest PUT; rename tables: the
+    meta rewrite), rows never rewritten read the column as NULL via the
+    explicit-schema readers, and compaction folds the evolved schema
+    into the touched buckets. The oracle recomputes the end state: the
+    evolved column is NULL everywhere except the evolved batch's keys.
+
+    100 TB: evolution is a metadata PUT + one O(batch) delta — zero
+    data files rewritten up front; the base converges to the new
+    schema as buckets churn. The CDC shape every growing training-data
+    pipeline hits (new labels/scores arriving mid-stream)."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        compact_keyed_table,
+        read_keyed_table,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = scratch_dir(prefix="keyed_evo_q_") + "/tab"
+    write_keyed_table(orders, path, ["o_orderkey"], num_buckets=8, assume_unique=True)
+    k = F.col("o_orderkey")
+    wide = orders.filter(k % 25 == 11).withColumn("tier", F.lit("gold"))
+    upsert_keyed_table(
+        spark, path, wide, assume_unique=True, mode="mor", evolve_schema=True
+    )
+    compact_keyed_table(spark, path)  # fold the evolved schema into the base
+    return read_keyed_table(spark, path).select("o_orderkey", "o_totalprice", "tier")

@@ -361,13 +361,23 @@ def _base_df(
     Spark turns into directory pruning."""
     from pyspark.errors import AnalysisException
 
-    def empty() -> DataFrame:
-        sj = meta.get("schema_json")
-        if not sj:
-            raise ValueError(f"{path!r}: empty keyed table without schema_json")
-        schema = T.StructType.fromJson(json.loads(sj)).add(BUCKET_COL, T.IntegerType())
-        return spark.createDataFrame([], schema)
+    sj = meta.get("schema_json")
+    if not sj:
+        raise ValueError(f"{path!r}: keyed table without schema_json")
+    data_schema = T.StructType.fromJson(json.loads(sj))
 
+    def empty() -> DataFrame:
+        return spark.createDataFrame(
+            [], T.StructType(data_schema.fields).add(BUCKET_COL, T.IntegerType())
+        )
+
+    # EXPLICIT schema from the table metadata (round 12, schema
+    # evolution): files written before an additive evolution lack the
+    # new columns — an inferred read would either drop the new column
+    # (schema picked from an old file) or need a mergeSchema footer
+    # pass over every file; the explicit schema reads evolved columns
+    # where present and NULLs them where absent, and skips schema
+    # inference entirely (probe-verified incl. the kb partition parse).
     if _commit_mode(meta) == "marker":
         cm = meta.get("_commit") or _current_commit(spark, path)
         want = None if buckets is None else {int(b) for b in buckets}
@@ -381,14 +391,15 @@ def _base_df(
         # kb is RECOMPUTED from the key columns (deterministic by
         # construction) — the versioned dirs are not kb= partition dirs,
         # so the column does not ride in from the path.
-        return spark.read.parquet(*sorted(dirs)).withColumn(
+        return spark.read.schema(data_schema).parquet(*sorted(dirs)).withColumn(
             BUCKET_COL, _bucket_expr(meta)
         )
+    full = T.StructType(data_schema.fields).add(BUCKET_COL, T.IntegerType())
     try:
-        return spark.read.parquet(path)
+        df = spark.read.schema(full).parquet(path)
+        df.schema  # force the (explicit, listing-only) resolution
+        return df
     except AnalysisException:
-        if not meta.get("schema_json"):
-            raise
         return empty()
 
 
@@ -668,9 +679,18 @@ def _read_deltas(spark: SparkSession, path: str, meta: dict) -> DataFrame | None
     dirs = _delta_seq_dirs(spark, path, meta)
     if not dirs:
         return None
-    df = spark.read.option("basePath", f"{path}/{_DELTA_DIR}").parquet(
-        *[d for _, d in dirs]
+    schema = (
+        T.StructType.fromJson(json.loads(meta["schema_json"]))
+        .add(_DEL_COL, T.BooleanType())
+        .add(BUCKET_COL, T.IntegerType())
+        .add("seq", T.LongType())
     )
+    # explicit schema (round 12): deltas appended before an additive
+    # evolution lack the new columns — read them as NULL instead of
+    # paying a mergeSchema footer pass or dropping the evolved column
+    df = spark.read.schema(schema).option(
+        "basePath", f"{path}/{_DELTA_DIR}"
+    ).parquet(*[d for _, d in dirs])
     return df.withColumnRenamed("seq", "_seq")
 
 
@@ -950,6 +970,39 @@ def _recover_unlocked(spark: SparkSession, path: str, meta: dict) -> dict:
     return {"restored": sorted(restored), "dropped": sorted(dropped), "staging_cleared": had_staging}
 
 
+def _evolve_schema(
+    spark: SparkSession, path: str, meta: dict, batch: DataFrame, extra: list
+) -> dict:
+    """Additive schema evolution (round 12): append the batch's new
+    columns to the table schema as nullable fields and persist the
+    evolved metadata BEFORE the delta commits — a crash in between
+    leaves an evolved schema whose column reads NULL everywhere, which
+    the explicit-schema readers handle by construction. Files never
+    rewrite: old base buckets and old deltas simply lack the column
+    and read as NULL until COW churn / compaction rewrites them.
+    Marker tables publish the evolved meta as a new commit manifest
+    (atomic single PUT, buckets unchanged); rename tables rewrite the
+    root meta file (single-file overwrite)."""
+    reserved = {BUCKET_COL, _DEL_COL, "seq", "_seq"}
+    bad = [c for c in extra if c in reserved or c.startswith("_")]
+    if bad:
+        raise ValueError(f"cannot evolve schema with reserved/underscore columns {bad}")
+    full = T.StructType.fromJson(json.loads(meta["schema_json"]))
+    btypes = {f.name: f.dataType for f in batch.schema.fields}
+    for c in extra:
+        full = full.add(c, btypes[c], True)
+    evolved = {k: v for k, v in meta.items() if not k.startswith("_")}
+    evolved["data_cols"] = list(meta["data_cols"]) + list(extra)
+    evolved["schema_json"] = full.json()
+    if _commit_mode(meta) == "marker":
+        # meta-only publish: same buckets, next commit number — the
+        # PUT is the atomic evolution point
+        _marker_publish(spark, path, f"{path}/_staging", [], meta=evolved)
+    else:
+        _write_meta(spark, path, evolved)
+    return evolved
+
+
 def _validated_batch(
     meta: dict, batch: DataFrame, delete: bool, assume_unique: bool
 ) -> DataFrame:
@@ -1195,6 +1248,7 @@ def _mor_append(
     delete: bool,
     assume_unique: bool,
     idempotency_key: str | None = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """Append the batch as the next ``_delta/seq=N`` file set —
     O(batch) whatever the key spread. Deletes ride as tombstone rows
@@ -1211,6 +1265,16 @@ def _mor_append(
     # ran the sweep — make MOR appends honor the "writers recover up
     # front" contract the swap's crash handling already assumes.
     _recover_unlocked(spark, path, meta)
+    if evolve_schema and not delete:
+        extra = [c for c in batch.columns if c not in meta["data_cols"]]
+        if extra:
+            if not set(meta["data_cols"]).issubset(set(batch.columns)):
+                raise ValueError(
+                    "schema evolution is ADDITIVE: the batch must carry every "
+                    f"existing column plus the new ones; missing "
+                    f"{sorted(set(meta['data_cols']) - set(batch.columns))}"
+                )
+            meta = _evolve_schema(spark, path, meta, batch, extra)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
     if idempotency_key is not None:
         seen = _delta_ingest_keys(spark, path, meta)
@@ -1403,6 +1467,7 @@ def upsert_keyed_table(
     mode: str = "cow",
     idempotency_key: str | None = None,
     lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
+    evolve_schema: bool = False,
 ) -> dict:
     """Override-join semantics at the storage layer: rows whose keys
     appear in ``updates`` are replaced, new keys are inserted.
@@ -1410,9 +1475,21 @@ def upsert_keyed_table(
     batches); ``mode="mor"`` appends an O(batch) delta the readers
     merge until :func:`compact_keyed_table` folds it (scattered
     batches — the measured quadrant split, SCALING.md r11).
-    ``idempotency_key`` (MOR only) makes a replayed batch a no-op."""
+    ``idempotency_key`` (MOR only) makes a replayed batch a no-op.
+    ``evolve_schema=True`` (MOR only) lets the batch carry ADDITIVE new
+    columns: the table schema gains them as nullable fields atomically
+    before the delta commits, old files read the column as NULL, and
+    COW churn / compaction rewrites buckets with the evolved schema as
+    they are touched."""
     if idempotency_key is not None and mode != "mor":
         raise ValueError("idempotency_key is a MOR-delta contract; mode='cow' rewrites in place")
+    if evolve_schema and mode != "mor":
+        raise ValueError(
+            "evolve_schema is a MOR contract (the delta carries the new "
+            "column; compaction folds it into the base) — a COW evolve "
+            "would rewrite only the touched buckets into the new schema "
+            "while claiming the whole table changed"
+        )
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     with _writer_lease(spark, path, lock_ttl_sec):
@@ -1420,7 +1497,7 @@ def upsert_keyed_table(
             return _apply_batch(spark, path, updates, delete=False, assume_unique=assume_unique)
         return _mor_append(
             spark, path, updates, delete=False, assume_unique=assume_unique,
-            idempotency_key=idempotency_key,
+            idempotency_key=idempotency_key, evolve_schema=evolve_schema,
         )
 
 
@@ -1517,8 +1594,15 @@ def read_keyed_changes(
             F.lit("upsert").alias("_change_op"),
             F.lit(0).cast("long").alias("_seq"),
         ).limit(0)
+    fschema = (
+        T.StructType.fromJson(json.loads(meta["schema_json"]))
+        .add(_DEL_COL, T.BooleanType())
+        .add(BUCKET_COL, T.IntegerType())
+        .add("seq", T.LongType())
+    )
     feed = (
-        spark.read.option("basePath", f"{path}/{_DELTA_DIR}")
+        spark.read.schema(fschema)  # evolution-safe, same as _read_deltas
+        .option("basePath", f"{path}/{_DELTA_DIR}")
         .parquet(*want)
         .withColumnRenamed("seq", "_seq")
         .select(*data_cols, op.alias("_change_op"), F.col("_seq").cast("long"))
@@ -1540,6 +1624,7 @@ def apply_changes_keyed_table(
     assume_unique: bool = False,
     idempotency_key: str | None = None,
     lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
+    evolve_schema: bool = False,
 ) -> dict:
     """Apply a MIXED batch of row-level changes (upserts + deletes) as
     ONE MOR delta append — the CDC fast path (round-12 brief #5).
@@ -1562,7 +1647,8 @@ def apply_changes_keyed_table(
     each evaluate the frame once)."""
     with _writer_lease(spark, path, lock_ttl_sec):
         return _apply_changes_locked(
-            spark, path, changes, op_col, assume_unique, idempotency_key
+            spark, path, changes, op_col, assume_unique, idempotency_key,
+            evolve_schema,
         )
 
 
@@ -1573,19 +1659,32 @@ def _apply_changes_locked(
     op_col: str | None,
     assume_unique: bool,
     idempotency_key: str | None,
+    evolve_schema: bool = False,
 ) -> dict:
     # everything — including the meta read and the kb derivation —
     # runs under the lease (round-12 review): a concurrent re-load
     # changing the layout between the meta read and the commit would
     # otherwise bucket this batch by stale metadata.
     meta = read_keyed_meta(spark, path)
+    if evolve_schema:
+        payload = [c for c in changes.columns if c != op_col]
+        extra = [c for c in payload if c not in meta["data_cols"]]
+        if extra:
+            if not set(meta["data_cols"]).issubset(set(payload)):
+                raise ValueError(
+                    "schema evolution is ADDITIVE: the batch must carry every "
+                    f"existing column plus the new ones; missing "
+                    f"{sorted(set(meta['data_cols']) - set(payload))}"
+                )
+            meta = _evolve_schema(spark, path, meta, changes, extra)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
     expected = set(data_cols) | ({op_col} if op_col else set())
     if set(changes.columns) != expected:
         raise ValueError(
             f"change batch columns {sorted(changes.columns)} != expected "
             f"{sorted(expected)} — a keyed change batch replaces whole rows "
-            f"(plus the op column{'' if op_col else ' if declared'})"
+            f"(plus the op column{'' if op_col else ' if declared'}); new "
+            "columns need evolve_schema=True"
         )
     isdel = (
         F.coalesce(F.col(op_col) == "delete", F.lit(False))

@@ -304,6 +304,7 @@ def stream_keyed_upsert_ingest(
     op_col: str | None = None,
     assume_unique: bool = False,
     compact_every: int | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """CDC ingest onto a keyed table (round 11): drain a stream of
     row-level changes into ``sources.keyed`` MOR deltas — the
@@ -376,6 +377,7 @@ def stream_keyed_upsert_ingest(
                 op_col=op_col,
                 assume_unique=assume_unique,
                 idempotency_key=f"stream-{ns}-{batch_id}",
+                evolve_schema=evolve_schema,
             )
             if (
                 compact_every is not None

@@ -952,3 +952,80 @@ def test_rename_reload_keeps_hwm_and_feed_contract(spark, keyed):
     assert len(nxt) == 1 and nxt[0]._seq == 3
     with pytest.raises(ValueError, match="compacted into the base"):
         read_keyed_changes(spark, keyed, since_seq=1)
+
+
+def test_schema_evolution_additive_mor(spark, keyed):
+    """Round-12 schema evolution: a MOR batch carries a NEW column —
+    the schema evolves atomically before the delta commits, old rows
+    read the column as NULL (explicit-schema readers), compaction folds
+    the evolved schema into the touched buckets, COW batches then carry
+    the full evolved set, and the change feed sees the column."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        apply_changes_keyed_table,
+        read_keyed_changes,
+    )
+
+    wide = spark.createDataFrame(
+        [(1, 111, "e", 0.5), (20_001, 1, "ins", 0.9)],
+        "k long, v long, tag string, score double",
+    )
+    # refused without the flag...
+    with pytest.raises(ValueError, match="evolve_schema"):
+        apply_changes_keyed_table(spark, keyed, wide)
+    with pytest.raises(ValueError, match="MOR contract"):
+        upsert_keyed_table(spark, keyed, wide, mode="cow", evolve_schema=True)
+    # ...and additive-only: dropping an existing column stays an error
+    with pytest.raises(ValueError, match="ADDITIVE"):
+        apply_changes_keyed_table(
+            spark, keyed, wide.drop("tag"), evolve_schema=True
+        )
+    out = apply_changes_keyed_table(spark, keyed, wide, evolve_schema=True)
+    assert out["upserts"] == 2
+    meta = read_keyed_meta(spark, keyed)
+    assert meta["data_cols"] == ["k", "v", "tag", "score"]
+    tab = read_keyed_table(spark, keyed)
+    assert tab.columns == ["k", "v", "tag", "score"]
+    got = {r.k: (r.v, r.score) for r in tab.filter(F.col("k").isin(1, 2, 20_001)).collect()}
+    assert got == {1: (111, 0.5), 2: (4, None), 20_001: (1, 0.9)}
+    # the feed carries the evolved column too
+    feed = {r.k: r.score for r in read_keyed_changes(spark, keyed).collect()}
+    assert feed == {1: 0.5, 20_001: 0.9}
+    # compaction folds the evolved schema into the base
+    compact_keyed_table(spark, keyed)
+    base_only = read_keyed_table(spark, keyed)
+    assert base_only.filter("k = 1").first().score == 0.5
+    assert base_only.count() == 10_001
+    # lookups resolve evolved + old rows
+    from hadoop_20_warehouse_fix_spark.sources.keyed import lookup_keys
+
+    look = {r.k: r.score for r in lookup_keys(spark, keyed, [1, 2]).collect()}
+    assert look == {1: 0.5, 2: None}
+    # COW now requires (and writes) the full evolved set
+    cow = spark.createDataFrame([(2, 222, "c", 1.5)], "k long, v long, tag string, score double")
+    upsert_keyed_table(spark, keyed, cow, mode="cow")
+    assert read_keyed_table(spark, keyed).filter("k = 2").first().score == 1.5
+
+
+def test_schema_evolution_crash_window_reads_null(spark, keyed, monkeypatch):
+    """Crash between the meta evolution and the delta commit: the
+    evolved column exists and reads NULL everywhere — never a broken
+    read; the retried batch lands normally."""
+    from hadoop_20_warehouse_fix_spark.sources import keyed as K
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        apply_changes_keyed_table,
+    )
+
+    wide = spark.createDataFrame([(3, 333, "e", 7)], "k long, v long, tag string, n int")
+    real = K._commit_delta
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash after evolve, before delta")
+
+    monkeypatch.setattr(K, "_commit_delta", boom)
+    with pytest.raises(RuntimeError):
+        apply_changes_keyed_table(spark, keyed, wide, evolve_schema=True)
+    tab = read_keyed_table(spark, keyed)
+    assert "n" in tab.columns and tab.filter("n is not null").count() == 0
+    monkeypatch.setattr(K, "_commit_delta", real)
+    apply_changes_keyed_table(spark, keyed, wide, evolve_schema=True)
+    assert read_keyed_table(spark, keyed).filter("k = 3").first().n == 7

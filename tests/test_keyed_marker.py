@@ -362,3 +362,29 @@ def test_reader_meta_and_buckets_from_one_commit(spark, marker):
 
     root_meta = _json.loads(open(os.path.join(marker, "_keyed_meta.json")).read())
     assert not any(k.startswith("_") for k in root_meta)
+
+
+def test_schema_evolution_marker_protocol(spark, marker):
+    """Evolution on a marker table is one commit-manifest PUT (same
+    buckets, evolved embedded meta): old rows read NULL, the evolved
+    column survives compaction, and the root meta cache may lag without
+    affecting readers."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        apply_changes_keyed_table,
+        compact_keyed_table,
+        read_keyed_meta,
+        read_keyed_table,
+    )
+
+    wide = spark.createDataFrame(
+        [(5, 55, "e", True)], "k long, v long, tag string, flag boolean"
+    )
+    n_before = len(os.listdir(f"{marker}/_commits"))
+    apply_changes_keyed_table(spark, marker, wide, evolve_schema=True)
+    assert read_keyed_meta(spark, marker)["data_cols"] == ["k", "v", "tag", "flag"]
+    tab = read_keyed_table(spark, marker)
+    assert tab.filter("k = 5").first().flag is True
+    assert tab.filter("k = 6").first().flag is None
+    compact_keyed_table(spark, marker)
+    tab2 = read_keyed_table(spark, marker)
+    assert tab2.filter("k = 5").first().flag is True and tab2.count() == 2_000
