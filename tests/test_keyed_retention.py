@@ -1,0 +1,182 @@
+"""Change-feed retention across compaction (round 13, verdict #4).
+
+Before this round :func:`compact_keyed_table` dropped the folded seq
+dirs outright, so any change-feed consumer slower than the compaction
+cadence hard-raised toward a full re-sync — at 100 TB a re-sync is a
+full-table read. Now compaction retires the folded dirs into
+``_feed_archive/gen=<max_seq>`` and keeps the newest
+``retain_generations`` (default 1) of them feed-readable: the slow
+consumer pages through exactly the batches it missed. This is the
+Delta/Hudi incremental-read retention knob re-expressed on plain
+directories.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import hadoop_20_warehouse_fix_spark.sources.keyed as K
+
+
+def _mk(spark, commit: str = "rename") -> str:
+    tmp = tempfile.mkdtemp(prefix=f"keyed_ret_{commit}_")
+    path = f"{tmp}/tab"
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v"),
+        F.lit("base").alias("tag"),
+    )
+    K.write_keyed_table(base, path, ["k"], num_buckets=2, commit=commit)
+    return path
+
+
+def _ups(spark, k, v):
+    return spark.createDataFrame([(k, v, "u")], "k long, v long, tag string")
+
+
+def _cleanup(path):
+    shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@pytest.mark.parametrize("commit", ["rename", "marker"])
+def test_slow_consumer_drains_archived_batches(spark, commit):
+    """The verdict's done-gate: a consumer checkpointed BEFORE the last
+    compaction still drains exactly the missed batches — folded and
+    pending alike — with correct ops and seqs."""
+    path = _mk(spark, commit)
+    try:
+        K.upsert_keyed_table(spark, path, _ups(spark, 1, 11), mode="mor")   # seq 1
+        K.upsert_keyed_table(spark, path, _ups(spark, 2, 22), mode="mor")   # seq 2
+        K.compact_keyed_table(spark, path)                                  # folds 1-2
+        K.upsert_keyed_table(spark, path, _ups(spark, 3, 33), mode="mor")   # seq 3
+        # consumer checkpointed at seq 1: drains 2 (archived) + 3 (pending)
+        got = {r.k: (r.v, r._seq, r._change_op)
+               for r in K.read_keyed_changes(spark, path, since_seq=1).collect()}
+        assert got == {2: (22, 2, "upsert"), 3: (33, 3, "upsert")}
+        # consumer at 0 drains all three
+        all3 = K.read_keyed_changes(spark, path, since_seq=0)
+        assert {r._seq for r in all3.collect()} == {1, 2, 3}
+        # audit-log (unresolved) form too
+        raw = K.read_keyed_changes(spark, path, since_seq=0, resolve=False)
+        assert raw.count() == 3
+        # table reads are unaffected by the archive
+        tab = K.read_keyed_table(spark, path)
+        assert tab.count() == 100
+        assert {r.v for r in tab.filter("k in (1,2,3)").collect()} == {11, 22, 33}
+    finally:
+        _cleanup(path)
+
+
+@pytest.mark.parametrize("commit", ["rename", "marker"])
+def test_archive_gc_after_n_generations(spark, commit):
+    """Generations age out: with the default retain_generations=1 only
+    the newest fold is readable; older checkpoints raise toward
+    re-sync with the retention knob named."""
+    path = _mk(spark, commit)
+    try:
+        K.upsert_keyed_table(spark, path, _ups(spark, 1, 11), mode="mor")  # seq 1
+        K.compact_keyed_table(spark, path)                                 # gen 1
+        K.upsert_keyed_table(spark, path, _ups(spark, 2, 22), mode="mor")  # seq 2
+        K.compact_keyed_table(spark, path)                                 # gen 2; gen 1 GC'd
+        gens = os.listdir(os.path.join(path, K._FEED_ARCHIVE))
+        assert gens == ["gen=2"], f"only the newest generation retained: {gens}"
+        # seq 2 still drains from the archive
+        got = K.read_keyed_changes(spark, path, since_seq=1).collect()
+        assert [(r.k, r._seq) for r in got] == [(2, 2)]
+        # seq 1 aged out → the contract error names the knob
+        with pytest.raises(ValueError, match="retain_generations"):
+            K.read_keyed_changes(spark, path, since_seq=0)
+    finally:
+        _cleanup(path)
+
+
+def test_retain_zero_restores_drop_on_fold(spark):
+    path = _mk(spark)
+    try:
+        K.upsert_keyed_table(spark, path, _ups(spark, 1, 11), mode="mor")
+        K.compact_keyed_table(spark, path, retain_generations=0)
+        assert not os.path.exists(os.path.join(path, K._FEED_ARCHIVE))
+        with pytest.raises(ValueError, match="compacted into the base"):
+            K.read_keyed_changes(spark, path, since_seq=0)
+    finally:
+        _cleanup(path)
+
+
+def test_retain_many_keeps_multiple_generations(spark):
+    path = _mk(spark)
+    try:
+        for i, (k, v) in enumerate([(1, 11), (2, 22), (3, 33)], start=1):
+            K.upsert_keyed_table(spark, path, _ups(spark, k, v), mode="mor")
+            K.compact_keyed_table(spark, path, retain_generations=3)
+        gens = sorted(os.listdir(os.path.join(path, K._FEED_ARCHIVE)))
+        assert gens == ["gen=1", "gen=2", "gen=3"]
+        got = K.read_keyed_changes(spark, path, since_seq=0).collect()
+        assert {(r.k, r._seq) for r in got} == {(1, 1), (2, 2), (3, 3)}
+    finally:
+        _cleanup(path)
+
+
+def test_reload_purges_archive(spark):
+    """A re-load replaces the table wholesale: the archive is the OLD
+    generation's history — a checkpointed consumer must re-sync, not
+    page through rows the new base never contained."""
+    path = _mk(spark)
+    try:
+        K.upsert_keyed_table(spark, path, _ups(spark, 1, 11), mode="mor")
+        K.compact_keyed_table(spark, path)
+        assert os.path.exists(os.path.join(path, K._FEED_ARCHIVE))
+        fresh = spark.range(5).select(
+            F.col("id").alias("k"), F.lit(9).cast("long").alias("v"),
+            F.lit("g2").alias("tag"),
+        )
+        K.write_keyed_table(fresh, path, ["k"], num_buckets=2)
+        assert not os.path.exists(os.path.join(path, K._FEED_ARCHIVE))
+        with pytest.raises(ValueError):
+            K.read_keyed_changes(spark, path, since_seq=0)
+    finally:
+        _cleanup(path)
+
+
+def test_replay_ledger_survives_one_compaction(spark):
+    """Round-12 ADVICE adjunct: a checkpointed stream restarting right
+    after a compaction replays its last committed batch — the ingest-key
+    markers now ride into the archive, so the replay is detected for one
+    compaction cadence instead of committing a duplicate delta."""
+    path = _mk(spark)
+    try:
+        out1 = K.upsert_keyed_table(
+            spark, path, _ups(spark, 1, 11), mode="mor",
+            idempotency_key="batch-1",
+        )
+        K.compact_keyed_table(spark, path)
+        replay = K.upsert_keyed_table(
+            spark, path, _ups(spark, 1, 11), mode="mor",
+            idempotency_key="batch-1",
+        )
+        assert replay.get("replayed") is True
+        assert replay["seq"] == out1["seq"]
+        # no new delta landed
+        assert K.read_keyed_changes(spark, path, since_seq=out1["seq"]).count() == 0
+    finally:
+        _cleanup(path)
+
+
+def test_schema_evolution_reads_archived_prefold_deltas(spark):
+    """Archived deltas predate an evolution: the explicit evolved
+    schema reads them with NULL for the new column."""
+    path = _mk(spark)
+    try:
+        K.upsert_keyed_table(spark, path, _ups(spark, 1, 11), mode="mor")  # pre-evolve
+        K.compact_keyed_table(spark, path)
+        wide = spark.createDataFrame(
+            [(2, 22, "u", 0.5)], "k long, v long, tag string, score double"
+        )
+        K.upsert_keyed_table(spark, path, wide, mode="mor", evolve_schema=True)
+        got = {r.k: r.score for r in K.read_keyed_changes(spark, path, since_seq=0).collect()}
+        assert got == {1: None, 2: 0.5}
+    finally:
+        _cleanup(path)
