@@ -41,12 +41,19 @@ RADIX = 1_000_000
 
 def exact_units(col: Column | str, scale: int = 100) -> Column:
     """Exact-decimal double → integer units (long), pure codegen.
-    ``trunc(x*scale + 0.5)``, not ``F.round`` — Spark's Round on
+    Sign-aware nearest rounding, not ``F.round`` — Spark's Round on
     doubles detours through BigDecimal per row; these inputs are
-    non-negative integer-valued-after-scaling doubles (±1 ulp), where
-    the truncation is the same integer."""
+    integer-valued-after-scaling doubles (±1 ulp), where adding the
+    half-unit TOWARD the value's sign and truncating lands on the same
+    integer. (Round-12 ADVICE: the earlier unconditional ``+0.5`` form
+    relied on double→long truncation toward zero, which came out one
+    unit high on NEGATIVE values — every call site then was
+    non-negative, but the helper reads as general-purpose and q9 reuses
+    the idiom inline.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return (c * scale + F.lit(0.5)).cast("long")
+    scaled = c * scale
+    half = F.when(scaled < 0, F.lit(-0.5)).otherwise(F.lit(0.5))
+    return (scaled + half).cast("long")
 
 
 def split_sum(units: Column, name: str) -> list[Column]:

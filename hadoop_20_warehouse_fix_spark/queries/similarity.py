@@ -300,3 +300,127 @@ def sim_ann_ivf_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook="sample_md5",
         assign="vectorized",
     )
+
+
+_IVF_STATE_LIFECYCLE_ORACLE = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n0 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    -- codebook picked at WRITE time from the BASE slice only (appends
+    -- reuse the stored codebook; deletes never touch centroids)
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM n0
+      WHERE vec_id % 5 NOT IN (0, 1)
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    centsu AS (
+      SELECT cid,
+             list_transform(cv, x -> x / sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cu
+      FROM cents
+    ),
+    -- searchable corpus AFTER the lifecycle: base + appended - deleted
+    n AS (
+      SELECT * FROM n0
+      WHERE vec_id % 5 <> 0 AND vec_id % 7 <> 3
+    ),
+    dots AS (
+      SELECT n.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * c.cu[i])) AS d
+      FROM n CROSS JOIN centsu c
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    qdots AS (
+      SELECT q.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.cu[i])) AS d
+      FROM n0 q CROSS JOIN centsu c
+      WHERE q.vec_id % 5 = 0 AND q.vec_id < 50
+    ),
+    probes AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM qdots
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(qn.v)),
+                                     i -> qn.v[i] * cn.v[i])) / (qn.nrm * cn.nrm) AS cos
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      JOIN n0 qn ON qn.vec_id = p.vec_id
+      JOIN n cn ON cn.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("sim_state_lifecycle_probe", oracle=_IVF_STATE_LIFECYCLE_ORACLE)
+def sim_state_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted-ANN-state lifecycle (round-13, the IVF twin
+    of ``dedup_state_incremental_probe`` — previously pytest-only),
+    oracle-gated end to end:
+
+    1. ``ivf_state_write``   — base corpus (vec_id % 5 in 2,3,4) into
+       bucketed inverted-list tables, md5-deterministic codebook;
+    2. ``ivf_state_append``  — an ingest batch (% 5 == 1) assigned with
+       the STORED codebook, bucket-aligned append, no index rebuild;
+    3. ``ivf_state_delete``  — tombstone takedowns (% 7 == 3);
+    4. ``ivf_state_compact`` — per-bucket rewrite applying tombstones
+       physically;
+    5. ``ivf_state_probe``   — serve a query batch (% 5 == 0, id < 50):
+       top-5 exact cosines over the 4 probed cells.
+
+    The DuckDB oracle replays the ENTIRE construction value-for-value:
+    md5 codebook selection over the base slice, argmax cell assignment
+    of base ∪ appended minus deleted, 4-cell probing, within-cell
+    ranking. Reference analog: MapFile/BloomMapFile persisted
+    probe-able state with rewrite-on-update
+    (``/root/reference/src/core/org/apache/hadoop/io/MapFile.java:521``).
+
+    100 TB physics: the corpus is touched once at write; appends cost
+    O(batch); probes read ~nprobe/K of the index with IN-pushdown
+    bucket pruning; compaction is the only rewrite and is per-bucket."""
+    import tempfile
+
+    from hadoop_20_warehouse_fix_spark.operators.similarity import (
+        ivf_state_append,
+        ivf_state_compact,
+        ivf_state_delete,
+        ivf_state_probe,
+        ivf_state_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mod5 = F.col("vec_id") % 5
+    base = emb.filter(~mod5.isin(0, 1))
+    ingest = emb.filter(mod5 == 1)
+    queries_df = emb.filter((mod5 == 0) & (F.col("vec_id") < 50))
+    state = "q_ivf_lifecycle_state"
+    ivf_state_write(
+        base, "vec_id", "embedding", state,
+        n_centroids=16, codebook="sample_md5",
+        path=tempfile.mkdtemp(prefix="q_ivf_lifecycle_"),
+    )
+    ivf_state_append(ingest, "vec_id", "embedding", state)
+    ivf_state_delete(
+        spark, state,
+        emb.filter((mod5 != 0) & (F.col("vec_id") % 7 == 3))
+           .select(F.col("vec_id").alias("id")),
+    )
+    ivf_state_compact(spark, state)
+    return ivf_state_probe(
+        queries_df, "vec_id", "embedding", state, k=5, nprobe=4,
+        scoring="fold",
+    )

@@ -737,9 +737,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # profit per row in exact 1e-4 units (can be negative — split_sum
-    # carries the sign in hi): price*(1-disc) - qty*tax, qty whole
+    # carries the sign in hi): price*(1-disc) - qty*tax. qty is a whole
+    # non-negative count; exact_units(scale=1) is the sign-aware
+    # nearest-integer form (round-12 ADVICE generalization)
     amount_units = disc_price_units() - (
-        (F.col("l_quantity") + F.lit(0.5)).cast("long")
+        exact_units("l_quantity", scale=1)
         * exact_units("l_tax")
         * F.lit(100)
     )

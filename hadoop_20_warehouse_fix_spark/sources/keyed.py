@@ -557,9 +557,15 @@ def write_keyed_table(
     sort_cols: Sequence[str] | None = None,
     lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
     commit: str = "rename",
+    gc_generations: int = 1,
 ) -> None:
     """Initial load of a keyed table: bucket directory layout + layout
     metadata, so every later batch derives the same bucketing.
+    ``gc_generations`` (marker protocol; round-12 ADVICE) is how many
+    PREDECESSOR commit manifests each publish retains — a reader that
+    resolved commit n keeps finding its dirs until ``gc_generations``
+    further commits land (Delta/Hudi-style retention; default 1 = the
+    prior behavior).
     ``layout="range"`` buckets by ``leading_key div range_step`` —
     pick it when update batches are key-local (time-series backfills),
     so COW touches few directories (SCALING.md r11 quadrant study).
@@ -626,6 +632,8 @@ def write_keyed_table(
         # Commit protocol: "rename" (atomic dir rename — HDFS/local)
         # or "marker" (commit-manifest PUTs — object stores).
         "commit": commit,
+        # marker-protocol GC grace in manifest generations
+        "gc_generations": max(1, int(gc_generations)),
     }
     out = df.withColumn(BUCKET_COL, _bucket_expr(meta))
     # One shuffle keyed exactly like the layout: each writer task owns
@@ -944,15 +952,18 @@ def _marker_publish(
     commit manifest referencing the new set — the single-file PUT is
     the commit point; the moves before it are invisible (readers
     resolve ONLY through the manifest) and need no atomicity. After
-    the flip, GC runs with ONE GENERATION of grace: a dir is deleted
-    only when neither the new manifest nor the previous one references
-    it, and only manifests older than the previous are dropped — so a
-    reader that resolved the previous manifest an instant before the
-    flip still finds every dir it is about to list (the first draft
-    deleted superseded dirs immediately while keeping the previous
-    manifest, which could break exactly that reader). A crash anywhere
-    in the GC leaves garbage the recovery sweep collects, never a
-    wrong answer."""
+    the flip, GC runs with ``gc_generations`` (table meta, default 1)
+    OF GRACE: a dir is deleted only when NO retained manifest
+    references it, and only manifests older than the newest
+    ``gc_generations`` predecessors are dropped — so a reader that
+    resolved a retained manifest an instant before the flip still
+    finds every dir it is about to list (the first draft deleted
+    superseded dirs immediately while keeping the previous manifest,
+    which could break exactly that reader). Round-12 ADVICE made the
+    grace a parameter (Delta/Hudi-style retention): a slow scan under
+    a fast CDC ingest survives ``gc_generations`` commits instead of
+    exactly one. A crash anywhere in the GC leaves garbage the
+    recovery sweep collects, never a wrong answer."""
     cm = _current_commit(spark, path) or {"n": 0, "buckets": {}}
     n_new = int(cm["n"]) + 1
     fs, _, jvm = _fs(spark, path)
@@ -976,17 +987,29 @@ def _marker_publish(
     _fence_lease(spark, path)
     _write_commit(spark, path, n_new, new_buckets, meta=meta)
     fs.delete(Path(staging), True)
-    # one-generation GC: dirs referenced only by manifests <= n_new-2
+    # graced GC: retain the newest gc_generations predecessor manifests
+    # and every dir any retained manifest references; drop the rest
+    gcg = max(1, int((meta or {}).get("gc_generations") or 1))
+    retained_floor = n_new - gcg
     keep = set(new_buckets.values()) | set(cm["buckets"].values())
     croot = Path(f"{path}/{_COMMITS_DIR}")
+    manifests = []
     for st in fs.listStatus(croot):
         name = st.getPath().getName()
-        if not (name.startswith("commit-") and name.endswith(".json")):
+        if name.startswith("commit-") and name.endswith(".json"):
+            manifests.append((int(name[len("commit-"):-len(".json")]), st.getPath()))
+    for n_old, mp in manifests:
+        if retained_floor <= n_old < n_new - 1:  # retained beyond cm
+            stream = fs.open(mp)
+            try:
+                kept = json.loads(bytes(stream.readAllBytes()).decode())
+            finally:
+                stream.close()
+            keep |= set((kept.get("buckets") or {}).values())
+    for n_old, mp in manifests:
+        if n_old >= retained_floor:
             continue
-        n_old = int(name[len("commit-"):-len(".json")])
-        if n_old >= n_new - 1:
-            continue
-        stream = fs.open(st.getPath())
+        stream = fs.open(mp)
         try:
             stale = json.loads(bytes(stream.readAllBytes()).decode())
         finally:
@@ -994,7 +1017,7 @@ def _marker_publish(
         for d in (stale.get("buckets") or {}).values():
             if d not in keep:
                 fs.delete(Path(f"{path}/{d}"), True)
-        fs.delete(st.getPath(), False)
+        fs.delete(mp, False)
     return {
         "commit": n_new,
         "live_buckets": len(new_buckets),
@@ -1694,14 +1717,15 @@ def _archive_and_gc_deltas(
     OR archived (feed-readable) — never both, never lost."""
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
-    if retain_generations > 0:
+    if retain_generations > 0 and seq_dirs:
         gen_dir = f"{path}/{_FEED_ARCHIVE}/gen={max_seq}"
         fs.delete(Path(gen_dir), True)  # idempotent re-run of this fold
         fs.mkdirs(Path(gen_dir))
         for s, d in seq_dirs:
             if not fs.rename(Path(d), Path(f"{gen_dir}/seq={s}")):
                 raise IOError(f"feed-archive move failed for seq={s}")
-    fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
+    if seq_dirs:
+        fs.delete(Path(f"{path}/{_DELTA_DIR}"), True)
     # GC: keep the newest retain_generations gen dirs
     gens = []
     for st in fs.globStatus(Path(f"{path}/{_FEED_ARCHIVE}/gen=*")) or []:
@@ -1757,6 +1781,11 @@ def _compact_locked(
     _recover_unlocked(spark, path, meta)  # same pre-read sweep as _apply_batch
     deltas = _read_deltas(spark, path, meta)
     if deltas is None:
+        # nothing to fold, but still honor the retention setting: a
+        # compact with a smaller retain_generations is how a
+        # consumer-less table sheds its feed archive (and its replay
+        # ledger) on demand
+        _archive_and_gc_deltas(spark, path, [], 0, retain_generations)
         return {"touched_buckets": [], "deltas_folded": 0}
     seq_dirs = _delta_seq_dirs(spark, path, meta)
     n_deltas, max_seq = len(seq_dirs), max(s for s, _ in seq_dirs)

@@ -305,6 +305,7 @@ def stream_keyed_upsert_ingest(
     assume_unique: bool = False,
     compact_every: int | None = None,
     evolve_schema: bool = False,
+    sequence_col: str | None = None,
 ) -> None:
     """CDC ingest onto a keyed table (round 11): drain a stream of
     row-level changes into ``sources.keyed`` MOR deltas — the
@@ -338,8 +339,34 @@ def stream_keyed_upsert_ingest(
     replays a batch whose markers the compaction folded away — the
     replay re-appends, which is VALUE-idempotent (overrides are
     absolute, tombstones delete already-absent keys; pytest-pinned),
-    not physically no-op. Same recovery model the dedup ingest
-    documents for its step-4/5 seam.
+    not physically no-op — NARROWED in round 13: ingest markers now
+    ride into compaction's ``_feed_archive``, so the ledger survives
+    ``retain_generations`` (default 1) compaction cadences and the
+    replay is physically detected there too. Same recovery model the
+    dedup ingest documents for its step-4/5 seam.
+
+    One-time upgrade caveat (round-12 ADVICE): before round 12 the
+    per-batch key was ``stream-{ns}-{id}-del``/``-ups`` (two appends
+    per batch); it is now ``stream-{ns}-{id}``. A checkpointed stream
+    restarted ACROSS that upgrade replays its last committed batch
+    undetected — value-idempotent (same override/tombstone argument),
+    but it commits one duplicate delta. The legacy digests are NOT
+    probed on purpose: the probe would add a per-batch listing to the
+    fixed cost every batch forever, to cover a window that exists once
+    per pre-upgrade checkpoint. Drain or compact once after upgrading
+    and the window closes.
+
+    ``sequence_col`` (round 13 — micro-batch COALESCING): the one-op-
+    per-key-per-batch contract is per MICRO-batch, so raising the
+    source's ``maxFilesPerTrigger`` above 1 (amortizing the two-job
+    fixed cost over more rows) would trip the uniqueness check the
+    moment two coalesced files touch the same key. Name a
+    monotonically-increasing change-order column (a CDC LSN, a landing
+    sequence — the ``SEQUENCE BY`` of Delta Live Tables' apply_changes)
+    and each micro-batch first collapses to the LATEST change per key
+    (one ``max_by`` aggregation, batch-sized) before the append; the
+    column itself is not stored. Ties are the caller's bug — the
+    sequence must totally order each key's changes.
     """
     import hashlib
 
@@ -368,6 +395,30 @@ def stream_keyed_upsert_ingest(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if sequence_col is not None:
+            from hadoop_20_warehouse_fix_spark.sources.keyed import (
+                read_keyed_meta,
+            )
+
+            key_cols = read_keyed_meta(spark, table_path)["key_cols"]
+            rest = [c for c in batch_df.columns if c not in key_cols]
+            batch_df = (
+                batch_df.groupBy(*key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*[c for c in rest if c != sequence_col]),
+                        F.col(sequence_col),
+                    ).alias("_w")
+                )
+                .select(
+                    *key_cols,
+                    *[
+                        F.col(f"_w.{c}").alias(c)
+                        for c in rest
+                        if c != sequence_col
+                    ],
+                )
+            )
         batch = batch_df.persist()
         try:
             apply_changes_keyed_table(

@@ -366,12 +366,18 @@ def test_mor_idempotency_key_replay(spark, keyed):
     assert read_keyed_table(spark, keyed).filter("k = 10").first().v == -10
     with pytest.raises(ValueError, match="MOR-delta contract"):
         upsert_keyed_table(spark, keyed, ups, idempotency_key="batch-8")
-    # value-idempotence of a post-compaction replay: compact (markers
-    # folded away), re-apply the same batch under the same key — same
-    # table rows, via a NEW delta
+    # round 13: the replay ledger SURVIVES a default compaction (the
+    # ingest markers ride into _feed_archive), so a post-compaction
+    # replay is detected physically, not just value-idempotent
     compact_keyed_table(spark, keyed)
     d3 = upsert_keyed_table(spark, keyed, ups, mode="mor", idempotency_key="batch-7")
-    assert "replayed" not in d3
+    assert d3.get("replayed") is True and d3["seq"] == d1["seq"]
+    assert read_keyed_table(spark, keyed).filter("k = 10").first().v == -10
+    # with retention OFF the markers fold away and the replay lands as
+    # a NEW delta — value-idempotent (same rows), the pre-r13 seam
+    compact_keyed_table(spark, keyed, retain_generations=0)
+    d4 = upsert_keyed_table(spark, keyed, ups, mode="mor", idempotency_key="batch-7")
+    assert "replayed" not in d4
     assert read_keyed_table(spark, keyed).filter("k = 10").first().v == -10
 
 
@@ -674,11 +680,13 @@ def test_mor_append_recovers_crashed_cow_swap_first(spark, keyed):
     some = os.path.join(keyed, f"{BUCKET_COL}=3")
     stranded = os.path.join(keyed, f"_old.{BUCKET_COL}.3")
     os.rename(some, stranded)  # simulate the crash window
-    n_missing = read_keyed_table(spark, keyed).count()
-    assert n_missing < 10_000  # the bucket really is invisible pre-sweep
+    # round 13: READERS now fall back to the stranded aside (snapshot
+    # probe in _base_df) — the crash window no longer loses rows even
+    # before a writer sweeps
+    assert read_keyed_table(spark, keyed).count() == 10_000
     batch = spark.createDataFrame([(20_001, 42, "new")], "k long, v long, tag string")
     upsert_keyed_table(spark, keyed, batch, mode="mor")
-    assert not os.path.exists(stranded)
+    assert not os.path.exists(stranded)  # the WRITER still sweeps it
     assert read_keyed_table(spark, keyed).count() == 10_001
 
 
@@ -859,10 +867,13 @@ def test_read_keyed_changes_feed(spark, keyed):
     head = read_keyed_changes(spark, keyed, since_seq=2)
     assert head.count() == 0 and "_change_op" in head.columns
 
-    compact_keyed_table(spark, keyed)
-    # seq numbering is monotonic ACROSS the compaction (the hwm file):
-    # a head checkpoint stays valid, a stale one raises toward re-sync
-    # instead of silently aliasing post-compaction batches
+    # retention OFF (pre-r13 semantics): folding drops the history —
+    # seq numbering stays monotonic (the hwm file), a head checkpoint
+    # stays valid, a stale one raises toward re-sync instead of
+    # silently aliasing post-compaction batches. (With the default
+    # retain_generations=1 the archive would SERVE the stale
+    # checkpoint instead — pinned in tests/test_keyed_retention.py.)
+    compact_keyed_table(spark, keyed, retain_generations=0)
     assert read_keyed_changes(spark, keyed, since_seq=2).count() == 0
     with pytest.raises(ValueError, match="compacted into the base"):
         read_keyed_changes(spark, keyed, since_seq=0)
@@ -1029,3 +1040,79 @@ def test_schema_evolution_crash_window_reads_null(spark, keyed, monkeypatch):
     monkeypatch.setattr(K, "_commit_delta", real)
     apply_changes_keyed_table(spark, keyed, wide, evolve_schema=True)
     assert read_keyed_table(spark, keyed).filter("k = 3").first().n == 7
+
+
+def test_stream_ingest_sequence_col_coalesces_files(spark, tmp_path):
+    """Round-13 micro-batch coalescing: maxFilesPerTrigger=4 folds four
+    landing files into ONE micro-batch whose keys collide across files;
+    sequence_col resolves latest-change-per-key (Delta's SEQUENCE BY)
+    before the append, so the uniqueness contract holds and the final
+    table equals the sequential application of the four files."""
+    from hadoop_20_warehouse_fix_spark.streaming import stream_keyed_upsert_ingest
+
+    path = str(tmp_path / "tab")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("base").alias("tag")
+    )
+    write_keyed_table(base, path, ["k"], num_buckets=4)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # key 1 is touched by THREE files (upsert, delete, re-upsert);
+    # key 2 by two (upsert then delete) — only sequence order decides
+    files = [
+        [(1, -1, "f0", "upsert", 0), (2, -2, "f0", "upsert", 0)],
+        [(1, 0, "f1", "delete", 1), (3, -3, "f1", "upsert", 1)],
+        [(1, -111, "f2", "upsert", 2), (2, 0, "f2", "delete", 2)],
+        [(4, -4, "f3", "upsert", 3)],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(
+            rows, "k long, v long, tag string, op string, cdc_seq long"
+        ).coalesce(1).write.parquet(f"{landing}/f{i}")
+
+    sdf = (
+        spark.readStream.schema("k long, v long, tag string, op string, cdc_seq long")
+        .option("maxFilesPerTrigger", 4)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    stream_keyed_upsert_ingest(
+        sdf, path, str(tmp_path / "ckpt"), op_col="op", sequence_col="cdc_seq"
+    )
+    tab = read_keyed_table(spark, path)
+    got = {(r.k, r.v, r.tag) for r in tab.filter(F.col("k").isin(1, 2, 3, 4)).collect()}
+    # k=1 re-upserted after its delete; k=2 deleted last; 3,4 inserted
+    assert got == {(1, -111, "f2"), (3, -3, "f1"), (4, -4, "f3")}
+    # keys 1-4 all pre-exist in the 100-row base; only k=2 ends deleted
+    assert tab.count() == 99
+
+
+def test_stream_ingest_without_sequence_col_refuses_cross_file_dupes(spark, tmp_path):
+    """Without sequence_col the one-op-per-key contract stays enforced:
+    coalescing files that touch the same key fails loudly instead of
+    picking an arbitrary winner."""
+    from hadoop_20_warehouse_fix_spark.streaming import stream_keyed_upsert_ingest
+
+    path = str(tmp_path / "tab")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v"), F.lit("b").alias("tag")
+    )
+    write_keyed_table(base, path, ["k"], num_buckets=2)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i in range(2):
+        spark.createDataFrame(
+            [(1, -i, f"f{i}", "upsert")], "k long, v long, tag string, op string"
+        ).coalesce(1).write.parquet(f"{landing}/f{i}")
+    sdf = (
+        spark.readStream.schema("k long, v long, tag string, op string")
+        .option("maxFilesPerTrigger", 2)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException,
+                       match="duplicate keys"):
+        stream_keyed_upsert_ingest(sdf, path, str(tmp_path / "ckpt"), op_col="op")

@@ -180,3 +180,44 @@ def test_schema_evolution_reads_archived_prefold_deltas(spark):
         assert got == {1: None, 2: 0.5}
     finally:
         _cleanup(path)
+
+
+def test_marker_gc_generations_knob(spark):
+    """Round-12 ADVICE: marker-protocol manifest GC grace is now a
+    table parameter. With gc_generations=3, a reader that resolved a
+    commit 3 generations back still finds every dir it references."""
+    tmp = tempfile.mkdtemp(prefix="keyed_ret_gcg_")
+    path = f"{tmp}/tab"
+    try:
+        base = spark.range(50).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v"),
+            F.lit("m").alias("tag"),
+        )
+        K.write_keyed_table(
+            base, path, ["k"], num_buckets=2, commit="marker",
+            gc_generations=3,
+        )
+        snapshots = {}
+        for gen in range(1, 6):
+            snapshots[gen] = K._current_commit(spark, path)
+            batch = spark.range(50).select(
+                F.col("id").alias("k"), F.lit(gen * 10).cast("long").alias("v"),
+                F.lit("m").alias("tag"),
+            )
+            K.upsert_keyed_table(spark, path, batch, mode="cow",
+                                 assume_unique=True)
+        commits = sorted(
+            int(f[len("commit-"):-len(".json")])
+            for f in os.listdir(os.path.join(path, K._COMMITS_DIR))
+            if f.startswith("commit-")
+        )
+        # newest commit is 6 (load=1 + 5 upserts): floor = 6-3 = 3
+        assert commits == [3, 4, 5, 6], commits
+        # every dir referenced by the OLDEST retained manifest survives
+        cm3 = snapshots[3]  # the commit with n=3 (pre-4th-upsert state)
+        for d in cm3["buckets"].values():
+            assert os.path.exists(os.path.join(path, d)), f"{d} GC'd too early"
+        # default-grace table (gc_generations=1) keeps only 2 manifests
+        assert K.read_keyed_table(spark, path).filter("k = 1").first().v == 50
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
