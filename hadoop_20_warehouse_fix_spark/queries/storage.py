@@ -360,3 +360,68 @@ def keyed_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact_keyed_table(spark, path)  # fold the evolved schema into the base
     return read_keyed_table(spark, path).select("o_orderkey", "o_totalprice", "tier")
+
+
+@query(
+    "keyed_time_travel",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 1
+                ELSE c_acctbal END AS c_acctbal,
+           CAST(NULL AS DOUBLE) AS score
+    FROM customer
+    """,
+)
+def keyed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (round 13): ``read_keyed_table(at_commit=n)`` on a
+    marker-protocol table reconstructs the table AS OF commit ``n`` —
+    the Delta/Iceberg ``VERSION AS OF`` on plain directories. The query
+    builds four generations of history and reads the SECOND:
+
+    1. load ``customer``                           (commit 1)
+    2. MOR upsert: %10==3 gets acctbal+1           (delta seq 1)
+    3. additive evolution (new ``score`` column)   (commit 2 — records
+       seq 1 as pending; the evolving batch itself lands after)
+    4. compaction (folds seqs into the base, seq dirs retire to the
+       feed archive)                               (commit 3)
+    5. COW upsert: %10==5 gets acctbal+2           (commit 4)
+
+    Reading at_commit=2 must resolve the COMMIT-2 manifest's immutable
+    bucket dirs (kept by gc_generations), overlay delta seq 1 FROM THE
+    ARCHIVE (kept by retain_generations), present the evolved schema
+    (score NULL everywhere — the evolving batch is post-commit), and
+    show none of step 5. The oracle recomputes exactly that state from
+    the source view. 100 TB: history costs only retained manifests +
+    retained delta dirs — never a table copy.
+    """
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        compact_keyed_table,
+        read_keyed_table,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = scratch_dir(prefix="keyed_tt_q_") + "/tab"
+    write_keyed_table(
+        cust, path, ["c_custkey"], num_buckets=8, assume_unique=True,
+        commit="marker", gc_generations=4,
+    )
+    k = F.col("c_custkey")
+    upd = cust.filter(k % 10 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1
+    )
+    upsert_keyed_table(spark, path, upd, assume_unique=True, mode="mor")
+    wide = cust.filter(k == 1).withColumn("c_custkey", F.lit(-1).cast("long")) \
+               .withColumn("score", F.lit(0.5))
+    upsert_keyed_table(
+        spark, path, wide, assume_unique=True, mode="mor", evolve_schema=True
+    )
+    compact_keyed_table(spark, path)
+    upd2 = cust.filter(k % 10 == 5).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 2
+    ).withColumn("score", F.lit(None).cast("double"))
+    upsert_keyed_table(spark, path, upd2, assume_unique=True, mode="cow")
+    return read_keyed_table(spark, path, at_commit=2).select(
+        "c_custkey", "c_name", "c_acctbal", "score"
+    )

@@ -384,19 +384,30 @@ def _current_commit(spark: SparkSession, path: str) -> dict | None:
 
 
 def _write_commit(
-    spark: SparkSession, path: str, n: int, buckets: dict, meta: dict | None = None
+    spark: SparkSession,
+    path: str,
+    n: int,
+    buckets: dict,
+    meta: dict | None = None,
+    pending_seqs: list[int] | None = None,
 ) -> None:
     """Commit manifest PUT. ``meta`` rides INSIDE the manifest (round-12
     review): a marker-table re-load that changes the layout must flip
     buckets AND metadata in the same atomic PUT — writing them as two
     files left a crash window where readers resolved the new buckets
-    through the old bucketing math."""
+    through the old bucketing math. ``pending_seqs`` (round 13) records
+    the MOR delta batches still pending as of this commit — what a
+    time-travel read (:func:`read_keyed_table` ``at_commit=``) must
+    overlay on this manifest's base to reconstruct the table as it
+    stood; bounded by ``compact_every`` in a streaming ingest."""
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(Path(f"{path}/{_COMMITS_DIR}"))
     doc = {"n": n, "buckets": {str(b): d for b, d in buckets.items()}}
     if meta is not None:
         doc["meta"] = _strip_private(meta)
+    if pending_seqs is not None:
+        doc["pending_seqs"] = sorted(int(s) for s in pending_seqs)
     out = fs.create(Path(f"{path}/{_COMMITS_DIR}/commit-{n}.json"), False)
     out.write(bytearray(json.dumps(doc).encode()))
     out.close()
@@ -882,15 +893,33 @@ def _merged_view(
     return survivors.unionByName(live)
 
 
-def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
+def read_keyed_table(
+    spark: SparkSession, path: str, at_commit: int | None = None
+) -> DataFrame:
     """The table's current rows (data columns only): base overridden by
     any pending MOR deltas, latest batch wins per key, tombstones
     filtered. With no deltas this is the plain base scan; with deltas
     the tax is a broadcast anti-join of the delta keys against the base
     (no base shuffle) until the deltas outgrow
     :data:`DELTA_BROADCAST_BYTES` — :func:`compact_keyed_table` clears
-    it entirely."""
+    it entirely.
+
+    ``at_commit=n`` (round 13 — TIME TRAVEL, marker protocol only):
+    reconstruct the table exactly as it stood at commit ``n``: the base
+    is resolved through that commit's manifest (immutable versioned
+    bucket dirs), and the MOR deltas pending at publish time — recorded
+    in the manifest as ``pending_seqs`` — are overlaid from wherever
+    they now live (still pending, or retired into the feed archive).
+    The readable history window is bounded by BOTH retention knobs:
+    ``gc_generations`` (how many predecessor manifests + their bucket
+    dirs survive) and compact's ``retain_generations`` (how many folded
+    delta generations stay readable); a read past either raises with
+    the knob named. Rename-protocol tables keep no history — overwrite
+    semantics — and refuse. The Delta/Iceberg ``VERSION AS OF``
+    re-expressed on plain directories."""
     meta = read_keyed_meta(spark, path)
+    if at_commit is not None:
+        return _read_at_commit(spark, path, meta, int(at_commit))
     data_cols = meta["data_cols"]
     base = _base_df(spark, path, meta)
     deltas = _read_deltas(spark, path, meta)
@@ -898,6 +927,84 @@ def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
         return base.select(*data_cols)
     bcast = _delta_bytes(spark, path) <= DELTA_BROADCAST_BYTES
     return _merged_view(base, deltas, meta, extra=[], broadcast_keys=bcast).select(*data_cols)
+
+
+def _read_at_commit(
+    spark: SparkSession, path: str, meta: dict, n: int
+) -> DataFrame:
+    if _commit_mode(meta) != "marker":
+        raise ValueError(
+            f"{path!r}: time travel needs commit='marker' (rename-protocol "
+            "tables overwrite in place and keep no history)"
+        )
+    fs, _, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    mp = Path(f"{path}/{_COMMITS_DIR}/commit-{n}.json")
+    if not fs.exists(mp):
+        cur = _current_commit(spark, path) or {"n": 0}
+        raise ValueError(
+            f"{path!r}: commit {n} is not readable (current is "
+            f"{cur['n']}) — either it never existed or its manifest was "
+            "GC'd; raise write_keyed_table's gc_generations to retain "
+            "more history"
+        )
+    stream = fs.open(mp)
+    try:
+        cm = json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    meta_n = dict(cm.get("meta") or meta)
+    meta_n["commit"] = "marker"
+    meta_n["_commit"] = cm  # _base_df resolves through THIS manifest
+    data_cols = meta_n["data_cols"]
+    base = _base_df(spark, path, meta_n)
+    pending = cm.get("pending_seqs")
+    if pending is None:
+        raise ValueError(
+            f"{path!r}: commit {n} predates time-travel support (its "
+            "manifest records no pending_seqs) — only commits written "
+            "from round 13 on are reconstructible"
+        )
+    if not pending:
+        return base.select(*data_cols)
+    # locate each recorded seq wherever it lives now: still pending,
+    # or retired into the feed archive by a later compaction
+    floor = int(meta_n.get("delta_floor") or 0)
+    where: dict[int, tuple[str, str]] = {}  # seq -> (dir, basePath)
+    for s, d in _delta_seq_dirs(spark, path, meta_n):
+        where[s] = (d, f"{path}/{_DELTA_DIR}")
+    for s, d, g in _archived_seq_dirs(spark, path):
+        if s > floor:
+            where.setdefault(s, (d, g))
+    missing = [s for s in pending if s not in where]
+    if missing:
+        raise ValueError(
+            f"{path!r}: commit {n}'s pending deltas {missing} were "
+            "compacted and aged out of the feed archive — raise "
+            "compact_keyed_table's retain_generations to keep deeper "
+            "time-travel history"
+        )
+    fschema = (
+        T.StructType.fromJson(json.loads(meta_n["schema_json"]))
+        .add(_DEL_COL, T.BooleanType())
+        .add(BUCKET_COL, T.IntegerType())
+        .add("seq", T.LongType())
+    )
+    by_base: dict[str, list[str]] = {}
+    for s in pending:
+        d, bp = where[s]
+        by_base.setdefault(bp, []).append(d)
+    parts = [
+        spark.read.schema(fschema).option("basePath", bp).parquet(*ds)
+        for bp, ds in sorted(by_base.items())
+    ]
+    deltas = parts[0]
+    for p in parts[1:]:
+        deltas = deltas.unionByName(p)
+    deltas = deltas.withColumnRenamed("seq", "_seq")
+    return _merged_view(
+        base, deltas, meta_n, extra=[], broadcast_keys=True
+    ).select(*data_cols)
 
 
 def _swap_buckets(spark: SparkSession, path: str, staging: str, buckets: list[int]) -> None:
@@ -946,6 +1053,7 @@ def _marker_publish(
     staging: str,
     touched: list[int],
     meta: dict | None = None,
+    folds_deltas: bool = False,
 ) -> dict:
     """Marker-protocol bucket publish: move each staged ``kb=<b>`` dir
     to an immutable versioned dir ``_b<b>.v<n>``, then PUT the next
@@ -983,9 +1091,20 @@ def _marker_publish(
             changed.append(dest)
         elif b in new_buckets:  # bucket emptied by this batch
             new_buckets.pop(b)
+    # pending MOR deltas as of THIS commit, for time-travel overlays:
+    # a compaction folds every pending delta into the base it publishes
+    # (records []); every other publish leaves them pending. Computed
+    # with the manifest's own meta so a re-load's delta_floor applies.
+    pending = (
+        []
+        if folds_deltas
+        else [s for s, _ in _delta_seq_dirs(spark, path, meta)]
+    )
     # the PUT below is THE commit — last chance to notice a broken lease
     _fence_lease(spark, path)
-    _write_commit(spark, path, n_new, new_buckets, meta=meta)
+    _write_commit(
+        spark, path, n_new, new_buckets, meta=meta, pending_seqs=pending
+    )
     fs.delete(Path(staging), True)
     # graced GC: retain the newest gc_generations predecessor manifests
     # and every dir any retained manifest references; drop the rest
@@ -1814,7 +1933,9 @@ def _compact_locked(
             # which is value-idempotent (overrides are absolute,
             # tombstones delete already-absent keys) — the same
             # documented seam as the rename protocol's swap/delete gap.
-            pub = _marker_publish(spark, path, staging, touched, meta=meta)
+            pub = _marker_publish(
+                spark, path, staging, touched, meta=meta, folds_deltas=True
+            )
             churned = [f"{path}/{d}" for d in pub["changed_dirs"]]
         else:
             _swap_buckets(spark, path, staging, touched)

@@ -221,3 +221,106 @@ def test_marker_gc_generations_knob(spark):
         assert K.read_keyed_table(spark, path).filter("k = 1").first().v == 50
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_time_travel_marker_reads_history(spark):
+    """Round-13 time travel: read_keyed_table(at_commit=n) reconstructs
+    the table as of commit n — base through that commit's manifest
+    (immutable versioned dirs kept by gc_generations), pending deltas
+    recorded in the manifest overlaid from wherever they now live."""
+    tmp = tempfile.mkdtemp(prefix="keyed_tt_")
+    path = f"{tmp}/tab"
+    try:
+        base = spark.range(100).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v"),
+            F.lit("g0").alias("tag"),
+        )
+        K.write_keyed_table(base, path, ["k"], num_buckets=2, commit="marker",
+                            gc_generations=10)                      # commit 1
+        snaps = {}
+
+        def snapshot():
+            n = K._current_commit(spark, path)["n"]
+            snaps[n] = {(r.k, r.v) for r in K.read_keyed_table(spark, path).collect()}
+            return n
+
+        snapshot()                                                   # n=1
+        for gen in (1, 2, 3):                                        # commits 2-4
+            K.upsert_keyed_table(
+                spark, path,
+                spark.createDataFrame([(gen, gen * 100, "c")],
+                                      "k long, v long, tag string"),
+                mode="cow",
+            )
+            snapshot()
+        # a MOR delta + an EVOLUTION commit (meta-only publish records
+        # the delta as pending), then a compaction folds it to archive
+        K.upsert_keyed_table(spark, path, _ups(spark, 50, 555), mode="mor")
+        wide = spark.createDataFrame(
+            [(60, 666, "e", 0.5)], "k long, v long, tag string, score double"
+        )
+        K.upsert_keyed_table(spark, path, wide, mode="mor", evolve_schema=True)
+        n_evolve = K._current_commit(spark, path)["n"]               # commit 5
+        K.compact_keyed_table(spark, path)                           # commit 6
+        snapshot()
+
+        # every snapshot reconstructs exactly
+        for n, want in snaps.items():
+            got = {(r.k, r.v)
+                   for r in K.read_keyed_table(spark, path, at_commit=n).collect()}
+            assert got == want, f"commit {n} mismatch"
+        # the evolution manifest is the ATOMIC evolution point: it
+        # commits BEFORE the evolving batch's delta, so as-of commit 5
+        # the schema carries the new column (NULL everywhere) and the
+        # k=50 delta (pending at publish, since folded to the archive)
+        # is overlaid — but the k=60 evolving batch is post-commit
+        tt = K.read_keyed_table(spark, path, at_commit=n_evolve)
+        assert "score" in tt.columns
+        assert tt.filter(F.col("k") == 50).first().v == 555, \
+            "pre-evolution pending delta overlaid from the archive"
+        r60 = tt.filter(F.col("k") == 60).first()
+        assert r60.v == 0 and r60.score is None, \
+            "the evolving batch itself is post-commit"
+        assert tt.count() == 100
+        # nonexistent commit raises with the retention knob named
+        with pytest.raises(ValueError, match="gc_generations"):
+            K.read_keyed_table(spark, path, at_commit=99)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_time_travel_refusals(spark):
+    """Rename tables keep no history; deltas aged past retention and
+    GC'd manifests refuse with the responsible knob named."""
+    path = _mk(spark)  # rename protocol
+    try:
+        with pytest.raises(ValueError, match="marker"):
+            K.read_keyed_table(spark, path, at_commit=1)
+    finally:
+        _cleanup(path)
+    tmp = tempfile.mkdtemp(prefix="keyed_tt_ref_")
+    mpath = f"{tmp}/tab"
+    try:
+        base = spark.range(20).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v"),
+            F.lit("m").alias("tag"),
+        )
+        K.write_keyed_table(base, mpath, ["k"], num_buckets=2, commit="marker",
+                            gc_generations=10)
+        # pending delta recorded in an evolution commit, then folded
+        # with retention OFF: the time-travel overlay is gone
+        K.upsert_keyed_table(spark, mpath, _ups(spark, 1, 11), mode="mor")
+        wide = spark.createDataFrame(
+            [(2, 22, "e", 1.5)], "k long, v long, tag string, score double"
+        )
+        K.upsert_keyed_table(spark, mpath, wide, mode="mor", evolve_schema=True)
+        n_evolve = K._current_commit(spark, mpath)["n"]
+        K.compact_keyed_table(spark, mpath, retain_generations=0)
+        with pytest.raises(ValueError, match="retain_generations"):
+            K.read_keyed_table(spark, mpath, at_commit=n_evolve)
+        # manifest GC'd (default gc_generations table): old commit gone
+        # — covered by the nonexistent-commit branch above; here pin
+        # that CURRENT reads are untouched by all of it
+        assert K.read_keyed_table(spark, mpath).count() == 20  # both keys pre-exist
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
