@@ -425,3 +425,56 @@ def keyed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_keyed_table(spark, path, at_commit=2).select(
         "c_custkey", "c_name", "c_acctbal", "score"
     )
+
+
+@query(
+    "keyed_rollback",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 10 = 3 THEN s_acctbal + 5
+                ELSE s_acctbal END AS s_acctbal
+    FROM supplier
+    """,
+)
+def keyed_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback (round 13): one manifest PUT moves a marker table back
+    to a prior compacted commit — bad-batch recovery at O(metadata),
+    no copy, no restore-from-backup. The query loads ``supplier``
+    (commit 1), applies a GOOD generation (%10==3 gets acctbal+5,
+    COW — commit 2), then a BAD generation (a COW corruption of
+    %10==7 AND a pending MOR delta), rolls back to commit 2, and
+    returns the current read. The oracle recomputes the good state
+    from the source view — every trace of the bad generation must be
+    gone, including the pending delta (retired by the delta_floor in
+    the same atomic PUT). History keeps moving forward: the rollback
+    is itself a commit, so the skipped generation stays
+    time-travel-readable while retention lasts, and a bad rollback can
+    be rolled back."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        read_keyed_table,
+        rollback_keyed_table,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    path = scratch_dir(prefix="keyed_rb_q_") + "/tab"
+    write_keyed_table(
+        sup, path, ["s_suppkey"], num_buckets=4, assume_unique=True,
+        commit="marker", gc_generations=4,
+    )
+    k = F.col("s_suppkey")
+    good = sup.filter(k % 10 == 3).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 5
+    )
+    upsert_keyed_table(spark, path, good, assume_unique=True, mode="cow")
+    bad = sup.filter(k % 10 == 7).withColumn(
+        "s_acctbal", F.lit(-1.0)
+    ).withColumn("s_name", F.lit("CORRUPT"))
+    upsert_keyed_table(spark, path, bad, assume_unique=True, mode="cow")
+    bad2 = sup.filter(k % 100 == 11).withColumn("s_name", F.lit("CORRUPT2"))
+    upsert_keyed_table(spark, path, bad2, assume_unique=True, mode="mor")
+    rollback_keyed_table(spark, path, to_commit=2)
+    return read_keyed_table(spark, path).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )

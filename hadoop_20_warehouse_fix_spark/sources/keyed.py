@@ -1192,6 +1192,94 @@ def _recover_marker(spark: SparkSession, path: str) -> dict:
     }
 
 
+def rollback_keyed_table(
+    spark: SparkSession,
+    path: str,
+    to_commit: int,
+    lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
+) -> dict:
+    """Roll the table back to a prior commit (round 13; marker protocol
+    only) — bad-batch recovery WITHOUT a restore-from-backup: publish a
+    NEW commit whose bucket set is commit ``to_commit``'s (the
+    immutable versioned dirs are shared, nothing is copied) and retire
+    every delta committed since (``delta_floor`` hides them logically
+    in the same atomic PUT — the same machinery a re-load uses).
+    History keeps moving FORWARD: the rollback is itself a commit, so
+    a bad rollback can be rolled back, and time-travel reads of the
+    skipped generations keep working while retention lasts.
+
+    The target commit must have had NO pending MOR deltas
+    (``pending_seqs == []`` — a load, compaction, or quiesced-COW
+    commit): the normal read path overlays only PENDING deltas, and a
+    target with folded-away pending state would silently read without
+    it. For such targets, re-load from a time-travel read instead:
+    ``write_keyed_table(read_keyed_table(spark, path, at_commit=n), …)``.
+
+    At 100 TB the rollback is one manifest read + one manifest PUT —
+    O(metadata), independent of table size."""
+    with _writer_lease(spark, path, lock_ttl_sec):
+        meta = read_keyed_meta(spark, path)
+        if _commit_mode(meta) != "marker":
+            raise ValueError(
+                f"{path!r}: rollback needs commit='marker' (rename-protocol "
+                "tables overwrite in place and keep no history)"
+            )
+        fs, _, jvm = _fs(spark, path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        mp = Path(f"{path}/{_COMMITS_DIR}/commit-{to_commit}.json")
+        if not fs.exists(mp):
+            cur = _current_commit(spark, path) or {"n": 0}
+            raise ValueError(
+                f"{path!r}: commit {to_commit} is not readable (current is "
+                f"{cur['n']}) — either it never existed or its manifest was "
+                "GC'd; raise write_keyed_table's gc_generations to retain "
+                "more history"
+            )
+        stream = fs.open(mp)
+        try:
+            target = json.loads(bytes(stream.readAllBytes()).decode())
+        finally:
+            stream.close()
+        pending = target.get("pending_seqs")
+        if pending is None:
+            raise ValueError(
+                f"{path!r}: commit {to_commit} predates rollback support "
+                "(no pending_seqs recorded)"
+            )
+        if pending:
+            raise ValueError(
+                f"{path!r}: commit {to_commit} had pending MOR deltas "
+                f"{pending} — roll back to a fully-compacted commit, or "
+                "rebuild from a time-travel read: write_keyed_table("
+                f"read_keyed_table(spark, path, at_commit={to_commit}), …)"
+            )
+        cur = _current_commit(spark, path) or {"n": 0}
+        n_new = int(cur["n"]) + 1
+        # retire every delta committed since the target: floor at the
+        # current high-water mark, in the SAME atomic manifest PUT
+        floor = max(
+            _read_seq_hwm(spark, path),
+            int(meta.get("delta_floor") or 0),
+            max((s for s, _ in _delta_seq_dirs(spark, path, meta)), default=0),
+        )
+        meta_new = dict(target.get("meta") or meta)
+        meta_new["delta_floor"] = floor
+        meta_new["commit"] = "marker"
+        _fence_lease(spark, path)
+        _write_commit(
+            spark, path, n_new,
+            {int(b): d for b, d in target["buckets"].items()},
+            meta=meta_new, pending_seqs=[],
+        )
+        _write_meta(spark, path, meta_new)  # root-meta cache follows
+        _write_seq_hwm(spark, path, floor)
+        return {
+            "rolled_back_to": int(to_commit),
+            "new_commit": n_new,
+            "delta_floor": floor,
+        }
+
+
 def recover_keyed_table(
     spark: SparkSession, path: str, lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC
 ) -> dict:

@@ -324,3 +324,88 @@ def test_time_travel_refusals(spark):
         assert K.read_keyed_table(spark, mpath).count() == 20  # both keys pre-exist
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rollback_marker_table(spark):
+    """Round-13 rollback: one manifest PUT moves the table back to a
+    prior compacted commit — shared immutable dirs, no copy; deltas
+    committed since are retired in the same atomic flip; history keeps
+    moving forward (the rollback is itself a commit and can be rolled
+    back); seq numbering stays monotonic so stale feed checkpoints
+    raise instead of aliasing."""
+    tmp = tempfile.mkdtemp(prefix="keyed_rb_")
+    path = f"{tmp}/tab"
+    try:
+        base = spark.range(100).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v"),
+            F.lit("g0").alias("tag"),
+        )
+        K.write_keyed_table(base, path, ["k"], num_buckets=2, commit="marker",
+                            gc_generations=10)                      # commit 1
+        K.upsert_keyed_table(
+            spark, path,
+            spark.createDataFrame([(1, 111, "good")], "k long, v long, tag string"),
+            mode="cow",
+        )                                                           # commit 2
+        good = {(r.k, r.v) for r in K.read_keyed_table(spark, path).collect()}
+        # the bad generation: a COW batch AND a pending MOR delta
+        K.upsert_keyed_table(
+            spark, path,
+            spark.createDataFrame([(2, -999, "bad")], "k long, v long, tag string"),
+            mode="cow",
+        )                                                           # commit 3
+        bad_seq = K.upsert_keyed_table(
+            spark, path, _ups(spark, 3, -888), mode="mor",
+        )["seq"]
+        out = K.rollback_keyed_table(spark, path, to_commit=2)
+        assert out["rolled_back_to"] == 2 and out["new_commit"] == 4
+        got = {(r.k, r.v) for r in K.read_keyed_table(spark, path).collect()}
+        assert got == good, "table is byte-for-byte the commit-2 state"
+        # retired deltas never resurface; feed checkpoints past the
+        # floor raise toward re-sync
+        with pytest.raises(ValueError):
+            K.read_keyed_changes(spark, path, since_seq=0)
+        # new writes take fresh seqs ABOVE the retired ones
+        nxt = K.upsert_keyed_table(spark, path, _ups(spark, 5, 55), mode="mor")
+        assert nxt["seq"] > bad_seq
+        assert K.read_keyed_table(spark, path).filter("k = 5").first().v == 55
+        # the skipped generation stays time-travel-readable (retention
+        # permitting) — and the rollback itself can be rolled back
+        tt = K.read_keyed_table(spark, path, at_commit=3)
+        assert {(r.k, r.v) for r in tt.filter("k = 2").collect()} == {(2, -999)}
+        K.compact_keyed_table(spark, path)                          # commit 5
+        K.rollback_keyed_table(spark, path, to_commit=4)
+        assert {(r.k, r.v) for r in K.read_keyed_table(spark, path).collect()} == good
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rollback_refusals(spark):
+    path = _mk(spark)  # rename
+    try:
+        with pytest.raises(ValueError, match="marker"):
+            K.rollback_keyed_table(spark, path, to_commit=1)
+    finally:
+        _cleanup(path)
+    tmp = tempfile.mkdtemp(prefix="keyed_rb_ref_")
+    mpath = f"{tmp}/tab"
+    try:
+        base = spark.range(10).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v"),
+            F.lit("m").alias("tag"),
+        )
+        K.write_keyed_table(base, mpath, ["k"], num_buckets=2, commit="marker",
+                            gc_generations=10)
+        # a pending MOR delta, then an evolution commit that records it
+        K.upsert_keyed_table(spark, mpath, _ups(spark, 1, 11), mode="mor")
+        wide = spark.createDataFrame(
+            [(2, 22, "e", 0.1)], "k long, v long, tag string, score double"
+        )
+        K.upsert_keyed_table(spark, mpath, wide, mode="mor", evolve_schema=True)
+        n_evolve = K._current_commit(spark, mpath)["n"]
+        with pytest.raises(ValueError, match="pending MOR deltas"):
+            K.rollback_keyed_table(spark, mpath, to_commit=n_evolve)
+        with pytest.raises(ValueError, match="gc_generations"):
+            K.rollback_keyed_table(spark, mpath, to_commit=77)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
