@@ -513,3 +513,136 @@ def dedup_state_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     minhash_state_compact(spark, state)
     return minhash_lsh_pairs_incremental(probe, "doc_id", "text", state, threshold=0.5)
+
+
+def _synthetic_dhash_media(docs: DataFrame, mod: int = 40) -> DataFrame:
+    """Deterministic synthetic media for the media-state oracle gate
+    (round 14, brief #4): one lossless 8x9 PNG per document whose pixel
+    grid comes straight from md5 nibbles of the doc's CONTENT KEY
+    ``doc_id % mod`` — pixel (y, x) = 10 + 14 * nibble_x(md5(f"{ck}:{y}"))
+    on all three channels. Because the image is exactly the 8x9 grid
+    ``dhash_pixels`` samples (nearest-neighbor indices become the
+    identity) and PNG decode is bit-exact, the engine's REAL pipeline
+    (encode → decode → grayscale → dHash) lands on a fingerprint whose
+    bit (y, x) is simply nibble(y,x) > nibble(y,x+1) — a pure function
+    of md5 hex digits that DuckDB replays with strpos/substr math.
+    Documents sharing a content key share a fingerprint (hamming 0
+    near-dups); distinct keys sit ~32 bits apart. The math shortcut
+    lives ONLY in the oracle: the query under test decodes real PNG
+    bytes through the real fingerprint operators."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_20_warehouse_fix_spark.functions.multimodal import encode_png
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                ck = int(did) % mod
+                arr = np.zeros((8, 9, 3), dtype=np.uint8)
+                for y in range(8):
+                    h = hashlib.md5(f"{ck}:{y}".encode()).hexdigest()
+                    for x in range(9):
+                        arr[y, x, :] = 10 + 14 * int(h[x], 16)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, "media_id long, payload binary")
+
+
+_MEDIA_STATE_ORACLE = """
+    WITH ids AS (SELECT doc_id, doc_id % 40 AS ck FROM documents),
+    survivors AS (
+      SELECT doc_id, ck FROM ids
+      WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3
+    ),
+    probe AS (SELECT doc_id, ck FROM ids WHERE doc_id % 5 = 0),
+    cks AS (SELECT DISTINCT ck FROM ids),
+    nib AS (
+      SELECT ck, y.y AS y, x.x AS x,
+             strpos('0123456789abcdef',
+                    substr(md5(CAST(ck AS VARCHAR) || ':' || CAST(y.y AS VARCHAR)),
+                           CAST(x.x AS INTEGER) + 1, 1)) - 1 AS v
+      FROM cks, range(8) y(y), range(9) x(x)
+    ),
+    bits AS (
+      SELECT a.ck, a.y, a.x, (a.v > b.v) AS bit
+      FROM nib a JOIN nib b ON a.ck = b.ck AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    ham AS (
+      SELECT p.ck AS ck_a, q.ck AS ck_b,
+             SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS h
+      FROM bits p JOIN bits q ON p.y = q.y AND p.x = q.x
+      GROUP BY p.ck, q.ck
+    )
+    SELECT s.doc_id AS id_a, r.doc_id AS id_b, CAST(ham.h AS INTEGER) AS hamming
+    FROM survivors s
+    JOIN ham ON ham.ck_a = s.ck
+    JOIN probe r ON ham.ck_b = r.ck
+    WHERE ham.h <= 3
+"""
+
+
+@query("media_state_lifecycle_probe", oracle=_MEDIA_STATE_ORACLE)
+def media_state_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted MEDIA fingerprint-state lifecycle (round-14
+    brief #4 — the last state surface with pytest-only evidence),
+    oracle-gated end to end, mirroring ``dedup_state_incremental_probe``:
+
+    1. ``media_state_write``   — base corpus (doc_id % 5 in 2,3,4) of
+       synthetic lossless PNGs, decoded and dHashed by the REAL image
+       pipeline into the bucketed band state;
+    2. ``media_state_append``  — fold an ingest batch (% 5 == 1) in;
+    3. ``media_state_delete``  — tombstone takedowns (% 7 == 3);
+    4. ``media_state_compact`` — physical tombstone application;
+    5. ``media_state_probe``   — a NEW batch (% 5 == 0) against the
+       state: every cross pair within Hamming 3 (banded, pigeonhole-
+       exact at this threshold).
+
+    The payloads are 8x9 md5-nibble PNG grids (:func:`_synthetic_dhash_media`),
+    so the oracle replays the EXACT dHash bit math — nibble(y,x) >
+    nibble(y,x+1) from DuckDB's own md5() — over base ∪ appended minus
+    deleted, restricted to cross pairs, value-for-value including the
+    hamming distances. Reference analog: BloomMapFile/MapFile as
+    probe-able persisted state
+    (``/root/reference/src/core/org/apache/hadoop/io/BloomMapFile.java:45``).
+
+    100 TB physics: probe cost is O(batch bands + band-collision
+    neighborhood); the corpus is never re-decoded — the state table IS
+    the corpus's fingerprint memory."""
+    import tempfile
+
+    from hadoop_20_warehouse_fix_spark.operators.dedup import (
+        media_state_append,
+        media_state_compact,
+        media_state_delete,
+        media_state_probe,
+        media_state_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mod5 = F.col("doc_id") % 5
+    base = _synthetic_dhash_media(fan_out_small_scan(docs.filter(mod5.isin(2, 3, 4))))
+    ingest = _synthetic_dhash_media(fan_out_small_scan(docs.filter(mod5 == 1)))
+    probe = _synthetic_dhash_media(fan_out_small_scan(docs.filter(mod5 == 0)))
+    state = "q_media_lifecycle_state"
+    media_state_write(
+        base, state, num_buckets=4,
+        path=tempfile.mkdtemp(prefix="q_media_lifecycle_"),
+    )
+    media_state_append(ingest, state)
+    media_state_delete(
+        spark, state,
+        docs.filter((mod5 != 0) & (F.col("doc_id") % 7 == 3))
+            .select(F.col("doc_id").alias("id")),
+    )
+    media_state_compact(spark, state)
+    return media_state_probe(probe, state, 3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

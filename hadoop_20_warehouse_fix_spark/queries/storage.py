@@ -170,6 +170,7 @@ def keyed_compact_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "keyed_cdc_apply",
+    headline=True,  # round-14 brief #8: the storage hot path in BENCH_r*.json
     oracle="""
     SELECT s_suppkey, s_name,
            CASE WHEN s_suppkey % 7 = 2 THEN s_acctbal + 50 ELSE s_acctbal END AS s_acctbal
@@ -360,6 +361,56 @@ def keyed_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact_keyed_table(spark, path)  # fold the evolved schema into the base
     return read_keyed_table(spark, path).select("o_orderkey", "o_totalprice", "tier")
+
+
+@query(
+    "keyed_schema_widening",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 25 = 11
+                THEN 5000000000 + CAST(o_orderkey AS BIGINT)
+                ELSE CAST(o_orderkey % 100 AS BIGINT) END AS qty
+    FROM orders
+    """,
+)
+def keyed_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-WIDENING schema evolution under the oracle gate (round 14,
+    brief #6): the table loads ``qty`` as a 32-bit int; a MOR batch
+    arrives with ``qty`` as bigint carrying values past int range and
+    ``evolve_schema=True`` widens the column as a METADATA-ONLY commit
+    (marker/rename: one atomic control-file PUT — zero base files
+    rewritten; Spark's vectorized parquet reader upcasts the old int32
+    pages at scan time). ``compact_keyed_table(rewrite_all=True)`` then
+    converges the physical file type (pinned int64-only in
+    tests/test_keyed_widening.py). The oracle recomputes the end state
+    exactly — old rows keep their int-era values, widened-batch rows
+    carry the >2³¹ values only a bigint can.
+
+    100 TB: the widening itself is O(metadata) — the Delta/Iceberg
+    type-widening contract re-expressed on plain directories; the
+    physical convergence is the same amortized churn additive evolution
+    already pays."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        compact_keyed_table,
+        read_keyed_table,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 100).cast("int").alias("qty")
+    )
+    path = scratch_dir(prefix="keyed_widen_q_") + "/tab"
+    write_keyed_table(orders, path, ["o_orderkey"], num_buckets=8, assume_unique=True)
+    k = F.col("o_orderkey")
+    big = orders.filter(k % 25 == 11).withColumn(
+        "qty", (F.lit(5_000_000_000) + k).cast("bigint")
+    )
+    upsert_keyed_table(
+        spark, path, big, assume_unique=True, mode="mor", evolve_schema=True
+    )
+    compact_keyed_table(spark, path, rewrite_all=True)
+    return read_keyed_table(spark, path).select("o_orderkey", "qty")
 
 
 @query(

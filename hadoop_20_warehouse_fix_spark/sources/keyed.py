@@ -143,24 +143,96 @@ def _strip_private(meta: dict) -> dict:
     return {k: v for k, v in meta.items() if not k.startswith("_")}
 
 
+def _read_json_file(
+    fs, hpath, retries: int = 0, retry_missing: bool = False, delay: float = 0.04
+):
+    """Parse a JSON control file, tolerating the transient states a
+    concurrent writer can expose (round-14 verdict #1): a file mid-PUT
+    used to be visible and EMPTY between ``fs.create`` and ``close``,
+    and the atomic-PUT replacement below still has a delete→rename
+    window where an overwritten file is briefly missing. Returns the
+    parsed dict, or ``None`` when the file is missing (immediately,
+    unless ``retry_missing``) or still empty/unparsable after
+    ``retries`` re-reads — callers decide whether None is an error."""
+    import time as _time
+
+    for attempt in range(retries + 1):
+        data = None
+        try:
+            stream = fs.open(hpath)
+            try:
+                data = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+        except Exception:  # noqa: BLE001 — missing (or racing a delete)
+            if not retry_missing:
+                return None
+        if data:
+            try:
+                return json.loads(data.decode())
+            except ValueError:
+                pass  # truncated/in-flight — retry
+        if attempt < retries:
+            _time.sleep(delay)
+    return None
+
+
+def _put_json_atomic(spark: SparkSession, dest: str, doc: dict, overwrite: bool) -> None:
+    """Control-file PUT with ATOMIC VISIBILITY (round-14 verdict #1 —
+    the r13 storm-test race): ``fs.create`` in place leaves the file
+    visible and EMPTY between create and close on rename-capable
+    stores (local/HDFS), so a concurrent reader listing ``_commits/``
+    picked the half-written manifest as highest-n and crashed parsing
+    zero bytes. Write a hidden ``.<name>.<uuid>.tmp`` sibling, then
+    rename into place — rename is atomic AND fails-if-exists on these
+    stores, which doubles as create-exclusive for commit manifests
+    (``overwrite=False``). ``overwrite=True`` (root meta) deletes the
+    old file first; the brief missing-file window that leaves is
+    covered by the readers' retry (:func:`_read_json_file`). On
+    S3-class stores the dest-key PUT was already atomic; the tmp hop
+    costs one extra tiny-object copy there and changes nothing
+    semantically. The reference commits task output the same way —
+    promote-by-rename, never create-in-place
+    (``src/mapred/.../FileOutputCommitter.java``)."""
+    import uuid
+
+    fs, hpath, jvm = _fs(spark, dest)
+    Path = jvm.org.apache.hadoop.fs.Path
+    parent, name = dest.rsplit("/", 1)
+    tmpp = Path(f"{parent}/.{name}.{uuid.uuid4().hex}.tmp")
+    out = fs.create(tmpp, True)
+    out.write(bytearray(json.dumps(doc).encode()))
+    out.close()
+    if overwrite and fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmpp, hpath):
+        fs.delete(tmpp, False)
+        raise IOError(
+            f"atomic PUT of {dest!r} failed: rename refused (a concurrent "
+            "writer already published this file)"
+        )
+
+
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     _fence_lease(spark, path)  # meta PUT is rename-mode's evolution commit
-    fs, hpath, jvm = _fs(spark, f"{path}/{_META}")
-    out = fs.create(hpath, True)
-    out.write(bytearray(json.dumps(_strip_private(meta)).encode()))
-    out.close()
+    _put_json_atomic(spark, f"{path}/{_META}", _strip_private(meta), overwrite=True)
 
 
 def read_keyed_meta(spark: SparkSession, path: str) -> dict:
     fs, hpath, jvm = _fs(spark, f"{path}/{_META}")
     if not fs.exists(hpath):
-        raise ValueError(f"{path!r} is not a keyed table (no {_META})")
-    stream = fs.open(hpath)
-    try:
-        data = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    meta = json.loads(data.decode())
+        # one bounded retry pass: an atomic meta overwrite has a
+        # delete→rename window where the file is briefly absent
+        meta = _read_json_file(fs, hpath, retries=5, retry_missing=True)
+        if meta is None:
+            raise ValueError(f"{path!r} is not a keyed table (no {_META})")
+    else:
+        meta = _read_json_file(fs, hpath, retries=5, retry_missing=True)
+        if meta is None:
+            raise ValueError(
+                f"{path!r}: {_META} is unreadable (empty/corrupt after "
+                "retries) — the table metadata file is damaged"
+            )
     if meta.get("commit") == "marker":
         # The CURRENT commit manifest is the marker table's source of
         # truth for metadata (embedded since round 12 so a re-load
@@ -263,23 +335,71 @@ def _release_writer_lock(spark: SparkSession, path: str, token: str) -> None:
     delete it replaces."""
     fs, _, jvm = _fs(spark, path)
     lockp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_WRITER_LOCK}")
-    try:
-        stream = fs.open(lockp)
-        try:
-            holder = json.loads(bytes(stream.readAllBytes()).decode())
-        finally:
-            stream.close()
-    except Exception:  # noqa: BLE001 — already gone (broken + released)
-        return
-    if holder.get("token") == token:
+    holder = _read_json_file(fs, lockp, retries=3)
+    if holder is not None and holder.get("token") == token:
         fs.delete(lockp, False)
 
 
-# path → lease token for leases HELD BY THIS PROCESS. Lets the commit
-# points re-verify ownership without threading the token through every
-# call chain. Single-writer per table is the whole point of the lease,
-# so a plain dict (last-enter wins per path) is sufficient bookkeeping.
-_ACTIVE_LEASES: dict[str, str] = {}
+def _renew_lease(spark: SparkSession, path: str, token: str) -> bool:
+    """Heartbeat renewal (round-14 brief #5): re-PUT the lock payload
+    with a fresh timestamp, OWNERSHIP-CHECKED — so a legitimate writer
+    whose batch outlives ``lock_ttl_sec`` keeps its lease alive instead
+    of being broken mid-job and fence-aborted (the r13 contention rig's
+    livelock regime when ttl < batch wall). Returns False — and writes
+    NOTHING — when the lock is gone or carries another token: the lease
+    was broken for real (this process stalled past the TTL) and the
+    successor now owns the table; the next commit-point fence aborts
+    this writer. The check→create window is microseconds and only
+    matters if the TTL ALSO expired in it (a heartbeating lease never
+    looks stale to breakers) — the same filesystem-primitive residual
+    as _release_writer_lock. The in-place create is momentarily
+    unparsable to concurrent lock readers; all of them retry
+    (:func:`_read_json_file`). Reference analog: task-liveness
+    heartbeats keeping the tracker from re-scheduling a live task
+    (``src/mapred/.../TaskTracker.java``)."""
+    import os
+    import socket
+    import time
+
+    fs, _, jvm = _fs(spark, path)
+    lockp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_WRITER_LOCK}")
+    holder = _read_json_file(fs, lockp, retries=3)
+    if holder is None or holder.get("token") != token:
+        return False
+    payload = json.dumps(
+        {
+            "host": socket.gethostname(),
+            "pid": os.getpid(),
+            "token": token,
+            "acquired_unix": holder.get("acquired_unix"),
+            "renewed_unix": time.time(),
+        }
+    ).encode()
+    try:
+        out = fs.create(lockp, True)
+        out.write(bytearray(payload))
+        out.close()
+        return True
+    except Exception:  # noqa: BLE001 — lost a race with a breaker's rename
+        return False
+
+
+# (path, thread id) → lease token for leases HELD BY THIS PROCESS.
+# Lets the commit points re-verify ownership without threading the
+# token through every call chain. Keyed by THREAD, not just path
+# (round-14 ADVICE medium): with a path-only dict a successor THREAD
+# in this process that broke a zombie thread's TTL-expired lease
+# overwrote the zombie's registered token — the zombie's fence then
+# compared the successor's token against the lock file, matched, and
+# committed interleaved. Per-thread keys give each writer thread its
+# own registration, so the zombie fences against ITS token and aborts.
+_ACTIVE_LEASES: dict[tuple[str, int], str] = {}
+
+
+def _lease_key(path: str) -> tuple[str, int]:
+    import threading
+
+    return (path, threading.get_ident())
 
 
 def _fence_lease(spark: SparkSession, path: str) -> None:
@@ -297,20 +417,15 @@ def _fence_lease(spark: SparkSession, path: str) -> None:
     is a filesystem-primitive limit — same posture as
     :func:`_release_writer_lock` — but the fence shrinks the exposure
     from the whole (unbounded) job runtime to microseconds."""
-    token = _ACTIVE_LEASES.get(path)
+    token = _ACTIVE_LEASES.get(_lease_key(path))
     if token is None:
         return
     fs, _, jvm = _fs(spark, path)
     lockp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_WRITER_LOCK}")
-    holder = None
-    try:
-        stream = fs.open(lockp)
-        try:
-            holder = json.loads(bytes(stream.readAllBytes()).decode())
-        finally:
-            stream.close()
-    except Exception:  # noqa: BLE001 — lock file gone = lease broken
-        holder = None
+    # retries: a heartbeat renewal rewrites the payload in place, so a
+    # fence racing it can read a mid-create empty file — re-read before
+    # concluding the lease is gone (lock file absent = broken, no retry)
+    holder = _read_json_file(fs, lockp, retries=3)
     if not holder or holder.get("token") != token:
         raise KeyedTableLockedError(
             f"{path!r}: writer lease lost before commit (held token "
@@ -322,21 +437,54 @@ def _fence_lease(spark: SparkSession, path: str) -> None:
 
 
 class _writer_lease:
-    """``with _writer_lease(spark, path, ttl):`` around every mutation."""
+    """``with _writer_lease(spark, path, ttl):`` around every mutation.
+
+    Round 14: the lease HEARTBEATS — a daemon thread renews the lock
+    payload every ``ttl/3`` (floor 1 s) while the batch runs, so TTL
+    semantics become "writer alive", not "batch shorter than TTL": a
+    legitimate long COW backfill keeps its lease (breakers see a fresh
+    mtime) while a crashed/hung writer stops renewing and is broken
+    after one TTL as before. The renewal is ownership-checked and the
+    thread stops permanently the moment the token no longer matches —
+    it never re-PUTs over a successor's lock. First renewal waits one
+    full interval, so sub-second batches never heartbeat at all."""
 
     def __init__(self, spark: SparkSession, path: str, ttl_sec: float):
         self.spark, self.path, self.ttl = spark, path, ttl_sec
         self.token: str | None = None
+        self._hb_stop = None
+        self._hb_thread = None
+
+    def _heartbeat(self):
+        interval = max(self.ttl / 3.0, 1.0)
+        while not self._hb_stop.wait(interval):
+            try:
+                if not _renew_lease(self.spark, self.path, self.token):
+                    return  # lease broken — the commit-point fence aborts
+            except Exception:  # noqa: BLE001 — renewal is best-effort
+                return
 
     def __enter__(self):
+        import threading as _th
+
         self.token = _acquire_writer_lock(self.spark, self.path, self.ttl)
-        _ACTIVE_LEASES[self.path] = self.token
+        _ACTIVE_LEASES[_lease_key(self.path)] = self.token
+        self._hb_stop = _th.Event()
+        self._hb_thread = _th.Thread(
+            target=self._heartbeat, daemon=True, name=f"kb-lease-hb:{self.path}"
+        )
+        self._hb_thread.start()
         return self
 
     def __exit__(self, *exc):
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+        if self._hb_thread is not None:
+            self._hb_thread.join(timeout=5.0)
         if self.token is not None:
-            if _ACTIVE_LEASES.get(self.path) == self.token:
-                _ACTIVE_LEASES.pop(self.path, None)
+            key = _lease_key(self.path)
+            if _ACTIVE_LEASES.get(key) == self.token:
+                _ACTIVE_LEASES.pop(key, None)
             _release_writer_lock(self.spark, self.path, self.token)
         return False
 
@@ -360,27 +508,29 @@ def _check_commit_scheme(scheme: str, commit: str) -> None:
 
 
 def _current_commit(spark: SparkSession, path: str) -> dict | None:
-    """Highest-numbered commit manifest (``_commits/commit-<n>.json``)
-    or None. Manifests are immutable single-file PUTs — atomic on every
-    store — and highest-n-wins resolution needs no atomic overwrite."""
+    """Highest-READABLE commit manifest (``_commits/commit-<n>.json``)
+    or None. Manifests are PUT atomically (temp-then-rename,
+    :func:`_put_json_atomic` — round-14 verdict #1), so a listed
+    manifest is normally complete; belt-and-braces for eventually-
+    visible stores and pre-round-14 crash remnants, an empty or
+    unparsable manifest is re-read briefly and then SKIPPED — the
+    reader resolves commit n−1 instead of crashing, which is exactly
+    the snapshot it would have seen an instant earlier (highest-n-wins
+    makes the fallback linearizable: n's writer has not finished
+    publishing until n parses)."""
     fs, root, jvm = _fs(spark, f"{path}/{_COMMITS_DIR}")
     if not fs.exists(root):
         return None
-    best, best_n = None, -1
+    numbered: list[tuple[int, object]] = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if name.startswith("commit-") and name.endswith(".json"):
-            n = int(name[len("commit-"):-len(".json")])
-            if n > best_n:
-                best_n, best = n, st.getPath()
-    if best is None:
-        return None
-    stream = fs.open(best)
-    try:
-        data = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    return json.loads(data.decode())
+            numbered.append((int(name[len("commit-"):-len(".json")]), st.getPath()))
+    for _, p in sorted(numbered, reverse=True):
+        doc = _read_json_file(fs, p, retries=2)
+        if doc is not None:
+            return doc
+    return None
 
 
 def _write_commit(
@@ -401,16 +551,27 @@ def _write_commit(
     overlay on this manifest's base to reconstruct the table as it
     stood; bounded by ``compact_every`` in a streaming ingest."""
     fs, _, jvm = _fs(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs.mkdirs(Path(f"{path}/{_COMMITS_DIR}"))
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS_DIR}"))
     doc = {"n": n, "buckets": {str(b): d for b, d in buckets.items()}}
     if meta is not None:
         doc["meta"] = _strip_private(meta)
     if pending_seqs is not None:
         doc["pending_seqs"] = sorted(int(s) for s in pending_seqs)
-    out = fs.create(Path(f"{path}/{_COMMITS_DIR}/commit-{n}.json"), False)
-    out.write(bytearray(json.dumps(doc).encode()))
-    out.close()
+    # temp-then-rename (round-14 verdict #1): the manifest becomes
+    # visible ATOMICALLY and fully written; rename's fail-if-exists is
+    # the create-exclusive this PUT always wanted
+    _put_json_atomic(
+        spark, f"{path}/{_COMMITS_DIR}/commit-{n}.json", doc, overwrite=False
+    )
+
+
+def _read_commit_manifest(spark: SparkSession, path: str, n: int) -> dict | None:
+    """Manifest for commit ``n``, or None when it is missing or (after
+    bounded retries) unparsable — a GC'd or damaged manifest reads the
+    same as one that never existed, so callers raise ONE consistent
+    not-readable error."""
+    fs, hpath, jvm = _fs(spark, f"{path}/{_COMMITS_DIR}/commit-{n}.json")
+    return _read_json_file(fs, hpath, retries=2)
 
 
 def _base_df(
@@ -476,32 +637,44 @@ def _base_df(
     # writes should use commit='marker', whose manifest resolution +
     # one-generation GC grace gives real snapshot isolation.
     fs, root, jvm = _fs(spark, path)
-    live_b: dict[int, str] = {}
-    old_b: dict[int, str] = {}
+    Path = jvm.org.apache.hadoop.fs.Path
+    # ONE globStatus for asides first (round-14 ADVICE low): the probe
+    # runs on EVERY base read, and iterating all bucket-dir statuses
+    # through py4j costs hundreds of driver round trips on a 256-bucket
+    # table when the normal answer is "no swap in flight" — the same
+    # fixed-cost audit that converted _recover_unlocked. The full
+    # listing runs only inside the rare mid-swap/crash window.
     try:
-        listing = fs.listStatus(root)
+        asides = fs.globStatus(Path(f"{path}/_old.{BUCKET_COL}.*")) or []
     except Exception:  # noqa: BLE001 — path itself gone
         return empty()
-    for st in listing or []:
-        name = st.getPath().getName()
-        if name.startswith(f"{BUCKET_COL}="):
-            live_b[int(name.split("=", 1)[1])] = name
-        elif name.startswith(f"_old.{BUCKET_COL}."):
-            old_b[int(name.rsplit(".", 1)[1])] = name
-    stranded = {b: d for b, d in old_b.items() if b not in live_b}
-    if stranded:
-        dirs = sorted(
-            [f"{path}/{d}" for d in live_b.values()]
-            + [f"{path}/{d}" for d in stranded.values()]
-        )
-        # _old dirs are not kb= partition dirs — recompute the bucket
-        # id from the key columns (deterministic by construction),
-        # same as the marker-mode read
-        return spark.read.schema(data_schema).parquet(*dirs).withColumn(
-            BUCKET_COL, _bucket_expr(meta)
-        )
-    if not live_b:
-        return empty()
+    if asides:
+        live_b: dict[int, str] = {}
+        old_b: dict[int, str] = {}
+        try:
+            listing = fs.listStatus(root)
+        except Exception:  # noqa: BLE001 — path itself gone
+            return empty()
+        for st in listing or []:
+            name = st.getPath().getName()
+            if name.startswith(f"{BUCKET_COL}="):
+                live_b[int(name.split("=", 1)[1])] = name
+            elif name.startswith(f"_old.{BUCKET_COL}."):
+                old_b[int(name.rsplit(".", 1)[1])] = name
+        stranded = {b: d for b, d in old_b.items() if b not in live_b}
+        if stranded:
+            dirs = sorted(
+                [f"{path}/{d}" for d in live_b.values()]
+                + [f"{path}/{d}" for d in stranded.values()]
+            )
+            # _old dirs are not kb= partition dirs — recompute the bucket
+            # id from the key columns (deterministic by construction),
+            # same as the marker-mode read
+            return spark.read.schema(data_schema).parquet(*dirs).withColumn(
+                BUCKET_COL, _bucket_expr(meta)
+            )
+        if not live_b:
+            return empty()
     full = T.StructType(data_schema.fields).add(BUCKET_COL, T.IntegerType())
     try:
         df = spark.read.schema(full).parquet(path)
@@ -567,11 +740,20 @@ def write_keyed_table(
     range_step: int | None = None,
     sort_cols: Sequence[str] | None = None,
     lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
-    commit: str = "rename",
+    commit: str | None = None,
     gc_generations: int = 1,
 ) -> None:
     """Initial load of a keyed table: bucket directory layout + layout
     metadata, so every later batch derives the same bucketing.
+    ``commit`` defaults to ``"marker"`` for NEW tables (round 14): the
+    manifest protocol works on every store, gives concurrent readers
+    snapshot isolation, and is what time travel / rollback / gc grace
+    require; pass ``commit="rename"`` for plain ``kb=<b>`` partition
+    dirs when no reader ever overlaps a writer. A RE-LOAD of an
+    existing table inherits the table's protocol unless the caller
+    names one explicitly (naming a DIFFERENT one still refuses — a
+    half-switched table would leave readers resolving by the wrong
+    protocol mid-crash).
     ``gc_generations`` (marker protocol; round-12 ADVICE) is how many
     PREDECESSOR commit manifests each publish retains — a reader that
     resolved commit n keeps finding its dirs until ``gc_generations``
@@ -598,7 +780,7 @@ def write_keyed_table(
         raise ValueError(f"{sorted(clash)} are reserved column names in keyed tables")
     if layout not in ("hash", "range"):
         raise ValueError(f"layout must be 'hash' or 'range', got {layout!r}")
-    if commit not in ("rename", "marker"):
+    if commit not in (None, "rename", "marker"):
         raise ValueError(f"commit must be 'rename' or 'marker', got {commit!r}")
     if layout == "hash" and int(num_buckets) < 1:
         # pmod(xxhash64(...), 0) is NULL — every row would land in a
@@ -626,6 +808,23 @@ def write_keyed_table(
     if not assume_unique:
         _check_unique(df, key_cols, "initial load")
     spark = df.sparkSession
+    fs, root, jvm = _fs(spark, path)
+    existing: dict | None = None
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_META}")):
+        existing = read_keyed_meta(spark, path)
+    if commit is None:
+        # marker for new tables (round 14); re-loads inherit — a
+        # default-parameter re-load must not read as a protocol switch
+        commit = _commit_mode(existing) if existing is not None else "marker"
+    elif existing is not None and _commit_mode(existing) != commit:
+        # a half-switched table would leave readers resolving by
+        # the wrong protocol mid-crash; a new path costs nothing
+        raise ValueError(
+            f"cannot change commit protocol on an existing keyed table "
+            f"({_commit_mode(existing)!r} -> {commit!r}) — write to a "
+            "new path instead"
+        )
+    _check_commit_scheme(fs.getUri().getScheme(), commit)
     meta = {
         "key_cols": key_cols,
         "num_buckets": num_buckets,
@@ -640,8 +839,15 @@ def write_keyed_table(
         # bucket file give parquet row-group min/max pruning on the sort
         # key — COW rewrites and compaction preserve the order.
         "sort_cols": list(sort_cols) if sort_cols else [],
-        # Commit protocol: "rename" (atomic dir rename — HDFS/local)
-        # or "marker" (commit-manifest PUTs — object stores).
+        # Commit protocol. DEFAULT IS "marker" since round 14 (verdict
+        # #7): commit-manifest PUTs work on every store AND give
+        # concurrent readers real snapshot isolation (manifest
+        # resolution + graced GC), where "rename" (atomic dir rename —
+        # HDFS/local only) exposes a task-time window during swaps and
+        # keeps no history (no time travel/rollback). Rename remains
+        # available for single-writer single-reader pipelines that want
+        # plain kb=<b> partition dirs on disk; wall-clock is within
+        # noise between the two (SCALING.md r12 quadrant, re-pinned r14).
         "commit": commit,
         # marker-protocol GC grace in manifest generations
         "gc_generations": max(1, int(gc_generations)),
@@ -650,19 +856,6 @@ def write_keyed_table(
     # One shuffle keyed exactly like the layout: each writer task owns
     # whole buckets, so a bucket directory is ~one file, not one file
     # per (task, bucket) pair.
-    fs, root, jvm = _fs(spark, path)
-    _check_commit_scheme(fs.getUri().getScheme(), commit)
-    existing: dict | None = None
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_META}")):
-        existing = read_keyed_meta(spark, path)
-        if _commit_mode(existing) != commit:
-            # a half-switched table would leave readers resolving by
-            # the wrong protocol mid-crash; a new path costs nothing
-            raise ValueError(
-                f"cannot change commit protocol on an existing keyed table "
-                f"({_commit_mode(existing)!r} -> {commit!r}) — write to a "
-                "new path instead"
-            )
     with _writer_lease(spark, path, lock_ttl_sec):
         if existing is not None:
             # re-loads run the same pre-write sweep as every other
@@ -937,10 +1130,8 @@ def _read_at_commit(
             f"{path!r}: time travel needs commit='marker' (rename-protocol "
             "tables overwrite in place and keep no history)"
         )
-    fs, _, jvm = _fs(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    mp = Path(f"{path}/{_COMMITS_DIR}/commit-{n}.json")
-    if not fs.exists(mp):
+    cm = _read_commit_manifest(spark, path, n)
+    if cm is None:
         cur = _current_commit(spark, path) or {"n": 0}
         raise ValueError(
             f"{path!r}: commit {n} is not readable (current is "
@@ -948,11 +1139,6 @@ def _read_at_commit(
             "GC'd; raise write_keyed_table's gc_generations to retain "
             "more history"
         )
-    stream = fs.open(mp)
-    try:
-        cm = json.loads(bytes(stream.readAllBytes()).decode())
-    finally:
-        stream.close()
     meta_n = dict(cm.get("meta") or meta)
     meta_n["commit"] = "marker"
     meta_n["_commit"] = cm  # _base_df resolves through THIS manifest
@@ -1002,8 +1188,19 @@ def _read_at_commit(
     for p in parts[1:]:
         deltas = deltas.unionByName(p)
     deltas = deltas.withColumnRenamed("seq", "_seq")
+    # same broadcast-vs-shuffle guard as the normal read path (round-14
+    # ADVICE low): a time-travel read of a commit with large pending
+    # deltas must not force an over-limit broadcast the live read
+    # would have routed to the shuffle anti-join
+    fs, _, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    pend_bytes = 0
+    for s in pending:
+        d, _bp = where[s]
+        pend_bytes += fs.getContentSummary(Path(d)).getLength()
+    bcast = pend_bytes <= DELTA_BROADCAST_BYTES
     return _merged_view(
-        base, deltas, meta_n, extra=[], broadcast_keys=True
+        base, deltas, meta_n, extra=[], broadcast_keys=bcast
     ).select(*data_cols)
 
 
@@ -1119,20 +1316,15 @@ def _marker_publish(
             manifests.append((int(name[len("commit-"):-len(".json")]), st.getPath()))
     for n_old, mp in manifests:
         if retained_floor <= n_old < n_new - 1:  # retained beyond cm
-            stream = fs.open(mp)
-            try:
-                kept = json.loads(bytes(stream.readAllBytes()).decode())
-            finally:
-                stream.close()
-            keep |= set((kept.get("buckets") or {}).values())
+            kept = _read_json_file(fs, mp, retries=2)
+            if kept is not None:
+                keep |= set((kept.get("buckets") or {}).values())
     for n_old, mp in manifests:
         if n_old >= retained_floor:
             continue
-        stream = fs.open(mp)
-        try:
-            stale = json.loads(bytes(stream.readAllBytes()).decode())
-        finally:
-            stream.close()
+        # an unparsable below-floor manifest (pre-round-14 crash
+        # remnant) references nothing — delete the file, GC no dirs
+        stale = _read_json_file(fs, mp) or {}
         for d in (stale.get("buckets") or {}).values():
             if d not in keep:
                 fs.delete(Path(f"{path}/{d}"), True)
@@ -1149,25 +1341,30 @@ def _recover_marker(spark: SparkSession, path: str) -> dict:
     manifest means crashes never leave ambiguous state): drop versioned
     bucket dirs NO retained manifest references (the GC grace keeps the
     previous manifest's dirs alive — the sweep honors the same rule),
-    delta seq dirs without a ``_COMMITTED`` marker, and ``_staging``.
-    Returns ``{gc_buckets: [...], gc_deltas: [...],
-    staging_cleared: bool}``."""
+    delta seq dirs without a ``_COMMITTED`` marker (crashed batches —
+    a COMMITTED dir is never GC'd here even when ``delta_floor`` hides
+    it from live reads: after a rollback the skipped generation's
+    floored deltas are still referenced by retained manifests'
+    ``pending_seqs`` and time-travel reads of those commits must keep
+    working, round-14 ADVICE), orphaned ``.{json}.tmp`` control-file
+    remnants, and ``_staging``. Returns ``{gc_buckets: [...],
+    gc_deltas: [...], staging_cleared: bool}``."""
     import re
 
     fs, root, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     referenced: set[str] = set()
+    ref_pending: set[int] = set()
     croot = Path(f"{path}/{_COMMITS_DIR}")
     if fs.exists(croot):
         for st in fs.listStatus(croot):
             name = st.getPath().getName()
             if name.startswith("commit-") and name.endswith(".json"):
-                stream = fs.open(st.getPath())
-                try:
-                    m = json.loads(bytes(stream.readAllBytes()).decode())
-                finally:
-                    stream.close()
+                m = _read_json_file(fs, st.getPath(), retries=2)
+                if m is None:
+                    continue  # unparsable remnant — references nothing
                 referenced |= set((m.get("buckets") or {}).values())
+                ref_pending |= {int(s) for s in (m.get("pending_seqs") or [])}
     gc_b, gc_d = [], []
     pat = re.compile(r"^_b\d+\.v\d+$")
     for st in fs.globStatus(Path(f"{path}/_b*")) or []:
@@ -1175,12 +1372,27 @@ def _recover_marker(spark: SparkSession, path: str) -> dict:
         if st.isDirectory() and pat.match(name) and name not in referenced:
             fs.delete(st.getPath(), True)
             gc_b.append(name)
-    committed = {seq for seq, _ in _delta_seq_dirs(spark, path)}
+    # commit test = the _COMMITTED marker itself, FLOOR-FREE: the
+    # delta_floor filter in _delta_seq_dirs hides retired generations
+    # from live reads, but retired-yet-committed dirs are history, not
+    # garbage — GC'ing them broke time travel of rollback-skipped
+    # commits (round-14 ADVICE low). A committed dir no retained
+    # manifest needs ages out via compaction/feed-archive GC instead.
+    marked = {
+        int(st.getPath().getParent().getName().split("=", 1)[1])
+        for st in (
+            fs.globStatus(Path(f"{path}/{_DELTA_DIR}/seq=*/{_COMMITTED_MARK}"))
+            or []
+        )
+    }
     for st in fs.globStatus(Path(f"{path}/{_DELTA_DIR}/seq=*")) or []:
         name = st.getPath().getName()
-        if st.isDirectory() and int(name.split("=", 1)[1]) not in committed:
+        if st.isDirectory() and int(name.split("=", 1)[1]) not in marked:
             fs.delete(st.getPath(), True)
             gc_d.append(name)
+    for pattern in (f"{path}/.*.tmp", f"{path}/{_COMMITS_DIR}/.*.tmp"):
+        for st in fs.globStatus(Path(pattern)) or []:
+            fs.delete(st.getPath(), False)
     staging = Path(f"{path}/_staging")
     had_staging = fs.exists(staging)
     if had_staging:
@@ -1224,10 +1436,8 @@ def rollback_keyed_table(
                 f"{path!r}: rollback needs commit='marker' (rename-protocol "
                 "tables overwrite in place and keep no history)"
             )
-        fs, _, jvm = _fs(spark, path)
-        Path = jvm.org.apache.hadoop.fs.Path
-        mp = Path(f"{path}/{_COMMITS_DIR}/commit-{to_commit}.json")
-        if not fs.exists(mp):
+        target = _read_commit_manifest(spark, path, to_commit)
+        if target is None:
             cur = _current_commit(spark, path) or {"n": 0}
             raise ValueError(
                 f"{path!r}: commit {to_commit} is not readable (current is "
@@ -1235,11 +1445,6 @@ def rollback_keyed_table(
                 "GC'd; raise write_keyed_table's gc_generations to retain "
                 "more history"
             )
-        stream = fs.open(mp)
-        try:
-            target = json.loads(bytes(stream.readAllBytes()).decode())
-        finally:
-            stream.close()
         pending = target.get("pending_seqs")
         if pending is None:
             raise ValueError(
@@ -1325,6 +1530,8 @@ def _recover_unlocked(spark: SparkSession, path: str, meta: dict) -> dict:
         else:
             fs.delete(st.getPath(), True)
             dropped.append(b)
+    for st in fs.globStatus(Path(f"{path}/.*.tmp")) or []:
+        fs.delete(st.getPath(), False)  # orphaned atomic-PUT remnants
     staging = Path(f"{path}/_staging")
     had_staging = fs.exists(staging)
     if had_staging:
@@ -1333,24 +1540,56 @@ def _recover_unlocked(spark: SparkSession, path: str, meta: dict) -> dict:
 
 
 def _evolve_schema(
-    spark: SparkSession, path: str, meta: dict, batch: DataFrame, extra: list
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    batch: DataFrame,
+    extra: list,
+    widen: dict | None = None,
 ) -> dict:
-    """Additive schema evolution (round 12): append the batch's new
-    columns to the table schema as nullable fields and persist the
-    evolved metadata BEFORE the delta commits — a crash in between
-    leaves an evolved schema whose column reads NULL everywhere, which
-    the explicit-schema readers handle by construction. Files never
-    rewrite: old base buckets and old deltas simply lack the column
-    and read as NULL until COW churn / compaction rewrites them.
-    Marker tables publish the evolved meta as a new commit manifest
-    (atomic single PUT, buckets unchanged); rename tables rewrite the
-    root meta file (single-file overwrite)."""
+    """Schema evolution, O(metadata): ADD the batch's new columns as
+    nullable fields (round 12) and/or WIDEN existing columns along
+    ``_WIDENS`` to the batch's wider type (round 14 — the first
+    evolution Delta/Iceberg users actually hit), persisting the evolved
+    metadata BEFORE the delta commits — a crash in between leaves an
+    evolved schema that reads consistently (new column NULL everywhere;
+    widened column upcast everywhere). Files never rewrite: old base
+    buckets and old deltas keep their physical type and the
+    explicit-schema readers upcast at scan time (Spark's vectorized
+    parquet reader performs the ``_WIDENS`` promotions — int32→int64,
+    float→double, int→double, decimal growth — probe-verified in
+    ``tests/test_keyed_widening.py``); compaction/COW churn converge
+    the physical type as buckets rewrite. Widening a KEY column is
+    refused on the hash layout — ``xxhash64`` hashes int 5 and long 5
+    to DIFFERENT values (probe-verified), so the widened key would
+    re-bucket every row out from under its directory; the range layout
+    buckets through ``CAST AS BIGINT`` and is type-stable. Marker
+    tables publish the evolved meta as a new commit manifest (atomic
+    single PUT, buckets unchanged); rename tables rewrite the root meta
+    file (atomic temp-then-rename PUT)."""
+    widen = widen or {}
     reserved = {BUCKET_COL, _DEL_COL, "seq", "_seq"}
     bad = [c for c in extra if c in reserved or c.startswith("_")]
     if bad:
         raise ValueError(f"cannot evolve schema with reserved/underscore columns {bad}")
+    if widen and meta.get("layout", "hash") == "hash":
+        bad_keys = [c for c in widen if c in meta["key_cols"]]
+        if bad_keys:
+            raise ValueError(
+                f"cannot widen key columns {bad_keys} on a hash layout: "
+                "xxhash64 is not stable across integer widths, so the widened "
+                "key re-buckets every existing row out from under its "
+                "directory — rewrite the table with the wider key type instead"
+            )
     full = T.StructType.fromJson(json.loads(meta["schema_json"]))
     btypes = {f.name: f.dataType for f in batch.schema.fields}
+    if widen:
+        full = T.StructType(
+            [
+                T.StructField(f.name, widen.get(f.name, f.dataType), f.nullable, f.metadata)
+                for f in full.fields
+            ]
+        )
     for c in extra:
         full = full.add(c, btypes[c], True)
     evolved = {k: v for k, v in meta.items() if not k.startswith("_")}
@@ -1459,8 +1698,19 @@ def _coerce_to_table_types(
             fwd = orig.try_cast(want)
             back = fwd.try_cast(have)
             eq = back == orig
-            if isinstance(have, (T.NumericType, T.StringType)) and isinstance(
-                want, (T.NumericType, T.StringType)
+            # numeric-equality fallback ONLY for string↔numeric pairs
+            # ("007" round-trips to "7"; compare as numbers). It must
+            # NOT apply numeric→numeric (round-14 brief #2, r13 verdict
+            # wrong #2): for a bigint batch onto a double table, 2⁵³+1
+            # round-trips to 2⁵³ (back != orig, correctly lossy), but
+            # comparing both sides THROUGH double collapses them equal
+            # — the fallback would accept exactly the values the check
+            # exists to refuse. Same for high-precision decimal→double.
+            str_have = isinstance(have, T.StringType)
+            str_want = isinstance(want, T.StringType)
+            if (str_have != str_want) and (
+                isinstance(have, (T.NumericType, T.StringType))
+                and isinstance(want, (T.NumericType, T.StringType))
             ):
                 eq = eq | (
                     orig.try_cast("double").isNotNull()
@@ -1782,14 +2032,29 @@ def _mor_append(
     _recover_unlocked(spark, path, meta)
     if evolve_schema and not delete:
         extra = [c for c in batch.columns if c not in meta["data_cols"]]
-        if extra:
-            if not set(meta["data_cols"]).issubset(set(batch.columns)):
+        # round 14: a batch column STRICTLY WIDER than the table's
+        # (int batch column arriving as bigint, decimal outgrowing its
+        # precision) widens the table type instead of being refused by
+        # the dtype contract — metadata-only, old files upcast at scan
+        ttypes = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(meta["schema_json"])).fields
+        }
+        widen = {
+            f.name: f.dataType
+            for f in batch.schema.fields
+            if f.name in ttypes
+            and f.dataType != ttypes[f.name]
+            and _is_widening(ttypes[f.name], f.dataType)
+        }
+        if extra or widen:
+            if extra and not set(meta["data_cols"]).issubset(set(batch.columns)):
                 raise ValueError(
                     "schema evolution is ADDITIVE: the batch must carry every "
                     f"existing column plus the new ones; missing "
                     f"{sorted(set(meta['data_cols']) - set(batch.columns))}"
                 )
-            meta = _evolve_schema(spark, path, meta, batch, extra)
+            meta = _evolve_schema(spark, path, meta, batch, extra, widen=widen)
     key_cols, data_cols = meta["key_cols"], meta["data_cols"]
     if idempotency_key is not None:
         seen = _delta_ingest_keys(spark, path, meta)
@@ -1942,12 +2207,28 @@ def _archive_and_gc_deltas(
         fs.delete(Path(f"{path}/{_FEED_ARCHIVE}/gen={g}"), True)
 
 
+def _live_buckets(spark: SparkSession, path: str, meta: dict) -> set[int]:
+    """Bucket ids with live data, O(metadata): manifest keys (marker)
+    or one ``kb=*`` glob (rename)."""
+    fs, _, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if _commit_mode(meta) == "marker":
+        cm = meta.get("_commit") or _current_commit(spark, path) or {}
+        return {int(b) for b in (cm.get("buckets") or {})}
+    return {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.globStatus(Path(f"{path}/{BUCKET_COL}=*")) or []
+        if st.isDirectory()
+    }
+
+
 def compact_keyed_table(
     spark: SparkSession,
     path: str,
     refresh_manifest: bool = False,
     lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
     retain_generations: int = 1,
+    rewrite_all: bool = False,
 ) -> dict:
     """Fold pending MOR deltas into the base: resolve latest-seq-wins
     over (base ∪ deltas) for ONLY the buckets the deltas touch, COW-swap
@@ -1967,14 +2248,20 @@ def compact_keyed_table(
     pages through the archive instead of full-resyncing (at 100 TB a
     resync is a full-table read). ``0`` restores the drop-on-fold
     behavior. The archive is metadata-invisible to table reads: only
-    :func:`read_keyed_changes` looks at it."""
+    :func:`read_keyed_changes` looks at it.
+
+    ``rewrite_all=True`` (round 14) rewrites EVERY live bucket, not
+    just the delta-touched ones — the OPTIMIZE-style full pass that
+    converges physical file types after a widening schema evolution
+    (and re-sorts every bucket on ``sort_cols``). Deliberately O(table)
+    — schedule it like any other full rewrite."""
     with _writer_lease(spark, path, lock_ttl_sec):
         # meta is read INSIDE the lease (round-12 review): a concurrent
         # re-load could otherwise change the layout between the read
         # and the lease, and the compaction would bucket by stale meta.
         meta = read_keyed_meta(spark, path)
         return _compact_locked(
-            spark, path, meta, refresh_manifest, retain_generations
+            spark, path, meta, refresh_manifest, retain_generations, rewrite_all
         )
 
 
@@ -1984,23 +2271,36 @@ def _compact_locked(
     meta: dict,
     refresh_manifest: bool,
     retain_generations: int = 1,
+    rewrite_all: bool = False,
 ) -> dict:
     _recover_unlocked(spark, path, meta)  # same pre-read sweep as _apply_batch
     deltas = _read_deltas(spark, path, meta)
-    if deltas is None:
+    if deltas is None and not rewrite_all:
         # nothing to fold, but still honor the retention setting: a
         # compact with a smaller retain_generations is how a
         # consumer-less table sheds its feed archive (and its replay
         # ledger) on demand
         _archive_and_gc_deltas(spark, path, [], 0, retain_generations)
         return {"touched_buckets": [], "deltas_folded": 0}
-    seq_dirs = _delta_seq_dirs(spark, path, meta)
-    n_deltas, max_seq = len(seq_dirs), max(s for s, _ in seq_dirs)
-    deltas = deltas.persist()
+    seq_dirs = _delta_seq_dirs(spark, path, meta) if deltas is not None else []
+    n_deltas = len(seq_dirs)
+    max_seq = max((s for s, _ in seq_dirs), default=0)
+    if deltas is not None:
+        deltas = deltas.persist()
     try:
-        touched = sorted(
-            int(r[BUCKET_COL]) for r in deltas.select(BUCKET_COL).distinct().collect()
+        touched = (
+            sorted(
+                int(r[BUCKET_COL])
+                for r in deltas.select(BUCKET_COL).distinct().collect()
+            )
+            if deltas is not None
+            else []
         )
+        if rewrite_all:
+            touched = sorted(set(touched) | _live_buckets(spark, path, meta))
+        if not touched:
+            _archive_and_gc_deltas(spark, path, [], 0, retain_generations)
+            return {"touched_buckets": [], "deltas_folded": 0}
         base = _base_df(spark, path, meta, buckets=touched).filter(
             F.col(BUCKET_COL).isin(touched)
         )
@@ -2008,8 +2308,13 @@ def _compact_locked(
         # draft's whole-table max_by measured 50.5 s against the full
         # rewrite's 12.3 — a compaction slower than the rewrite it
         # amortizes is pointless); kb rides through as the write key.
-        bcast = _delta_bytes(spark, path) <= DELTA_BROADCAST_BYTES
-        merged = _merged_view(base, deltas, meta, extra=[BUCKET_COL], broadcast_keys=bcast)
+        if deltas is not None:
+            bcast = _delta_bytes(spark, path) <= DELTA_BROADCAST_BYTES
+            merged = _merged_view(
+                base, deltas, meta, extra=[BUCKET_COL], broadcast_keys=bcast
+            )
+        else:  # rewrite_all with no pending deltas: plain re-layout
+            merged = base.select(*list(meta["data_cols"]) + [BUCKET_COL])
         staging = f"{path}/_staging"
         fs, _, jvm = _fs(spark, staging)
         Path = jvm.org.apache.hadoop.fs.Path
@@ -2030,8 +2335,11 @@ def _compact_locked(
             churned = [f"{path}/{BUCKET_COL}={b}" for b in touched]
         # hwm BEFORE retiring the dirs: a crash between the two leaves
         # the dirs present and the hwm high — next commit skips a few
-        # seq numbers, which is harmless (monotonicity is the contract)
-        _write_seq_hwm(spark, path, max_seq)
+        # seq numbers, which is harmless (monotonicity is the contract).
+        # Skipped when nothing folded (rewrite_all of a quiesced table)
+        # — writing 0 would LOWER the hwm and alias feed checkpoints.
+        if seq_dirs:
+            _write_seq_hwm(spark, path, max_seq)
         _archive_and_gc_deltas(
             spark, path, seq_dirs, max_seq, retain_generations
         )
@@ -2053,7 +2361,8 @@ def _compact_locked(
                 )
         return out
     finally:
-        deltas.unpersist()
+        if deltas is not None:
+            deltas.unpersist()
 
 
 def upsert_keyed_table(
@@ -2074,10 +2383,12 @@ def upsert_keyed_table(
     batches — the measured quadrant split, SCALING.md r11).
     ``idempotency_key`` (MOR only) makes a replayed batch a no-op.
     ``evolve_schema=True`` (MOR only) lets the batch carry ADDITIVE new
-    columns: the table schema gains them as nullable fields atomically
-    before the delta commits, old files read the column as NULL, and
-    COW churn / compaction rewrites buckets with the evolved schema as
-    they are touched."""
+    columns and/or WIDEN existing columns along the lossless ladder
+    (int→bigint, float→double, decimal growth — round 14): the table
+    schema evolves atomically before the delta commits, old files read
+    through the evolved schema (new column NULL; widened column upcast
+    at scan time), and COW churn / compaction rewrites buckets with the
+    evolved schema as they are touched."""
     if idempotency_key is not None and mode != "mor":
         raise ValueError("idempotency_key is a MOR-delta contract; mode='cow' rewrites in place")
     if evolve_schema and mode != "mor":

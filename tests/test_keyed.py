@@ -38,12 +38,17 @@ def _bucket_files(path: str) -> dict[str, set[tuple[str, float, int]]]:
 
 @pytest.fixture()
 def keyed(spark):
+    # PINNED to the rename protocol: this file is the rename-era pin
+    # set — kb=<b> partition dirs on disk, plain-parquet base interop,
+    # _old.kb swap physics. The default flipped to commit='marker' in
+    # round 14 (verdict #7); the marker twin pins live in
+    # test_keyed_marker.py / test_keyed_atomic.py / test_keyed_snapshot.py.
     tmp = tempfile.mkdtemp(prefix="keyed_")
     path = f"{tmp}/tab"
     base = spark.range(10_000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("base").alias("tag")
     )
-    write_keyed_table(base, path, ["k"], num_buckets=16)
+    write_keyed_table(base, path, ["k"], num_buckets=16, commit="rename")
     yield path
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -549,7 +554,10 @@ def test_lookup_keys_prunes_directories_range_layout(spark, tmp_path):
     df = spark.range(-5_000, 45_000).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("v")
     )
-    write_keyed_table(df, path, ["k"], layout="range", range_step=10_000)
+    # rename protocol: the kb=<b> path assertion below is its layout
+    write_keyed_table(
+        df, path, ["k"], layout="range", range_step=10_000, commit="rename"
+    )
     out = lookup_keys(spark, path, [-4_999, 12_345])
     assert {(r.k, r.v) for r in out.collect()} == {(-4_999, -14_997), (12_345, 37_035)}
     files = {

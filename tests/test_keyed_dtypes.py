@@ -230,3 +230,58 @@ def test_reload_then_retyped_upsert_round12_repro(spark):
         assert read_keyed_changes(spark, path, since_seq=1).count() == 1
     finally:
         _cleanup(path)
+
+
+def test_bigint_past_2_53_on_double_table_refuses(spark):
+    """Round-14 brief #2 (r13 verdict wrong #2): bigint→double is NOT a
+    widening (53-bit mantissa), and the value check must catch 2⁵³+1 —
+    the old numeric-equality fallback compared both sides THROUGH
+    double, where 2⁵³+1 and its round-trip 2⁵³ collapse equal, so the
+    lossy batch was accepted and the stored value silently changed by
+    1. The fallback is now string↔numeric only."""
+    tmp = tempfile.mkdtemp(prefix="keyed_dt_double_")
+    path = f"{tmp}/tab"
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),  # v: double
+        F.lit("base").alias("tag"),
+    )
+    write_keyed_table(base, path, ["k"], num_buckets=4)
+    try:
+        bad = spark.createDataFrame(
+            [(5, (1 << 53) + 1, "big")], "k long, v long, tag string"
+        )
+        with pytest.raises(ValueError, match="1 value\\(s\\) do not fit double"):
+            upsert_keyed_table(spark, path, bad, mode="mor")
+        # 2⁵³ itself round-trips exactly — accepted by the value check
+        ok = spark.createDataFrame(
+            [(5, 1 << 53, "edge")], "k long, v long, tag string"
+        )
+        upsert_keyed_table(spark, path, ok, mode="mor")
+        assert read_keyed_table(spark, path).filter(
+            F.col("k") == 5
+        ).first().v == float(1 << 53)
+    finally:
+        _cleanup(path)
+
+
+def test_decimal_past_double_precision_refuses(spark):
+    """The decimal twin: decimal(20,0) holds 2⁵³+1 exactly; a double
+    table cannot — the batch must refuse, not silently round."""
+    tmp = tempfile.mkdtemp(prefix="keyed_dt_dec_")
+    path = f"{tmp}/tab"
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.lit("base").alias("tag"),
+    )
+    write_keyed_table(base, path, ["k"], num_buckets=4)
+    try:
+        bad = spark.createDataFrame(
+            [(5, "9007199254740993", "big")], "k long, v string, tag string"
+        ).select("k", F.col("v").cast("decimal(20,0)").alias("v"), "tag")
+        with pytest.raises(ValueError, match="do not fit double"):
+            upsert_keyed_table(spark, path, bad, mode="mor")
+        assert read_keyed_table(spark, path).count() == 100
+    finally:
+        _cleanup(path)

@@ -25,12 +25,16 @@ import hadoop_20_warehouse_fix_spark.sources.keyed as K
 
 @pytest.fixture()
 def table(spark):
+    # rename protocol: these pins assert rename-era commit points (the
+    # delta-dir rename IS the commit, so an aborted batch leaves NO seq
+    # dir). Marker fencing — where the _COMMITTED/manifest PUT commits
+    # — is pinned separately below.
     tmp = tempfile.mkdtemp(prefix="keyed_fence_")
     path = f"{tmp}/tab"
     base = spark.range(1_000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("base").alias("tag")
     )
-    K.write_keyed_table(base, path, ["k"], num_buckets=4)
+    K.write_keyed_table(base, path, ["k"], num_buckets=4, commit="rename")
     yield path
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -97,7 +101,7 @@ def test_fence_noop_without_registered_lease(spark, table):
     K._fence_lease(spark, table)  # no lease registered → no-op
     batch = spark.createDataFrame([(1, -9, "z")], "k long, v long, tag string")
     K.upsert_keyed_table(spark, table, batch, mode="mor")
-    assert table not in K._ACTIVE_LEASES
+    assert not any(p == table for p, _ in K._ACTIVE_LEASES)
     assert K.read_keyed_table(spark, table).filter(F.col("k") == 1).first().v == -9
 
 
@@ -128,5 +132,43 @@ def test_marker_publish_fences_manifest_put(spark, monkeypatch):
         os.remove(os.path.join(path, K._WRITER_LOCK))
         assert K._current_commit(spark, path)["n"] == cm_before["n"]
         assert K.read_keyed_table(spark, path).filter(F.col("k") == 1).first().v == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_marker_mor_commit_fences_before_committed_mark(spark, monkeypatch):
+    """Marker protocol (the round-14 default): the MOR commit point is
+    the _COMMITTED marker write. A usurped lease aborts before it — the
+    staged seq dir may remain on disk but carries no marker, readers
+    and the change feed ignore it, and the recovery sweep GCs it."""
+    tmp = tempfile.mkdtemp(prefix="keyed_fence_mm_")
+    path = f"{tmp}/tab"
+    try:
+        base = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit("base").alias("tag"),
+        )
+        K.write_keyed_table(base, path, ["k"], num_buckets=4)  # marker default
+        assert K.read_keyed_meta(spark, path)["commit"] == "marker"
+        real = K._read_seq_hwm
+
+        def usurp_then(spark_, path_):
+            _usurp(path)
+            return real(spark_, path_)
+
+        monkeypatch.setattr(K, "_read_seq_hwm", usurp_then)
+        batch = spark.createDataFrame([(1, -9, "z")], "k long, v long, tag string")
+        with pytest.raises(K.KeyedTableLockedError, match="lease lost before commit"):
+            K.upsert_keyed_table(spark, path, batch, mode="mor")
+        monkeypatch.undo()
+        os.remove(os.path.join(path, K._WRITER_LOCK))
+        seq1 = os.path.join(path, K._DELTA_DIR, "seq=1")
+        if os.path.isdir(seq1):  # staged remnant must be UNCOMMITTED
+            assert not os.path.exists(os.path.join(seq1, K._COMMITTED_MARK))
+        tab = K.read_keyed_table(spark, path)
+        assert tab.filter(F.col("k") == 1).first().v == 2, "old value intact"
+        assert K.read_keyed_changes(spark, path).count() == 0
+        swept = K.recover_keyed_table(spark, path)
+        assert not os.path.exists(seq1), swept
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

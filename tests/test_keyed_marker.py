@@ -301,7 +301,11 @@ def test_marker_reload_meta_flips_atomically(spark, marker, monkeypatch):
 def test_commit_protocol_change_refused(spark, marker):
     df = spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("v"))
     with pytest.raises(ValueError, match="cannot change commit protocol"):
-        write_keyed_table(df, marker, ["k"], num_buckets=2)  # rename over marker
+        # EXPLICIT rename over marker refuses; a default-parameter
+        # re-load INHERITS the table's protocol instead (round 14)
+        write_keyed_table(df, marker, ["k"], num_buckets=2, commit="rename")
+    write_keyed_table(df, marker, ["k"], num_buckets=2)  # inherits marker
+    assert K.read_keyed_meta(spark, marker)["commit"] == "marker"
 
 
 def test_reload_retires_old_deltas_atomically(spark, marker, monkeypatch):

@@ -318,7 +318,10 @@ def test_refresh_changed_dirs_equals_full_reconcile(spark):
             F.col("id").alias("k"), (F.col("id") * 7 % 997).alias("v")
         )
         for path in (a, b):
-            write_keyed_table(df, path, ["k"], num_buckets=8)
+            # rename protocol: the declared dirs below are kb=<b> names
+            # (marker compactions declare their own _b<b>.v<n> churn via
+            # _marker_publish's changed_dirs — pinned in test_keyed_marker)
+            write_keyed_table(df, path, ["k"], num_buckets=8, commit="rename")
             write_file_stats_manifest(spark, path, cols=["k", "v"])
         batch = spark.range(40).select(
             (F.col("id") * 100).alias("k"), F.lit(-1).alias("v")

@@ -374,6 +374,11 @@ HEADLINE_PLAN_FINGERPRINTS = {
     "events_json_props":        dict(exchanges=2, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
     "events_tumbling_hourly":   dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
     "join_broadcast_dim":       dict(exchanges=1, broadcast_joins=1, sortmerge_joins=0, file_scans=2, pushed=2),
+    # r14: the storage hot path joins the bench (brief #8). The read
+    # after apply_changes is base ∪ one pending delta: 3 scans (base
+    # dirs, delta, delta-bytes-gated broadcast keys), 1 broadcast
+    # anti-join, 2 exchanges (winner max_by + union output).
+    "keyed_cdc_apply":          dict(exchanges=2, broadcast_joins=1, sortmerge_joins=0, file_scans=3, pushed=1),
     "q10_returned_items":       dict(exchanges=1, broadcast_joins=3, sortmerge_joins=0, file_scans=4, pushed=4),
     "q1_pricing_summary":       dict(exchanges=2, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
     "q3_shipping_priority":     dict(exchanges=1, broadcast_joins=2, sortmerge_joins=0, file_scans=3, pushed=3),
@@ -425,6 +430,7 @@ HEADLINE_FINAL_PLAN_FINGERPRINTS = {
     "events_json_props":        dict(exchanges=2, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
     "events_tumbling_hourly":   dict(exchanges=1, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
     "join_broadcast_dim":       dict(exchanges=1, broadcast_joins=1, sortmerge_joins=0, file_scans=2, pushed=2),
+    "keyed_cdc_apply":          dict(exchanges=2, broadcast_joins=1, sortmerge_joins=0, file_scans=3, pushed=1),
     "q10_returned_items":       dict(exchanges=1, broadcast_joins=3, sortmerge_joins=0, file_scans=4, pushed=4),
     "q1_pricing_summary":       dict(exchanges=2, broadcast_joins=0, sortmerge_joins=0, file_scans=1, pushed=1),
     "q3_shipping_priority":     dict(exchanges=1, broadcast_joins=2, sortmerge_joins=0, file_scans=3, pushed=3),
