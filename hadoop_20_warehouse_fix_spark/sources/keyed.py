@@ -311,12 +311,10 @@ def _acquire_writer_lock(
             if fs.rename(lockp, broken):
                 fs.delete(broken, False)
             continue  # losers fall through to the contended error below
-        try:
-            stream = fs.open(lockp)
-            holder = bytes(stream.readAllBytes()).decode()
-            stream.close()
-        except Exception:  # noqa: BLE001 — racer may have just released
-            holder = "<unknown>"
+        # _read_json_file: a holder mid-heartbeat-renewal reads empty
+        # for a moment — retry before naming it "<unknown>"
+        doc = _read_json_file(fs, lockp, retries=2)
+        holder = json.dumps(doc) if doc is not None else "<unknown>"
         raise KeyedTableLockedError(
             f"{path!r} is locked by another writer (held {age:.0f}s, ttl "
             f"{ttl_sec:.0f}s): {holder} — keyed tables are single-writer; "
@@ -1936,21 +1934,50 @@ def _read_seq_hwm(spark: SparkSession, path: str) -> int:
     the dirs): keeps seq numbering MONOTONIC so a change-feed
     consumer's checkpoint from before a compaction cannot silently
     alias a post-compaction batch (round 12)."""
+    import time as _time
+
     fs, hpath, jvm = _fs(spark, f"{path}/{_SEQ_HWM}")
-    if not fs.exists(hpath):
-        return 0
-    stream = fs.open(hpath)
-    try:
-        return int(bytes(stream.readAllBytes()).decode().strip() or 0)
-    finally:
-        stream.close()
+    # bounded retry (round 14): the atomic hwm PUT below has a sub-ms
+    # delete→rename window where the file is briefly missing, and
+    # change-feed CONSUMERS read this file concurrently with a
+    # compaction's rewrite — a transient 0 here would silently skip the
+    # resync check instead of raising it. A stably-absent file (a table
+    # that never compacted) returns 0 after one cheap re-probe.
+    for attempt in range(3):
+        if not fs.exists(hpath):
+            if attempt > 0:
+                return 0
+        else:
+            try:
+                stream = fs.open(hpath)
+                try:
+                    raw = bytes(stream.readAllBytes()).decode().strip()
+                finally:
+                    stream.close()
+                if raw:
+                    return int(raw)
+            except Exception:  # noqa: BLE001 — racing the replace
+                pass
+            _time.sleep(0.02)
+    return 0
 
 
 def _write_seq_hwm(spark: SparkSession, path: str, value: int) -> None:
+    """Atomic single-file PUT (round 14 — same temp-then-rename as the
+    JSON control files; consumers read this concurrently)."""
+    import uuid
+
     fs, hpath, jvm = _fs(spark, f"{path}/{_SEQ_HWM}")
-    out = fs.create(hpath, True)  # single-file overwrite PUT — atomic replace
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmpp = Path(f"{path}/.{_SEQ_HWM}.{uuid.uuid4().hex}.tmp")
+    out = fs.create(tmpp, True)
     out.write(bytearray(str(int(value)).encode()))
     out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmpp, hpath):
+        fs.delete(tmpp, False)
+        raise IOError(f"atomic PUT of {path}/{_SEQ_HWM} failed")
 
 
 def _key_digest(key: str) -> str:
