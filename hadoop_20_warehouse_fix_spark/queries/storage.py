@@ -529,3 +529,60 @@ def keyed_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_keyed_table(spark, path).select(
         "s_suppkey", "s_name", "s_acctbal"
     )
+
+
+@query(
+    "keyed_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 8, 0, 4, FALSE),
+      (CAST(2 AS BIGINT), 8, 0, 4, FALSE),
+      (CAST(3 AS BIGINT), 8, 1, 5, FALSE),
+      (CAST(4 AS BIGINT), 8, 0, 5, TRUE)
+    ) AS t(commit_n, live_buckets, pending_deltas, n_data_cols, is_current)
+    """,
+)
+def keyed_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``keyed_table_history`` (round 14 — the Delta DESCRIBE HISTORY
+    analog) under the oracle gate: build four deterministic generations
+    on a marker table —
+
+    1. initial load of supplier          (commit 1: 8 buckets, 4 cols)
+    2. COW update of %7==2 keys          (commit 2)
+    3. MOR delta (seq 1), then an additive evolution ('tier') whose
+       meta-only publish records it pending (commit 3: pending=1,
+       5 cols)
+    4. compaction folding seq 1          (commit 4: pending=0, current)
+
+    — and compare the listed history against the hand-computed VALUES
+    oracle (timestamps excluded: informational, nondeterministic).
+    This pins that every lifecycle step publishes exactly one commit
+    with exactly the bucket/pending/schema bookkeeping time travel and
+    rollback rely on. 100 TB: the listing is O(retained manifests) —
+    a few KB of JSON regardless of table size."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        compact_keyed_table,
+        keyed_table_history,
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    supp = load_table(spark, sf_dir, "supplier")
+    path = scratch_dir(prefix="keyed_hist_q_") + "/tab"
+    write_keyed_table(
+        supp, path, ["s_suppkey"], num_buckets=8, assume_unique=True,
+        gc_generations=8,
+    )
+    k = F.col("s_suppkey")
+    upd = supp.filter(k % 7 == 2).withColumn("s_acctbal", F.col("s_acctbal") + 1)
+    upsert_keyed_table(spark, path, upd, assume_unique=True, mode="cow")
+    mor = supp.filter(k % 7 == 3).withColumn("s_acctbal", F.col("s_acctbal") + 2)
+    upsert_keyed_table(spark, path, mor, assume_unique=True, mode="mor")
+    wide = supp.filter(k % 11 == 1).withColumn("tier", F.lit("gold"))
+    upsert_keyed_table(
+        spark, path, wide, assume_unique=True, mode="mor", evolve_schema=True
+    )
+    compact_keyed_table(spark, path)
+    return keyed_table_history(spark, path).select(
+        "commit_n", "live_buckets", "pending_deltas", "n_data_cols", "is_current"
+    )

@@ -548,9 +548,18 @@ def _write_commit(
     time-travel read (:func:`read_keyed_table` ``at_commit=``) must
     overlay on this manifest's base to reconstruct the table as it
     stood; bounded by ``compact_every`` in a streaming ingest."""
+    import time
+
     fs, _, jvm = _fs(spark, path)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS_DIR}"))
-    doc = {"n": n, "buckets": {str(b): d for b, d in buckets.items()}}
+    # ts: informational commit timestamp for keyed_table_history —
+    # resolution NEVER depends on it (highest-n-wins), so clock skew
+    # across writers is harmless
+    doc = {
+        "n": n,
+        "ts": time.time(),
+        "buckets": {str(b): d for b, d in buckets.items()},
+    }
     if meta is not None:
         doc["meta"] = _strip_private(meta)
     if pending_seqs is not None:
@@ -1481,6 +1490,66 @@ def rollback_keyed_table(
             "new_commit": n_new,
             "delta_floor": floor,
         }
+
+
+def keyed_table_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's retained commit history as a DataFrame — the
+    Delta ``DESCRIBE HISTORY`` analog on plain directories (round 14;
+    marker protocol only: rename tables overwrite in place and keep no
+    history). One row per retained manifest, oldest first:
+
+    - ``commit_n``       — the commit number (``at_commit=`` target);
+    - ``ts_unix``        — informational publish timestamp (NULL for
+      pre-round-14 manifests; resolution never depends on it);
+    - ``live_buckets``   — bucket dirs the commit references;
+    - ``pending_deltas`` — MOR batches pending as of the commit (what a
+      time-travel read overlays; NULL for pre-round-13 manifests);
+    - ``n_data_cols``    — width of the commit's schema (evolution
+      commits show the growth);
+    - ``is_current``     — True on the highest readable commit.
+
+    The window is bounded by ``gc_generations`` — this lists exactly
+    the commits ``read_keyed_table(at_commit=)`` / rollback can still
+    target. Driver-side cost is O(retained manifests): tiny by
+    construction, independent of table size."""
+    meta = read_keyed_meta(spark, path)
+    if _commit_mode(meta) != "marker":
+        raise ValueError(
+            f"{path!r}: history needs commit='marker' (rename-protocol "
+            "tables overwrite in place and keep no history)"
+        )
+    fs, root, jvm = _fs(spark, f"{path}/{_COMMITS_DIR}")
+    rows: list[tuple] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (name.startswith("commit-") and name.endswith(".json")):
+                continue
+            doc = _read_json_file(fs, st.getPath(), retries=2)
+            if doc is None:
+                continue  # mid-PUT/remnant — not readable history
+            pending = doc.get("pending_seqs")
+            m = doc.get("meta") or {}
+            rows.append((
+                int(doc["n"]),
+                float(doc["ts"]) if doc.get("ts") is not None else None,
+                len(doc.get("buckets") or {}),
+                len(pending) if pending is not None else None,
+                len(m.get("data_cols") or meta.get("data_cols") or []),
+            ))
+    rows.sort()
+    cur = rows[-1][0] if rows else None
+    schema = T.StructType([
+        T.StructField("commit_n", T.LongType(), False),
+        T.StructField("ts_unix", T.DoubleType(), True),
+        T.StructField("live_buckets", T.IntegerType(), False),
+        T.StructField("pending_deltas", T.IntegerType(), True),
+        T.StructField("n_data_cols", T.IntegerType(), False),
+        T.StructField("is_current", T.BooleanType(), False),
+    ])
+    return spark.createDataFrame(
+        [r + (r[0] == cur,) for r in rows], schema
+    )
 
 
 def recover_keyed_table(

@@ -262,3 +262,35 @@ def test_time_travel_of_rollback_skipped_commit_survives_next_write(spark):
         assert live == {1: 2, 2: 4, 3: 333}, "rollback + new delta is the live view"
     finally:
         _cleanup(path)
+
+
+def test_history_lists_rollback_and_refuses_rename(spark):
+    """keyed_table_history (round 14): each publish is one row; a
+    rollback is itself a commit (forward-moving history) with
+    pending_deltas=0; the highest commit is current; rename tables
+    refuse (no history by protocol)."""
+    path = _mk(spark, rows=50, buckets=2, gc_generations=8)
+    try:
+        K.upsert_keyed_table(
+            spark, path,
+            spark.createDataFrame([(1, -1, "c")], "k long, v long, tag string"),
+            mode="cow", assume_unique=True,
+        )
+        K.rollback_keyed_table(spark, path, to_commit=1)
+        h = {r.commit_n: (r.pending_deltas, r.is_current)
+             for r in K.keyed_table_history(spark, path).collect()}
+        assert h == {1: (0, False), 2: (0, False), 3: (0, True)}
+        ts = [r.ts_unix for r in K.keyed_table_history(spark, path).collect()]
+        assert all(t is not None and t > 0 for t in ts)
+        assert K.read_keyed_table(spark, path, at_commit=2).filter(
+            F.col("k") == 1
+        ).first().v == -1
+    finally:
+        _cleanup(path)
+
+    rn = _mk(spark, commit="rename", rows=10, buckets=2)
+    try:
+        with pytest.raises(ValueError, match="keep no history"):
+            K.keyed_table_history(spark, rn)
+    finally:
+        _cleanup(rn)
