@@ -1639,6 +1639,19 @@ def _evolve_schema(
     bad = [c for c in extra if c in reserved or c.startswith("_")]
     if bad:
         raise ValueError(f"cannot evolve schema with reserved/underscore columns {bad}")
+    ghosts = [c for c in extra if c in (meta.get("dropped_cols") or [])]
+    if ghosts:
+        # round 14, drop-column evolution: un-purged files still carry
+        # the OLD-typed column under this name — re-adding it with a
+        # different type would crash every explicit-schema read of
+        # those files. compact_keyed_table(rewrite_all=True) purges and
+        # clears the guard.
+        raise ValueError(
+            f"columns {ghosts} were previously dropped and their bytes may "
+            "still exist in un-rewritten files — run "
+            "compact_keyed_table(path, rewrite_all=True) to purge them "
+            "physically before reusing the name"
+        )
     if widen and meta.get("layout", "hash") == "hash":
         bad_keys = [c for c in widen if c in meta["key_cols"]]
         if bad_keys:
@@ -1669,6 +1682,66 @@ def _evolve_schema(
     else:
         _write_meta(spark, path, evolved)
     return evolved
+
+
+def drop_keyed_columns(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    lock_ttl_sec: float = DEFAULT_LOCK_TTL_SEC,
+) -> dict:
+    """DROP data columns from a keyed table, O(metadata) (round 14 —
+    the second evolution Delta/Iceberg users reach for): one atomic
+    meta/manifest PUT removes the columns from ``data_cols`` and
+    ``schema_json``; no file rewrites. Old files still carry the bytes
+    but the explicit-schema readers simply never request them (parquet
+    column pruning — reading a SUBSET of a file's columns is the format
+    working as designed), and COW churn / compaction physically sheds
+    them as buckets rewrite; ``compact_keyed_table(rewrite_all=True)``
+    is the immediate full purge. Batches written after the drop need
+    not carry the columns.
+
+    Key columns refuse (they define identity and bucketing). The
+    dropped names are remembered in ``dropped_cols`` and may NOT be
+    re-added until a ``rewrite_all`` compaction purges the old bytes —
+    re-adding under a different type would crash explicit-schema reads
+    of un-rewritten files (the failure Iceberg prevents with field IDs;
+    on plain parquet the purge-first rule is the honest equivalent).
+
+    At 100 TB: the drop is one control-file PUT; the storage reclaim is
+    amortized into churn you already pay, or one explicit full rewrite."""
+    cols = list(cols)
+    with _writer_lease(spark, path, lock_ttl_sec):
+        meta = read_keyed_meta(spark, path)
+        key_cols = meta["key_cols"]
+        missing = [c for c in cols if c not in meta["data_cols"]]
+        if missing:
+            raise ValueError(f"cannot drop {missing}: not table columns")
+        keyed = [c for c in cols if c in key_cols]
+        if keyed:
+            raise ValueError(
+                f"cannot drop key columns {keyed} — they define row identity "
+                "and bucketing; rewrite the table with a new key instead"
+            )
+        if set(meta["data_cols"]) - set(cols) == set(key_cols):
+            raise ValueError(
+                "cannot drop every non-key column — a keyed table needs at "
+                "least one value column"
+            )
+        full = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        evolved = {k: v for k, v in meta.items() if not k.startswith("_")}
+        evolved["data_cols"] = [c for c in meta["data_cols"] if c not in cols]
+        evolved["schema_json"] = T.StructType(
+            [f for f in full.fields if f.name not in cols]
+        ).json()
+        evolved["dropped_cols"] = sorted(
+            set(meta.get("dropped_cols") or []) | set(cols)
+        )
+        if _commit_mode(meta) == "marker":
+            _marker_publish(spark, path, f"{path}/_staging", [], meta=evolved)
+        else:
+            _write_meta(spark, path, evolved)
+        return {"dropped": cols, "data_cols": evolved["data_cols"]}
 
 
 # Lossless numeric widenings: coerced with a plain cast, NO validation
@@ -2411,6 +2484,15 @@ def _compact_locked(
             )
         else:  # rewrite_all with no pending deltas: plain re-layout
             merged = base.select(*list(meta["data_cols"]) + [BUCKET_COL])
+        # rewrite_all + no feed retention = every file carrying a
+        # DROPPED column's bytes is about to be rewritten or deleted —
+        # clear the re-add guard in the same commit (round 14,
+        # drop_keyed_columns). With retention, archived deltas may
+        # still carry the bytes, so the guard stays.
+        cleared_dropped = False
+        if rewrite_all and retain_generations <= 0 and meta.get("dropped_cols"):
+            meta = {k: v for k, v in meta.items() if k != "dropped_cols"}
+            cleared_dropped = True
         staging = f"{path}/_staging"
         fs, _, jvm = _fs(spark, staging)
         Path = jvm.org.apache.hadoop.fs.Path
@@ -2429,6 +2511,8 @@ def _compact_locked(
         else:
             _swap_buckets(spark, path, staging, touched)
             churned = [f"{path}/{BUCKET_COL}={b}" for b in touched]
+            if cleared_dropped:  # marker carries it in the manifest PUT
+                _write_meta(spark, path, meta)
         # hwm BEFORE retiring the dirs: a crash between the two leaves
         # the dirs present and the hwm high — next commit skips a few
         # seq numbers, which is harmless (monotonicity is the contract).
