@@ -94,36 +94,33 @@ def quality_score(text: Column) -> Column:
 
 
 def langscore_struct(words: Column) -> Column:
-    """One-traversal language-marker scoring: a single ``F.aggregate``
-    over a BOUND token-array column computing all four marker counts
-    plus the total word length, as a struct.
+    """Language-marker scoring over a BOUND token-array column: all four
+    marker counts plus the total word length, as one struct.
 
-    Why this exists next to :func:`lang_id`: the per-language
-    ``marker_count`` HOFs are CodegenFallback expressions — opaque to
-    whole-stage-codegen subexpression elimination — so the composed
-    ``lang_id``+``quality_score`` form walks the token array ~5x per row
-    (4 marker filters + the mean-word-len aggregate). This fused form
-    walks it ONCE with 4 membership tests per token. Measured at sf0.1:
-    0.89 s -> 0.76 s for the corpus_clean gate stage, value-identical;
-    the traversal-count gap, not the constant, is what matters at 100 TB.
-    ``words`` must be a materialized column (see
+    Why this exists next to :func:`lang_id`: hot paths materialize the
+    token array once and score it here; the composed
+    ``lang_id``+``quality_score`` form re-tokenizes per component.
+
+    Physical form (round 14, measured at sf0.1, value-identical): four
+    ``size(filter(words, isin))`` passes plus
+    ``length(array_join(words, ''))``. This replaces the round-4
+    single-pass ``F.aggregate`` with a struct accumulator — measured
+    SLOWER despite walking once: every interpreted step allocated a
+    fresh 5-field InternalRow per token, where filter+size keeps an int
+    counter and array_join is one buffer append per token. Gate stage
+    1.30 s -> 0.95 s (struct-aggregate -> this form); per-token
+    allocation, not traversal count, is what dominates an interpreted
+    HOF. ``words`` must be a materialized column (see
     :func:`~hadoop_20_warehouse_fix_spark.operators.dedup.doc_shingle_sets`
     for the projection-barrier idiom), not an inline ``split`` — an
     inline expression would be re-evaluated per lambda reference."""
-    zero = F.struct(
-        *(F.lit(0).alias(lang) for lang in LANG_PRIORITY), F.lit(0).alias("sum_len")
+    return F.struct(
+        *[
+            F.size(F.filter(words, lambda w: w.isin(*LANG_MARKERS[lang]))).alias(lang)
+            for lang in LANG_PRIORITY
+        ],
+        F.length(F.array_join(words, "")).alias("sum_len"),
     )
-
-    def step(acc: Column, w: Column) -> Column:
-        return F.struct(
-            *[
-                (acc[lang] + F.when(w.isin(*LANG_MARKERS[lang]), 1).otherwise(0)).alias(lang)
-                for lang in LANG_PRIORITY
-            ],
-            (acc["sum_len"] + F.length(w)).alias("sum_len"),
-        )
-
-    return F.aggregate(words, zero, step)
 
 
 def lang_from_scores(scores: dict[str, Column]) -> Column:

@@ -137,6 +137,33 @@ def exact_dedup_rows(df: DataFrame, id_col: str, fingerprint: Column) -> DataFra
     return picked.select(*[F.col("_r")[c].alias(c) for c in cols])
 
 
+def _pin_posting_parallelism(rows: DataFrame, *key_cols: str) -> DataFrame:
+    """Pin the posting-list exchange to the session's shuffle-partition
+    count: ``repartition(n, keys)`` immediately before a
+    ``groupBy(keys)`` is reused by the aggregation (hash partitioning
+    on the same keys with the same count — no second exchange), and AQE
+    never coalesces a user-specified repartition.
+
+    Why (round 14, measured): AQE's ``coalescePartitions`` sizes the
+    post-shuffle stage by the exchange's INPUT bytes, but a posting
+    stage's work is its pair-explode OUTPUT — quadratic per list. At
+    sf0.1 the posting reduce (4.8 MB in, 12.9 MB + 1.9 s CPU of pair
+    structs out) was coalesced 32 -> 4 partitions, running the pair
+    explosion on 4 of 32 cores: pair stage wall 0.657 s -> ~0.1 s
+    pinned (ngram_jaccard_pairs end-to-end 1.43 s -> 0.98 s). The same
+    physics holds at 100 TB: output-proportional stages must take
+    their parallelism from the output side, which AQE cannot see.
+    The count follows ``spark.sql.shuffle.partitions`` — the
+    scale knob sessions already size to the cluster (2-3x total cores
+    per session.py), so lower-core driver runs shrink it automatically.
+
+    Trade-off: the groupBy's map-side partial aggregation now happens
+    after the exchange — irrelevant for collect_list, whose partial
+    state is a concatenation (same bytes shuffled either way)."""
+    n = int(rows.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return rows.repartition(n, *key_cols)
+
+
 def _posting_pairs(rows: DataFrame) -> DataFrame:
     """(id, sh) rows → candidate (id_a, id_b) co-occurrence pairs via
     posting lists: group by shingle, sort the doc-id list, emit all i<j
@@ -147,7 +174,7 @@ def _posting_pairs(rows: DataFrame) -> DataFrame:
     |distinct shingles| tiny arrays (posting lists), not over the full
     corpus — negligible next to the groupBy shuffle it replaces."""
     posting = (
-        rows.groupBy("sh")
+        _pin_posting_parallelism(rows, "sh").groupBy("sh")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -233,8 +260,12 @@ def ngram_jaccard_pairs(
                 .select("sh")
             )
             rows = rows.join(F.broadcast(hot), "sh", "left_anti")
+        # Pin the posting exchange's parallelism: the reduce side's work
+        # is the (quadratic) pair explode below, which AQE would
+        # otherwise coalesce down to match the exchange's input bytes
+        # (see _pin_posting_parallelism).
         posting = (
-            rows.groupBy("sh")
+            _pin_posting_parallelism(rows, "sh").groupBy("sh")
             .agg(F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("ids"))
             .filter(F.size("ids") > 1)
         )
@@ -746,8 +777,12 @@ def ngram_jaccard_pairs_cross(
         c_rows = c_rows.join(F.broadcast(hot), "sh", "left_anti")
         n_rows = n_rows.join(F.broadcast(hot), "sh", "left_anti")
     posting = (
-        c_rows.withColumn("side", F.lit(0))
-        .unionByName(n_rows.withColumn("side", F.lit(1)))
+        _pin_posting_parallelism(
+            c_rows.withColumn("side", F.lit(0)).unionByName(
+                n_rows.withColumn("side", F.lit(1))
+            ),
+            "sh",
+        )
         .groupBy("sh")
         .agg(
             F.sort_array(
