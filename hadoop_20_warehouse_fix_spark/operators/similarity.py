@@ -950,34 +950,63 @@ def ivf_topk(
             codebook=codebook,
         )
 
-    def dist_entries_sql(vec_name: str) -> str:
-        # struct(-dot, cid) per centroid: array_min/sort_array order by
-        # distance first, centroid id as deterministic tiebreak.
+    def dist_entries_col() -> Column:
+        # struct(-dot, cid) per centroid over the canonical input name
+        # "_av": array_min/sort_array order by distance first, centroid
+        # id as deterministic tiebreak.
         #
-        # Built as ONE compact SQL string instead of nested Column
-        # objects: the per-element F.lit() construction cost K*dim py4j
-        # round trips (~2000 for K=16/dim=64) — measured ~4 s of
-        # constant overhead per call regardless of corpus size — and a
-        # fully expanded product chain costs ~1 s of ANTLR parse per
-        # expression. The zip_with/aggregate fold keeps token count at
-        # ~2/dim and is semantically IDENTICAL to the round-2 Column
-        # form (left-to-right double fold), so the DuckDB oracle replay
-        # still matches bit-for-bit. Centroid values ride as D-suffixed
-        # literals: repr() is shortest-round-trip and Java's
-        # correctly-rounded parseDouble recovers the exact double.
+        # Construction history (each form measured): round 2 built
+        # nested Column objects per element — K*dim py4j round trips
+        # (~2000 for K=16/dim=64), ~4 s of constant overhead per call.
+        # Round 3 switched to ONE compact SQL string (zip_with/aggregate
+        # fold, D-suffixed repr literals) — parse is cheap (~4 ms), but
+        # the ANALYZED tree carried K*dim Literal nodes, and every
+        # downstream Dataset creation (withColumn/join/window — each
+        # re-analyzes the whole logical plan) re-walked them: ~0.5 s of
+        # driver wall per query build at K=16/dim=64. Round 14 collapses
+        # the centroid matrix to ONE tree node: a JSON string literal
+        # that from_json turns into array<array<double>>, consumed by a
+        # transform-over-indices fold — the analyzer sees ~30 nodes
+        # total, and the optimizer's constant folding evaluates the
+        # from_json to a single array Literal once per execution. Build
+        # wall ~0.62 s -> ~0.24 s, exec unchanged, results bit-identical
+        # (json.dumps emits shortest-round-trip doubles; Jackson parses
+        # correctly rounded; the per-centroid fold is unchanged: same
+        # zip_with, same CAST, same left-to-right 0.0-seeded sum — so
+        # the DuckDB oracle replay still matches bit-for-bit).
         # (Scale note: exact-replay literals are the CORRECTNESS-scale
         # contract; a 100 TB corpus pass would broadcast the codebook to
         # a vectorized Pandas UDF instead — same cells, BLAS assignment.)
+        import json as _json
+        import math as _math
+
+        vecs = [cvec for _, cvec in cents]
+        cids = [int(cid) for cid, _ in cents]
+        if all(_math.isfinite(x) for cv in vecs for x in cv):
+            # JSON of doubles/ints contains no quotes — safe to inline
+            # as a single-quoted SQL string literal.
+            cvs_json = _json.dumps(vecs, separators=(",", ":"))
+            cids_json = _json.dumps(cids, separators=(",", ":"))
+            return F.expr(
+                f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
+                "'d', -aggregate(zip_with(_av, element_at("
+                f"from_json('{cvs_json}', 'array<array<double>>'), i+1), "
+                "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, v) -> a + v), "
+                f"'cid', element_at(from_json('{cids_json}', 'array<int>'), i+1)))"
+            )
+        # from_json yields NULL on non-standard tokens (NaN/Inf) — a
+        # silently-wrong cell map; non-finite centroids take the
+        # inline-literal path instead (slower build, same values).
         entries = []
-        for cid, cvec in cents:
+        for cid, cvec in zip(cids, vecs):
             vals = ", ".join(f"{x!r}D" for x in cvec)
             entries.append(
                 "named_struct('d', -aggregate(zip_with("
-                f"{vec_name}, array({vals}), (x, y) -> CAST(x AS DOUBLE) * y), "
+                f"_av, array({vals}), (x, y) -> CAST(x AS DOUBLE) * y), "
                 "0.0D, (a, v) -> a + v), "
                 f"'cid', {cid})"
             )
-        return "array(" + ", ".join(entries) + ")"
+        return F.expr("array(" + ", ".join(entries) + ")")
 
     # Two assignment paths, same cells:
     # - "sql" (default): codegen/interpreted JVM fold over inlined
@@ -991,6 +1020,16 @@ def ivf_topk(
     #   max = smallest cid) matches the SQL form's (d DESC, cid ASC);
     #   only sub-ulp dot differences (BLAS vs sequential summation) can
     #   flip a borderline cell, so the ORACLE-gated query keeps "sql".
+    # Corpus-side parallelism: the per-row K-fold cell assignment (and
+    # the candidate cosine scoring downstream of the broadcast join) is
+    # the compute-heavy pass, and a small/compacted corpus arriving as
+    # one parquet split would run it on one core (round 14, measured at
+    # sf0.1: the assignment+scoring stage was a single 0.53 s task on a
+    # 32-core box; fanned, exec wall 0.72 s -> 0.51 s). No-op when the
+    # scan splits naturally — the 100 TB corpus pass is unaffected.
+    from hadoop_20_warehouse_fix_spark.catalog import fan_out_small_scan
+
+    corpus = fan_out_small_scan(corpus)
     if assign == "vectorized":
         assign_cell = assign_cell_udf(cents)
         probe_cells = probe_cells_udf(cents, nprobe)
@@ -1005,19 +1044,36 @@ def ivf_topk(
             "qn",
         ).withColumn("cell", F.explode(probe_cells(F.col("qv"))))
     else:
-        c = with_norm(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv", "cn"
-        ).withColumn("cell", F.expr(f"array_min({dist_entries_sql('cv')}).cid"))
-        q = with_norm(
-            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv", "qn"
-        ).withColumn(
-            "cell",
-            F.explode(
-                F.expr(
-                    f"transform(slice(sort_array({dist_entries_sql('qv')}), 1, {int(nprobe)}),"
-                    " e -> e.cid)"
-                )
-            ),
+        # ONE construction of the centroid-fold array, bound to the
+        # canonical name "_av" and reused by BOTH sides (a Column is
+        # just an expression tree over an unresolved attribute, so it
+        # rebinds per side). The array_min / sort_array wrappers are
+        # cheap Column ops over the shared subtree — generated code and
+        # results are identical to the per-side SQL strings they
+        # replace.
+        dist_arr = dist_entries_col()
+        c = (
+            with_norm(
+                corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv", "cn"
+            )
+            .withColumn("_av", F.col("cv"))
+            .withColumn("cell", F.array_min(dist_arr)["cid"])
+            .drop("_av")
+        )
+        q = (
+            with_norm(
+                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv", "qn"
+            )
+            .withColumn("_av", F.col("qv"))
+            .withColumn(
+                "cell",
+                F.explode(
+                    F.transform(
+                        F.slice(F.sort_array(dist_arr), 1, int(nprobe)), lambda e: e["cid"]
+                    )
+                ),
+            )
+            .drop("_av")
         )
     cosine_expr = cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     if assign == "vectorized":
