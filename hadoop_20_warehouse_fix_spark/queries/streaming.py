@@ -96,8 +96,18 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: from_json is JVM-side (Jackson inside codegen, no Python);
     the filter on the extracted field prunes before the tiny
     per-event-type aggregation. Malformed rows null out (PERMISSIVE) —
-    the bad-record-skipping posture of SkipBadRecords.java:51."""
-    ev = load_table(spark, sf_dir, "events")
+    the bad-record-skipping posture of SkipBadRecords.java:51.
+
+    Physical note (round 14): the JSON parse is the expensive per-row
+    work and the events table can arrive as ONE split — measured at
+    sf0.1, the scan+parse stage was a single 0.55 s task on a 32-core
+    box; fan_out_small_scan moves the parse onto every core (0.95 s ->
+    0.68 s end-to-end). No-op at scale where the scan splits naturally
+    (the k >= 10 filter is on the PARSED field, so no parquet pushdown
+    is lost to the exchange)."""
+    from hadoop_20_warehouse_fix_spark.catalog import fan_out_small_scan
+
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events"))
     parsed = ev.select(
         "event_type", F.from_json("props", "k bigint").getField("k").alias("k")
     )
