@@ -162,11 +162,32 @@ def corpus_clean(
     if repetition_gate:
         from hadoop_20_warehouse_fix_spark.functions.text import repetition_struct
 
-        rep_cols = [repetition_struct(F.col("words")).alias("rep")]
+        # same shuffle(array(..))[0] duplication guard as ls below: the
+        # keep-filter references rep directly, and an unguarded rep is
+        # re-expanded over raw text and pushed below the fan-out
+        # exchange (the round-14 ls finding applies verbatim)
+        rep_cols = [
+            F.shuffle(F.array(repetition_struct(F.col("words"))))[0].alias("rep")
+        ]
+    # Duplicate-evaluation guard (round 14; guide §4.4 applied to
+    # built-in HOFs): the keep-filter below references pred/q, both
+    # derived from ls — PushDownPredicate re-expands them over raw text
+    # and pushes the whole scoring below the fan-out exchange, so the
+    # SINGLE-TASK scan stage evaluated the interpreted marker scoring
+    # ~7x per row (argmax CASE chain + q, each reference inlined) and
+    # the projection above computed it all AGAIN. shuffle(array(ls))[0]
+    # is the identity on values (a one-element shuffle), but shuffle()
+    # is non-deterministic, so the optimizer may neither push the
+    # filter below this projection nor duplicate the expression —
+    # exactly what asNondeterministic() buys for an expensive UDF.
+    # (A rand(42) >= -1 guard does NOT survive: the comparison is
+    # simplified away and the pushdown returns.) Measured at sf0.1:
+    # gate+dedup 1.26 s -> 0.77 s, single-task pre-exchange stage
+    # 0.83 s -> scan-only; survivors value-identical.
     counted = tokened.select(
         "doc_id",
         "text",
-        langscore_struct(F.col("words")).alias("ls"),
+        F.shuffle(F.array(langscore_struct(F.col("words"))))[0].alias("ls"),
         F.size("words").alias("n_words"),
         F.length("text").alias("n_chars"),
         F.length(F.regexp_replace("text", r"[\w\s]", "")).alias("n_punct"),
