@@ -113,7 +113,13 @@ def langscore_struct(words: Column) -> Column:
     HOF. ``words`` must be a materialized column (see
     :func:`~hadoop_20_warehouse_fix_spark.operators.dedup.doc_shingle_sets`
     for the projection-barrier idiom), not an inline ``split`` — an
-    inline expression would be re-evaluated per lambda reference."""
+    inline expression would be re-evaluated per lambda reference.
+
+    NULL contract (round-14 ADVICE): ``words`` must be a NULL-free
+    array, as ``split()`` always produces — ``array_join`` SKIPS NULL
+    elements where the replaced ``F.aggregate`` form null-propagated,
+    so an array with NULL tokens would score silently rather than
+    yield a NULL struct field."""
     return F.struct(
         *[
             F.size(F.filter(words, lambda w: w.isin(*LANG_MARKERS[lang]))).alias(lang)

@@ -530,9 +530,18 @@ def minhash_signatures(
     60 ``array_min(transform(...))`` expressions per row: higher-order
     lambdas run interpreted, while min-aggregates stay in whole-stage
     codegen (the explode itself is cheap once InferFiltersFromGenerate
-    is excluded — see session.py)."""
+    is excluded — see session.py).
+
+    Construction (round 15, guide §5 "the driver"): each aggregate is
+    ONE parsed SQL string, not a py4j Column composition — the old
+    ``F.min(F.xxhash64(col, lit))`` per seed cost ~5 JVM round trips
+    each (~0.31 s of pure construction per build, measured); the ANTLR
+    parse of the same text is ~ms. Bit-identical: the SQL integer
+    literal ``{s}`` is IntegerType exactly like ``F.lit(s)``, so
+    xxhash64 mixes the same bytes (pinned in
+    tests/test_optimizations_r15.py against pre-change values)."""
     base = shingle_rows(df, id_col, text_col, n).select("id", F.xxhash64("sh").alias("hb"))
-    mins = [F.min(F.xxhash64(F.col("hb"), F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
+    mins = [F.expr(f"min(xxhash64(hb, {s})) AS h{s}") for s in range(num_hashes)]
     return base.groupBy("id").agg(*mins)
 
 
@@ -554,16 +563,19 @@ def banded_signature_rows(
     the state format, so the definitions must not diverge."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
+    # ONE parsed inline() expression (round 15): the old per-band
+    # struct/explode Column composition cost ~100 py4j round trips per
+    # build plus a second Dataset op to unpack the struct fields;
+    # inline() emits (band, bh) columns directly. Values bit-identical
+    # (same xxhash64 over the same h columns; the band literal is an
+    # IntegerType in both forms) — pinned against pre-change output.
+    entries = ", ".join(
+        "struct({b} AS band, xxhash64({hs}) AS bh)".format(
+            b=b, hs=", ".join(f"h{b * rows + r}" for r in range(rows))
         )
         for b in range(bands)
-    ]
-    return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", "bb.band", "bb.bh"
     )
+    return sig.select("id", F.expr(f"inline(array({entries}))"))
 
 
 def minhash_lsh_pairs(
@@ -622,34 +634,47 @@ def simhash_bands(
     ``"xxhash64"`` is the faster JVM-only variant (same structure,
     Spark-defined fingerprints).
 
-    Entirely groupBy/sum over exploded tokens — no Python."""
+    Entirely groupBy/sum over exploded tokens — no Python.
+
+    Construction (round 15, guide §5 "the driver"): the 64 bit-sum
+    aggregates and the 4x16 band-packing chains are parsed SQL strings,
+    not py4j Column compositions — the old per-element ``F.shiftright/
+    F.when/F.sum`` chains cost ~0.77 s of pure JVM round-trip
+    construction per build (measured; the parse of the same text is
+    ~ms). The parsed trees are the same Catalyst expressions (CASE
+    WHEN == F.when, ``&``/shiftright literals are IntegerType in both
+    forms), so fingerprints are bit-identical — pinned in
+    tests/test_optimizations_r15.py against pre-change values for BOTH
+    token hashes."""
     tok = df.select(F.col(id_col).alias("id"), F.explode(words_of(F.col(text_col))).alias("w"))
     if token_hash == "md5":
-        lo = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-        hi = F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long")
+        lo = "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
+        hi = "CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)"
 
-        def bit(b: int):
-            src = lo if b < 32 else hi
-            return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+        def bit(b: int) -> str:
+            return f"(shiftright({lo if b < 32 else hi}, {b % 32}) & 1)"
 
     else:
-        h = F.xxhash64("w")
 
-        def bit(b: int):
-            return F.shiftright(h, b).bitwiseAND(F.lit(1))
+        def bit(b: int) -> str:
+            return f"(shiftright(xxhash64(w), {b}) & 1)"
 
     bit_sums = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"_b{b}")
+        F.expr(f"sum(CASE WHEN {bit(b)} = 1 THEN 1 ELSE -1 END) AS _b{b}")
         for b in range(64)
     ]
     sums = tok.groupBy("id").agg(*bit_sums)
-    band_vals = []
-    for band in range(4):
-        v = F.lit(0)
-        for i in range(16):
-            bit = band * 16 + i
-            v = v + F.when(F.col(f"_b{bit}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        band_vals.append(v.cast("int").alias(f"band{band}"))
+    band_vals = [
+        F.expr(
+            "CAST(0 + "
+            + " + ".join(
+                f"(CASE WHEN _b{band * 16 + i} > 0 THEN {1 << i} ELSE 0 END)"
+                for i in range(16)
+            )
+            + f" AS INT) AS band{band}"
+        )
+        for band in range(4)
+    ]
     return sums.select("id", *band_vals)
 
 
@@ -685,24 +710,33 @@ def hamming_pairs_from_bands(
     so pairs only form WITHIN a group — the mixed-modality corpus path
     passes ``["modality"]`` so an image dHash can never pair with a
     numerically-colliding audio fingerprint. Same physics, one more
-    join column; default () is byte-identical to the old behavior."""
+    join column; default () is byte-identical to the old behavior.
+
+    Construction (round 15, guide §5): the band explode, the two join
+    sides and the Hamming verify are parsed SQL strings / selectExpr
+    (one py4j round trip each instead of per-element Column
+    composition), and inline() emits (bi, bv) directly — two Dataset
+    ops fewer to re-analyze per build. Values bit-identical (same
+    xxhash-free integer ops; 65535 == 0xFFFF as an int literal either
+    way) — band pins in tests/test_optimizations_r15.py cover the
+    upstream, the pair tests the output."""
     bands = [f"band{i}" for i in range(4)]
     keys = list(key_cols)
     banded = sh.select(
         "id",
         *keys,
         *bands,
-        F.explode(
-            F.array(
-                *[F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bv")) for b in range(4)]
-            )
-        ).alias("bb"),
-    ).select("id", *keys, *bands, "bb.bi", "bb.bv")
-    a = banded.select(
-        F.col("id").alias("id_a"), *keys, *[F.col(c).alias(f"a{i}") for i, c in enumerate(bands)], "bi", "bv"
+        F.expr(
+            "inline(array("
+            + ", ".join(f"struct({b} AS bi, band{b} AS bv)" for b in range(4))
+            + "))"
+        ),
     )
-    b = banded.select(
-        F.col("id").alias("id_b"), *keys, *[F.col(c).alias(f"b{i}") for i, c in enumerate(bands)], "bi", "bv"
+    a = banded.selectExpr(
+        "id AS id_a", *keys, *[f"{c} AS a{i}" for i, c in enumerate(bands)], "bi", "bv"
+    )
+    b = banded.selectExpr(
+        "id AS id_b", *keys, *[f"{c} AS b{i}" for i, c in enumerate(bands)], "bi", "bv"
     )
     cands = (
         a.join(b, ["bi", "bv", *keys])
@@ -710,15 +744,10 @@ def hamming_pairs_from_bands(
         .drop("bi", "bv", *keys)
         .distinct()
     )
-    hamming = sum(
-        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")).bitwiseAND(F.lit(0xFFFF)))
-        for i in range(4)
-    )
-    return (
-        cands.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    hamming = " + ".join(f"bit_count((a{i} ^ b{i}) & 65535)" for i in range(4))
+    return cands.selectExpr(
+        "id_a", "id_b", f"CAST({hamming} AS INT) AS hamming"
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs_cross(
@@ -867,7 +896,10 @@ def minhash_state_write(
     Size: bands table = docs × bands × ~24 B; shingles table ≈ corpus
     token count × 8 B — an order under the corpus bytes, and the ONLY
     thing the next ingest reads."""
-    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+    from hadoop_20_warehouse_fix_spark.sources.writers import (
+        ensure_managed_creatable,
+        write_bucketed,
+    )
 
     spark = df.sparkSession
     write_bucketed(
@@ -892,6 +924,8 @@ def minhash_state_write(
     w = meta.write.mode("overwrite").format("parquet")
     if path:
         w = w.option("path", f"{path}/meta")
+    else:
+        ensure_managed_creatable(spark, f"{state_name}_meta")
     w.saveAsTable(f"{state_name}_meta")
     # A rebuild under a reused state name must not inherit the previous
     # state's tombstones (round-8 review) — dropped LAST, after every
@@ -970,6 +1004,13 @@ def minhash_state_delete(spark, state_name: str, ids) -> None:
             "miss them or tombstone the wrong row"
         )
     cast_ids = ids.select(F.col("id").try_cast(bands_id_type).alias("id"))
+    # Orphan-proof create: the first delete after an interrupted earlier
+    # process may find a stranded warehouse directory under this name
+    # (the catalog has no table; saveAsTable would refuse with
+    # LOCATION_ALREADY_EXISTS).
+    from hadoop_20_warehouse_fix_spark.sources.writers import ensure_managed_creatable
+
+    ensure_managed_creatable(spark, f"{state_name}_tombstones")
     (
         cast_ids.distinct()
         .write.mode("append")
@@ -1330,7 +1371,10 @@ def media_state_write(
     Thresholds (``max_hamming``) are PROBE-time parameters, like the
     text state's ``threshold`` — they tighten candidate verification,
     not the stored format."""
-    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+    from hadoop_20_warehouse_fix_spark.sources.writers import (
+        ensure_managed_creatable,
+        write_bucketed,
+    )
 
     spark = media.sparkSession
     write_bucketed(
@@ -1348,6 +1392,8 @@ def media_state_write(
     w = meta.write.mode("overwrite").format("parquet")
     if path:
         w = w.option("path", f"{path}/meta")
+    else:
+        ensure_managed_creatable(spark, f"{state_name}_meta")
     w.saveAsTable(f"{state_name}_meta")
     # Dropped LAST (round-8 review, as minhash_state_write): a rebuild
     # that fails partway leaves the still-live OLD state's tombstones

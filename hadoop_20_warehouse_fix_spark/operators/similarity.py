@@ -949,6 +949,12 @@ def ivf_topk(
             max_train=max_train,
             codebook=codebook,
         )
+        # Degenerate-input guard (round-14 ADVICE): with zero centroids
+        # the JSON fold would emit sequence(0, -1) = [0, -1] (descending
+        # step inferred) and element_at(..., 0) throws at runtime — a
+        # clear error here beats that.
+        if not cents:
+            raise ValueError("ivf_topk: codebook is empty (no training vectors)")
 
     def dist_entries_col() -> Column:
         # struct(-dot, cid) per centroid over the canonical input name
@@ -1372,7 +1378,10 @@ def ivf_state_write(
 
     Assignment is the vectorized Arrow path (``assign_cell_udf``) —
     the 100 TB corpus-pass form; the corpus is touched exactly once."""
-    from hadoop_20_warehouse_fix_spark.sources.writers import write_bucketed
+    from hadoop_20_warehouse_fix_spark.sources.writers import (
+        ensure_managed_creatable,
+        write_bucketed,
+    )
 
     kind = {False: "none", True: "sq8", "sq8": "sq8", "pq": "pq", "none": "none"}.get(
         quantize
@@ -1447,6 +1456,8 @@ def ivf_state_write(
     w = cb.write.mode("overwrite").format("parquet")
     if path:
         w = w.option("path", f"{path}/codebook")
+    else:
+        ensure_managed_creatable(spark, f"{state_name}_codebook")
     w.saveAsTable(f"{state_name}_codebook")
     meta = spark.createDataFrame(
         [(len(cents), len(cents[0][1]), num_buckets, kind != "none", kind)],
@@ -1457,6 +1468,8 @@ def ivf_state_write(
     w = meta.write.mode("overwrite").format("parquet")
     if path:
         w = w.option("path", f"{path}/meta")
+    else:
+        ensure_managed_creatable(spark, f"{state_name}_meta")
     w.saveAsTable(f"{state_name}_meta")
     # A rebuild under a reused state name must not inherit the previous
     # index's tombstones (round-8 review: stale tombstones silently
@@ -1525,6 +1538,8 @@ def _pq_lists(
 
 
 def _save_pq_books(spark, state_name: str, books: np.ndarray, path: str | None) -> None:
+    from hadoop_20_warehouse_fix_spark.sources.writers import ensure_managed_creatable
+
     m, k, sub = books.shape
     rows = [
         (int(mi), int(ci), [float(x) for x in books[mi, ci]])
@@ -1536,6 +1551,8 @@ def _save_pq_books(spark, state_name: str, books: np.ndarray, path: str | None) 
     w = df.write.mode("overwrite").format("parquet")
     if path:
         w = w.option("path", f"{path}/pq")
+    else:
+        ensure_managed_creatable(spark, f"{state_name}_pq")
     w.saveAsTable(f"{state_name}_pq")
 
 
@@ -1959,6 +1976,12 @@ def ivf_state_delete(spark, state_name: str, ids) -> None:
             f"LOSSLESSLY to the index id type {id_type.simpleString()} — "
             "deletion would silently miss them or tombstone the wrong row"
         )
+    # Orphan-proof create (see minhash_state_delete): a stranded
+    # warehouse directory from an interrupted earlier process would
+    # otherwise refuse the first delete with LOCATION_ALREADY_EXISTS.
+    from hadoop_20_warehouse_fix_spark.sources.writers import ensure_managed_creatable
+
+    ensure_managed_creatable(spark, f"{state_name}_tombstones")
     (
         ids.select(F.col("id").try_cast(id_type).alias("id"))
         .distinct()

@@ -129,11 +129,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from hadoop_20_warehouse_fix_spark.functions.text import (  # noqa: E402
     bpe_ish_token_count,
-    lang_id,
     md5_fingerprint,
-    mean_word_len,
-    punct_ratio,
-    quality_score,
     rolling_fingerprint,
     ws_token_count,
 )
@@ -171,9 +167,34 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID — deterministic stopword-marker heuristic (argmax of
     marker-token occurrences, fixed priority tie-break; see
     functions.text.LANG_MARKERS). Pure column expressions → runs at scan
-    speed; swap a model in via pandas_udf where accuracy matters."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+    speed; swap a model in via pandas_udf where accuracy matters.
+
+    Physical form (round 15, value-identical, oracle-checked): the
+    r14 corpus-gate layering — fan out a single-split scan, materialize
+    the token array ONCE, score all four languages through
+    ``langscore_struct``, then the argmax CASE chain reads the
+    materialized struct fields. The composed ``lang_id`` form
+    re-tokenized the raw text once per language (4 ``words_of`` HOFs,
+    each re-run by every argmax reference); measured at sf0.1 this ran
+    as ONE 0.28 s task. No filter references the derived columns, so no
+    pushdown-duplication guard is needed (unlike corpus_clean)."""
+    from hadoop_20_warehouse_fix_spark.catalog import fan_out_small_scan
+    from hadoop_20_warehouse_fix_spark.functions.text import (
+        LANG_PRIORITY,
+        lang_from_scores,
+        langscore_struct,
+    )
+    from hadoop_20_warehouse_fix_spark.operators.dedup import words_of
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    tokened = docs.select("doc_id", words_of(F.col("text")).alias("_w"))
+    counted = tokened.select(
+        "doc_id", langscore_struct(F.col("_w")).alias("ls")
+    )
+    scores = {lang: F.col("ls")[lang] for lang in LANG_PRIORITY}
+    return counted.select(
+        "doc_id", lang_from_scores(scores).alias("pred_lang")
+    )
 
 
 @query(
@@ -202,15 +223,45 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring — length saturation, punctuation excess, word-
     shape sanity (functions.text.quality_score). The cheap distributed
-    pre-filter before model-based scoring in a training-data pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    pre-filter before model-based scoring in a training-data pipeline.
+
+    Physical form (round 15, value-identical, oracle-checked): fan out
+    the single-split scan, materialize the token array and the four
+    counting columns ONCE, then derive every output from them through
+    ``quality_from_parts`` (bit-identical arithmetic by construction —
+    same operation order as ``quality_score``). The composed form
+    re-tokenized the text per component (~5 ``words_of`` HOFs: token
+    count, mean length twice inside quality, once standalone) and ran
+    as ONE 0.43 s task at sf0.1. ``sum_len`` via
+    ``length(array_join(_w, ''))`` ≡ the aggregate fold on split()'s
+    NULL-free arrays (the langscore_struct NULL contract)."""
+    from hadoop_20_warehouse_fix_spark.catalog import fan_out_small_scan
+    from hadoop_20_warehouse_fix_spark.functions.text import quality_from_parts
+    from hadoop_20_warehouse_fix_spark.operators.dedup import words_of
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    tokened = docs.select("doc_id", "text", words_of(F.col("text")).alias("_w"))
+    counted = tokened.select(
         "doc_id",
-        ws_token_count(t).cast("long").alias("n_tokens"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(mean_word_len(t), 4).alias("mean_word_len"),
-        F.round(quality_score(t), 6).alias("quality"),
+        F.size("_w").alias("n"),
+        F.length(F.array_join("_w", "")).alias("sum_len"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"[\w\s]", "")).alias("n_punct"),
+    )
+    n, sum_len = F.col("n"), F.col("sum_len")
+    n_chars, n_punct = F.col("n_chars"), F.col("n_punct")
+    return counted.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n > 0, sum_len / n).otherwise(F.lit(0.0)), 4
+        ).alias("mean_word_len"),
+        F.round(quality_from_parts(n, sum_len, n_chars, n_punct), 6).alias(
+            "quality"
+        ),
     )
 
 

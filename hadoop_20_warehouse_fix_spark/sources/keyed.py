@@ -2272,6 +2272,7 @@ def _commit_delta(
     staged: DataFrame,
     delete: bool,
     idempotency_key: str | None,
+    post_write_check=None,
 ) -> dict:
     """Shared MOR commit tail: write ``staged`` (data cols + ``_del`` +
     ``kb``) as the next ``seq=N`` batch, the idempotency marker riding
@@ -2282,7 +2283,16 @@ def _commit_delta(
     is the commit on stores without atomic rename, and an uncommitted
     dir from a crash is simply overwritten when its seq is reused.
     Numbering is monotonic across compactions (the ``_seq.hwm`` file),
-    so change-feed checkpoints never alias."""
+    so change-feed checkpoints never alias.
+
+    ``post_write_check`` (round 15): optional callable run after the
+    data write but BEFORE the commit point — the hook where write-fused
+    validation (observed metrics) gets to refuse the batch while the
+    seq dir is still uncommitted (invisible to every reader by the
+    marker/rename protocol, exactly like a crashed writer's leftovers).
+    It may raise (the uncommitted dir is deleted, the error propagates)
+    or return False (empty batch: dir deleted, ``seq=None`` returned —
+    nothing committed). Returning True proceeds to the marker/rename."""
     seqs = _delta_seq_dirs(spark, path, meta)
     next_seq = (
         max(
@@ -2303,6 +2313,15 @@ def _commit_delta(
     # (measured 10 s of pure file-open overhead); nothing reads deltas
     # by bucket dir — compaction takes kb from the column.
     staged.write.mode("overwrite").parquet(dest)
+    if post_write_check is not None:
+        try:
+            keep = post_write_check()
+        except Exception:
+            fs.delete(Path(dest), True)  # refused: never commits
+            raise
+        if not keep:
+            fs.delete(Path(dest), True)  # empty batch: commit nothing
+            return {"mode": "mor", "seq": None, "delete": delete}
     if idempotency_key is not None:
         # Empty marker, key digest in the NAME — detection is a listing,
         # never a per-file read; md5 also makes arbitrary caller keys
@@ -2811,23 +2830,6 @@ def _apply_changes_locked(
         if op_col
         else F.lit(False)
     )
-    # ONE aggregation answers everything the old path used four jobs
-    # for: per-key duplicate detection, NULL-key detection, and the
-    # delete/upsert row counts (which also replace the isEmpty probes).
-    tot = _fused_batch_stats(
-        changes, key_cols, assume_unique, "change batch",
-        {"n_del": (isdel.cast("long"), F.sum, F.sum)},
-    )
-    n_rows, n_del = int(tot.n or 0), int(tot.n_del or 0)
-    result = {
-        "mode": "mor",
-        "rows": n_rows,
-        "deletes": n_del,
-        "upserts": n_rows - n_del,
-    }
-    if n_rows == 0:
-        result["seq"] = None
-        return result
     schema = _data_schema(spark, path, meta)
     non_key = [c for c in data_cols if c not in key_cols]
     staged = changes.select(
@@ -2844,9 +2846,98 @@ def _apply_changes_locked(
         seen = _delta_ingest_keys(spark, path, meta)
         digest = _key_digest(idempotency_key)
         if digest in seen:
-            result.update(seq=seen[digest], replayed=True)
-            return result
-    result.update(_commit_delta(spark, path, meta, staged, False, idempotency_key))
+            # Replay: nothing will be written, so the fused write-side
+            # validation below never runs — keep the old standalone
+            # stats pass here (it validates AND counts), so a replayed
+            # result still reports the batch's rows/deletes/upserts and
+            # a malformed replay still refuses. Rare path by contract.
+            tot = _fused_batch_stats(
+                changes, key_cols, assume_unique, "change batch",
+                {"n_del": (isdel.cast("long"), F.sum, F.sum)},
+            )
+            n_rows, n_del = int(tot.n or 0), int(tot.n_del or 0)
+            return {
+                "mode": "mor",
+                "rows": n_rows,
+                "deletes": n_del,
+                "upserts": n_rows - n_del,
+                "seq": seen[digest],
+                "replayed": True,
+            }
+    # ONE job (round 15, guide §1.2/§5): validation rides the delta
+    # write instead of running as its own aggregation job — per-key
+    # duplicate counts come from a window over the same key-hash
+    # exchange the old validation groupBy paid, NULL-key flags are
+    # row-local, and the row/delete counts ride an Observation. The
+    # observed metrics are checked AFTER the data lands in the (still
+    # uncommitted) seq dir and BEFORE the _COMMITTED marker / rename —
+    # a refused or empty batch deletes the uncommitted dir and raises /
+    # returns exactly as the pre-write validation did, so no reader
+    # ever sees a refused batch (the marker IS the commit). Net: 2
+    # jobs -> 1 and the change frame is evaluated once, not twice
+    # (measured round 15: apply phase 0.48-0.73 s -> see
+    # OPTIMIZATION_r15.md; the exchange count is unchanged).
+    from pyspark.sql import Observation, Window
+
+    obs = Observation()
+    metrics = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(_DEL_COL).cast("long")).alias("n_del"),
+    ]
+    validated = staged
+    if not assume_unique:
+        from functools import reduce
+
+        any_null = reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
+        )
+        validated = staged.withColumn(
+            "_dupn", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        ).withColumn("_nk", any_null)
+        metrics += [
+            F.max("_dupn").alias("max_dup"),
+            F.max(F.col("_nk").cast("int")).alias("has_null"),
+        ]
+    validated = validated.observe(obs, *metrics).select(*staged.columns)
+    counts: dict[str, int] = {}
+
+    def _post_write_check() -> bool:
+        got = obs.get
+        if not assume_unique:
+            if bool(got["has_null"]):
+                raise ValueError(
+                    f"change batch has NULL key components on {key_cols} — "
+                    "NULL never equi-matches, so such rows can never be "
+                    "overridden or deleted; filter or backfill them first"
+                )
+            if int(got["max_dup"] or 0) > 1:
+                raise ValueError(
+                    f"change batch has duplicate keys on {key_cols} — a key "
+                    "may appear once per batch (a keyed table is key-unique "
+                    "by contract; a delete+upsert pair of one key would be "
+                    "order-dependent); dedupe first or pass "
+                    "assume_unique=True if uniqueness is already proven"
+                )
+        counts["n"] = int(got["n"] or 0)
+        counts["n_del"] = int(got["n_del"] or 0)
+        return counts["n"] > 0
+
+    commit = _commit_delta(
+        spark, path, meta, validated, False, idempotency_key,
+        post_write_check=_post_write_check,
+    )
+    n_rows, n_del = counts["n"], counts["n_del"]
+    result = {
+        "mode": "mor",
+        "rows": n_rows,
+        "deletes": n_del,
+        "upserts": n_rows - n_del,
+    }
+    result.update(commit)
+    if n_rows == 0:
+        result["seq"] = None
+        result.pop("delete", None)
+        return result
     result["delete"] = "mixed" if n_del else False
     return result
 

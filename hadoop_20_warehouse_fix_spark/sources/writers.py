@@ -142,6 +142,29 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
     return fs.getContentSummary(hpath).getLength()
 
 
+def ensure_managed_creatable(spark: SparkSession, table_name: str) -> None:
+    """Make a managed-table create orphan-proof. Spark refuses to create
+    a managed table whose default warehouse directory already exists on
+    disk (LOCATION_ALREADY_EXISTS) — and an interrupted earlier PROCESS
+    (in-memory catalog gone, files left behind) strands exactly such a
+    directory. If the catalog has no table under this name, the
+    directory is an orphan by definition: delete it so the create can
+    proceed. No-op when the table exists (its location is live, and the
+    caller's own DROP/overwrite handles it) or the directory is absent.
+    Names may be ``db.table``-qualified; the default database maps to
+    ``<warehouse>/<table>``, others to ``<warehouse>/<db>.db/<table>``."""
+    if spark.catalog.tableExists(table_name):
+        return
+    parts = table_name.split(".")
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    if len(parts) > 1 and parts[-2].lower() != "default":
+        base = jvm.org.apache.hadoop.fs.Path(base, parts[-2].lower() + ".db")
+    hpath = jvm.org.apache.hadoop.fs.Path(base, parts[-1].lower())
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -183,4 +206,6 @@ def write_bucketed(
     )
     if path is not None:
         writer = writer.option("path", path)
+    else:
+        ensure_managed_creatable(df.sparkSession, table_name)
     writer.saveAsTable(table_name)

@@ -71,6 +71,7 @@ def stream_dedup_ingest(
         minhash_lsh_pairs_incremental,
         minhash_state_append,
     )
+    from hadoop_20_warehouse_fix_spark.sources.writers import ensure_managed_creatable
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -121,6 +122,7 @@ def stream_dedup_ingest(
         # fold survivors into the state AFTER the writes above forced
         # the probe plan (lazy state file listing — append-order caveat)
         minhash_state_append(clean, id_col, text_col, state_name)
+        ensure_managed_creatable(spark, log_t)
         spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
             "append"
         ).format("parquet").saveAsTable(log_t)
@@ -189,6 +191,7 @@ def stream_media_dedup_ingest(
         media_state_append,
         media_state_probe,
     )
+    from hadoop_20_warehouse_fix_spark.sources.writers import ensure_managed_creatable
 
     thresholds = media_hamming_thresholds(max_hamming)
 
@@ -281,6 +284,7 @@ def stream_media_dedup_ingest(
                 .parquet(dup_path)
             )
         media_state_append(clean, state_name)
+        ensure_managed_creatable(spark, log_t)
         spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
             "append"
         ).format("parquet").saveAsTable(log_t)

@@ -111,7 +111,7 @@ def test_load_table_schema_memo_skips_inference_job(spark):
         return len(tracker.getJobIdsForGroup(None) or [])
 
     first = load_table(spark, SF, "region")
-    assert any(p.endswith("region.parquet") for p, _ in _SCHEMA_CACHE)
+    assert any(p.endswith("region.parquet") for p in _SCHEMA_CACHE)
     before = jobs()
     second = load_table(spark, SF, "region")
     assert jobs() == before, "memoized load_table must not run a job at build"
