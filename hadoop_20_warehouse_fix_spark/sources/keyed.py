@@ -2888,15 +2888,23 @@ def _apply_changes_locked(
     if not assume_unique:
         from functools import reduce
 
+        # collision-proof helper names: keyed tables only reserve
+        # kb/_del/seq/_seq, so a data column could legally be named
+        # anything else — an overwriting withColumn would corrupt it.
+        dup_col, nk_col = "_dupn", "_nk"
+        while dup_col in staged.columns:
+            dup_col += "_"
+        while nk_col in staged.columns:
+            nk_col += "_"
         any_null = reduce(
             lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
         )
         validated = staged.withColumn(
-            "_dupn", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
-        ).withColumn("_nk", any_null)
+            dup_col, F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        ).withColumn(nk_col, any_null)
         metrics += [
-            F.max("_dupn").alias("max_dup"),
-            F.max(F.col("_nk").cast("int")).alias("has_null"),
+            F.max(dup_col).alias("max_dup"),
+            F.max(F.col(nk_col).cast("int")).alias("has_null"),
         ]
     validated = validated.observe(obs, *metrics).select(*staged.columns)
     counts: dict[str, int] = {}

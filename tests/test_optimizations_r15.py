@@ -110,6 +110,38 @@ def test_simhash_bands_bit_identical_to_prechange_values(spark):
     ]
 
 
+def test_apply_changes_fused_validation_with_clashing_column_names(spark, tmp_path):
+    """Round 15 fused the change-batch validation into the delta write
+    (window + Observation checked before the _COMMITTED marker). The
+    helper columns must not collide with data columns — a table may
+    legally carry a column named `_dupn`/`_nk`. Pins: values survive,
+    duplicates still refuse, nothing committed on refusal."""
+    from hadoop_20_warehouse_fix_spark.sources.keyed import (
+        _delta_seq_dirs,
+        apply_changes_keyed_table,
+        read_keyed_table,
+        write_keyed_table,
+    )
+
+    path = str(tmp_path / "clash_tab")
+    base = spark.createDataFrame(
+        [(i, i * 10, i * 100) for i in range(50)], ["k", "_dupn", "_nk"]
+    )
+    write_keyed_table(base, path, ["k"], num_buckets=4, assume_unique=True)
+    chg = spark.createDataFrame([(7, 777, 7770, None)], "k long, _dupn long, _nk long, op string")
+    out = apply_changes_keyed_table(spark, path, chg, op_col="op")
+    assert (out["rows"], out["upserts"]) == (1, 1)
+    got = read_keyed_table(spark, path).filter(F.col("k") == 7).first()
+    assert (got["_dupn"], got["_nk"]) == (777, 7770), "helper columns clobbered data"
+    n_deltas = len(_delta_seq_dirs(spark, path))
+    dup = spark.createDataFrame(
+        [(9, 1, 1, None), (9, 2, 2, "delete")], "k long, _dupn long, _nk long, op string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        apply_changes_keyed_table(spark, path, dup, op_col="op")
+    assert len(_delta_seq_dirs(spark, path)) == n_deltas, "refused batch left a committed delta"
+
+
 def test_schema_memo_bounded_per_path(spark, tmp_path):
     """Round-14 ADVICE: rewrites must REPLACE a path's memo entry, not
     accumulate one entry per mtime."""
