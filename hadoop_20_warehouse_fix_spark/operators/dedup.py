@@ -588,6 +588,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 60,
     bands: int = 20,
     threshold: float = 0.5,
+    handles: list | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: MinHash signatures → LSH banding →
     candidate pairs → EXACT Jaccard verification (so precision is 1.0;
@@ -595,8 +596,30 @@ def minhash_lsh_pairs(
     rows). Output identical schema to ngram_jaccard_pairs.
 
     This is the 100 TB path: no all-pairs, no shingle-DF blowup —
-    candidates come from equality joins on (band, band_hash)."""
-    banded = banded_signature_rows(df, id_col, text_col, n, num_hashes, bands)
+    candidates come from equality joins on (band, band_hash).
+
+    Materialization barrier (round 15, measured): the banded frame
+    feeds BOTH sides of the candidate self-join, and Spark evaluates
+    each side's subtree independently (AQE's runtime stage reuse only
+    deduplicated one map stage of the heavy aggregation stages — the
+    whole corpus was signature-hashed twice per run). Persisting
+    banded (the corpus_clean s2 precedent) removes the second
+    signature pass: A/B at sf0.1, min-converged, none 0.898 s vs
+    banded-only 0.828 s. The shingle sets are deliberately NOT
+    persisted: their arrays are fat, and caching them measured WORSE
+    than recomputing both verify sides at this scale (docs-persisted
+    variants 0.998/0.883 s); a 100 TB run that cannot afford two
+    shingle passes materializes them to Parquet between stages — the
+    corpus_clean JobControl note. Cache lifetime: pass ``handles`` (a
+    list) to receive the persisted intermediate for targeted
+    ``.unpersist()`` after the returned plan materializes (the
+    streaming ingest loop does); otherwise
+    ``spark.catalog.clearCache()`` — corpus_clean's documented
+    contract."""
+    banded = banded_signature_rows(df, id_col, text_col, n, num_hashes, bands).persist()
+    docs = doc_shingle_sets(df, id_col, text_col, n).withColumnRenamed("shs", "sh")
+    if handles is not None:
+        handles.append(banded)
     cand = (
         banded.alias("a")
         .join(
@@ -608,7 +631,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    docs = doc_shingle_sets(df, id_col, text_col, n).withColumnRenamed("shs", "sh")
     verified = (
         cand.join(docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -681,17 +703,32 @@ def simhash_bands(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, token_hash: str = "md5"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    token_hash: str = "md5",
+    handles: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming (<= 3):
     by pigeonhole, such pairs agree on >= 1 of the 4 16-bit bands.
     Physical form: :func:`hamming_pairs_from_bands` over the SimHash
     fingerprint (round 7: extracted so ANY 64-bit band fingerprint —
     e.g. image dHash, ``functions/multimodal.image_dhash_bands`` —
-    shares the same pair machinery)."""
-    return hamming_pairs_from_bands(
-        simhash_bands(df, id_col, text_col, token_hash=token_hash), max_hamming
-    )
+    shares the same pair machinery).
+
+    The fingerprint frame is persist-barriered (round 15): the band
+    self-join inside ``hamming_pairs_from_bands`` evaluates its input
+    on BOTH sides, so without the barrier the 64-bit-sum token
+    aggregation ran twice per call (measured: the two duplicate
+    32-task agg stages collapse to one; the media paths already
+    persist their bands before calling — this gives the text path the
+    same physics). Cache lifetime: ``handles`` or
+    ``spark.catalog.clearCache()``, as :func:`minhash_lsh_pairs`."""
+    bands = simhash_bands(df, id_col, text_col, token_hash=token_hash).persist()
+    if handles is not None:
+        handles.append(bands)
+    return hamming_pairs_from_bands(bands, max_hamming)
 
 
 def hamming_pairs_from_bands(

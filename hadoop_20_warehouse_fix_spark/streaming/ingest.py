@@ -83,8 +83,13 @@ def stream_dedup_ingest(
             return  # fully-processed batch replayed after a checkpoint crash
         batch = batch_df.select(id_col, text_col).persist()
         m = spark.table(f"{state_name}_meta").collect()[0]
+        # lsh_handles: minhash_lsh_pairs persists its banded/shingle
+        # intermediates (round 15); a long soak must release them per
+        # batch, not accumulate cache entries until clearCache.
+        lsh_handles: list = []
         local_pairs = minhash_lsh_pairs(
-            batch, id_col, text_col, m.n, m.num_hashes, m.bands, threshold
+            batch, id_col, text_col, m.n, m.num_hashes, m.bands, threshold,
+            handles=lsh_handles,
         )
         local_losers = local_pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = batch.join(local_losers, id_col, "left_anti")
@@ -128,6 +133,8 @@ def stream_dedup_ingest(
         ).format("parquet").saveAsTable(log_t)
         batch.unpersist()
         clean.unpersist()
+        for h in lsh_handles:
+            h.unpersist()
 
     q = (
         docs_stream.writeStream.foreachBatch(write_batch)
